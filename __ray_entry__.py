@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship KG pipeline on sf0.001; ``queries()`` exposes
+one callable per implemented operator/pipeline (SURVEY.md §2); ``oracle_sql``
+gives the DuckDB twin for every SQL-expressible query.  Ray is initialised
+by the driver BEFORE this module is imported — nothing here calls
+``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +12,290 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from ner_funtool_ray.config import ALIASES, GAZETTEER
+from ner_funtool_ray.corpus import CORPUS_FROM_DOCUMENTS_SQL
+from ner_funtool_ray.functions.text import (
+    LANG_MARKERS,
+    SENTENCE_SPLIT_SQL_REGEX,
+    STOPWORDS,
+)
+
+# --------------------------------------------------------------------------
+# SQL builders (twins of the Ray pipelines; shared vocab/gazetteer constants)
+# --------------------------------------------------------------------------
+
+_GAZ_TERMS = sorted(GAZETTEER.keys(), key=len, reverse=True)
+_GAZ_PATTERN = r"\b(" + "|".join(_GAZ_TERMS) + r")\b"
+_TYPE_CASE = (
+    "CASE surface "
+    + " ".join(f"WHEN '{t}' THEN '{ty}'" for t, ty in GAZETTEER.items())
+    + " END"
+)
+_ALIAS_CASE = (
+    "CASE surface "
+    + " ".join(f"WHEN '{a}' THEN '{c}'" for a, c in ALIASES.items())
+    + " ELSE surface END"
+)
+_ROW_KEY = "repo || chr(0) || path || chr(0) || \"commit\""
+_ROW_ID_SQL = (
+    f"(CASE WHEN md5_number_lower({_ROW_KEY}) >= 9223372036854775808::UBIGINT "
+    f"THEN (md5_number_lower({_ROW_KEY})::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT "
+    f"ELSE md5_number_lower({_ROW_KEY})::BIGINT END)"
+)
+_STOP_IN = "(" + ",".join(f"'{w}'" for w in sorted(STOPWORDS)) + ")"
+
+
+def _lang_hits_sql() -> str:
+    cols = []
+    for lang in ("en", "de", "fr", "es"):
+        lst = ",".join(f"'{w}'" for w in sorted(LANG_MARKERS[lang]))
+        cols.append(
+            f"len(list_filter(regexp_extract_all(lower(text), '\\w+'),"
+            f" x -> x IN ({lst}))) AS {lang}"
+        )
+    return ", ".join(cols)
+
+
+_CORPUS_CTE = f"corpus AS ({CORPUS_FROM_DOCUMENTS_SQL})"
+
+_SENTENCES_SQL = f"""
+WITH {_CORPUS_CTE},
+frags AS (
+  SELECT row_id, repo, path, lang, content_sha256,
+         generate_subscripts(l, 1) AS raw_idx, unnest(l) AS frag
+  FROM (
+    SELECT {_ROW_ID_SQL} AS row_id, repo, path, lang,
+           sha256(content) AS content_sha256,
+           regexp_split_to_array(content, '{SENTENCE_SPLIT_SQL_REGEX}') AS l
+    FROM corpus
+  )
+)
+SELECT row_id, repo, path, lang, content_sha256,
+       row_number() OVER (PARTITION BY row_id ORDER BY raw_idx) - 1 AS sent_id,
+       trim(frag) AS sentence
+FROM frags WHERE trim(frag) <> ''
+"""
+
+_MENTION_COUNTS_SQL = f"""
+WITH {_CORPUS_CTE},
+m AS (
+  SELECT repo, path, unnest(regexp_extract_all(content, '{_GAZ_PATTERN}', 1)) AS surface
+  FROM corpus
+)
+SELECT repo, path, surface, {_TYPE_CASE} AS entity_type,
+       count(*)::BIGINT AS n_mentions
+FROM m GROUP BY repo, path, surface
+"""
+
+_TRIPLES_SQL = f"""
+WITH m AS (
+  SELECT doc_id, 'repos/' || source AS repo,
+         unnest(regexp_extract_all(text, '{_GAZ_PATTERN}', 1)) AS surface
+  FROM documents
+),
+c AS (
+  SELECT doc_id, repo, 'ent:' || {_ALIAS_CASE} AS entity_id FROM m
+),
+appears AS (
+  SELECT entity_id AS subj, 'appears_in' AS pred, repo AS obj,
+         count(*)::BIGINT AS weight
+  FROM c GROUP BY entity_id, repo
+),
+d AS (SELECT DISTINCT doc_id, entity_id FROM c),
+cooc AS (
+  SELECT a.entity_id AS subj, 'cooccurs_with' AS pred, b.entity_id AS obj,
+         count(*)::BIGINT AS weight
+  FROM d a JOIN d b USING (doc_id)
+  WHERE a.entity_id < b.entity_id
+  GROUP BY a.entity_id, b.entity_id
+)
+SELECT * FROM appears UNION ALL SELECT * FROM cooc
+"""
+
+_DOC_STATS_SQL = """
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  len(regexp_extract_all(text, '\\w+'))::BIGINT AS n_tokens,
+  len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) AS punct_ratio,
+  len(list_filter(regexp_extract_all(lower(text), '\\w+'), x -> x IN {stop}))
+      / greatest(len(regexp_extract_all(text, '\\w+')), 1) AS stopword_ratio,
+  coalesce(list_aggregate(list_transform(regexp_extract_all(text, '\\w+'),
+      x -> length(x)), 'sum'), 0)
+      / greatest(len(regexp_extract_all(text, '\\w+')), 1) AS mean_token_len
+FROM documents
+""".format(stop=_STOP_IN)
+
+_LANGID_SQL = f"""
+WITH h AS (SELECT doc_id, {_lang_hits_sql()} FROM documents)
+SELECT doc_id,
+  CASE WHEN en > 0 AND en >= greatest(de, fr, es) THEN 'en'
+       WHEN de > 0 AND de >= greatest(fr, es) THEN 'de'
+       WHEN fr > 0 AND fr >= es THEN 'fr'
+       WHEN es > 0 THEN 'es'
+       ELSE 'und' END AS lang_pred
+FROM h
+"""
+
+_FP_EXPR = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+_FINGERPRINTS_SQL = f"SELECT doc_id, {_FP_EXPR} AS fingerprint FROM documents"
+
+_DEDUP_EXACT_SQL = f"""
+SELECT {_FP_EXPR} AS fingerprint, min(doc_id) AS doc_id,
+       count(*)::BIGINT AS n_copies
+FROM documents GROUP BY 1
+"""
+
+_VOCAB_COUNT_SQL = """
+SELECT word, count(*)::BIGINT AS cnt
+FROM (SELECT unnest(regexp_extract_all(text, '\\w+')) AS word FROM documents)
+GROUP BY word HAVING count(*) >= 5
+"""
+
+_LANG_SOURCE_SQL = (
+    "SELECT lang, source, count(*)::BIGINT AS n FROM documents GROUP BY lang, source"
+)
+
+_TOPK_SQL = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score
+FROM embeddings e, q
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q_corpus(sf_dir: str):
+    from ner_funtool_ray.corpus import corpus_from_documents
+
+    return corpus_from_documents(sf_dir)
+
+
+def _q_sentences(sf_dir: str):
+    from ner_funtool_ray.corpus import corpus_from_documents
+    from ner_funtool_ray.stages.ingest import ingest
+    from ner_funtool_ray.stages.sentence import split_to_sentences
+
+    ds = split_to_sentences(ingest(corpus_from_documents(sf_dir)))
+    return ds.select_columns(
+        ["row_id", "repo", "path", "lang", "content_sha256", "sent_id", "sentence"]
+    )
+
+
+def _q_mention_counts(sf_dir: str):
+    import pyarrow as pa
+
+    from ner_funtool_ray.pipelines.kg import mentions_dataset
+    from ner_funtool_ray.corpus import corpus_from_documents
+    from ray.data.aggregate import Count
+
+    mentions = mentions_dataset(corpus_from_documents(sf_dir))
+    return (
+        mentions.select_columns(["repo", "path", "surface", "entity_type"])
+        .groupby(["repo", "path", "surface", "entity_type"])
+        .aggregate(Count(alias_name="n_mentions"))
+    )
+
+
+def _q_triples(sf_dir: str):
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    return kg_from_sf_dir(sf_dir)
+
+
+def _q_doc_stats(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import doc_stats
+
+    return doc_stats(sf_dir)
+
+
+def _q_langid(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import langid
+
+    return langid(sf_dir)
+
+
+def _q_fingerprints(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import fingerprints
+
+    return fingerprints(sf_dir)
+
+
+def _q_dedup_exact(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import dedup_exact
+
+    return dedup_exact(sf_dir)
+
+
+def _q_vocab_count(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import vocab_count
+
+    return vocab_count(sf_dir)
+
+
+def _q_lang_source(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import lang_source_counts
+
+    return lang_source_counts(sf_dir)
+
+
+def _q_topk_cosine(sf_dir: str):
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    import numpy as np
+    import ray.data
+
+    from ner_funtool_ray.stages.similarity import topk_cosine
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrow = tbl.filter(pc.equal(tbl["vec_id"], 0))
+    query = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return topk_cosine(ds, query, k=10)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on /root/testdata/sf0.001 → triple Dataset."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    return kg_from_sf_dir("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_corpus": _q_corpus,
+        "kg_sentences": _q_sentences,
+        "kg_mention_counts": _q_mention_counts,
+        "kg_triples": _q_triples,
+        "doc_stats": _q_doc_stats,
+        "langid": _q_langid,
+        "fingerprints": _q_fingerprints,
+        "dedup_exact": _q_dedup_exact,
+        "vocab_count": _q_vocab_count,
+        "lang_source_counts": _q_lang_source,
+        "topk_cosine": _q_topk_cosine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_corpus": f"SELECT * FROM ({CORPUS_FROM_DOCUMENTS_SQL})",
+        "kg_sentences": _SENTENCES_SQL,
+        "kg_mention_counts": _MENTION_COUNTS_SQL,
+        "kg_triples": _TRIPLES_SQL,
+        "doc_stats": _DOC_STATS_SQL,
+        "langid": _LANGID_SQL,
+        "fingerprints": _FINGERPRINTS_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "vocab_count": _VOCAB_COUNT_SQL,
+        "lang_source_counts": _LANG_SOURCE_SQL,
+        "topk_cosine": _TOPK_SQL,
+    }

@@ -1,0 +1,45 @@
+"""Flagship KG-construction pipeline (SURVEY.md §7.1).
+
+read_parquet → P0 ingest (row_id, sha256) → P1 sentence split → mention
+detection (gazetteer path here; model path in pipelines.tagging) →
+P6 canonicalize → P7 triples (dedup + subject buckets).
+
+Every stage is a streaming ``map_batches`` / ``groupby`` — nothing
+materializes the corpus; consume with write_parquet or an aggregate.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from ner_funtool_ray.config import PipelineConfig
+from ner_funtool_ray.corpus import corpus_from_documents
+from ner_funtool_ray.stages.canonicalize import canonicalize
+from ner_funtool_ray.stages.gazetteer import extract_mentions
+from ner_funtool_ray.stages.ingest import ingest
+from ner_funtool_ray.stages.materialize import all_triples
+from ner_funtool_ray.stages.sentence import split_to_sentences
+
+
+def mentions_dataset(
+    corpus: "ray.data.Dataset", cfg: PipelineConfig | None = None
+) -> "ray.data.Dataset":
+    cfg = cfg or PipelineConfig()
+    docs = ingest(corpus)
+    sents = split_to_sentences(docs)
+    mentions = extract_mentions(
+        sents, gazetteer=cfg.gazetteer, batch_size=cfg.mention_batch_size
+    )
+    return canonicalize(mentions, aliases=cfg.aliases)
+
+
+def kg_triples(
+    corpus: "ray.data.Dataset", cfg: PipelineConfig | None = None
+) -> "ray.data.Dataset":
+    """corpus table → deduplicated weighted (subj, pred, obj, weight)."""
+    return all_triples(mentions_dataset(corpus, cfg))
+
+
+def kg_from_sf_dir(sf_dir: str, cfg: PipelineConfig | None = None) -> "ray.data.Dataset":
+    """documents.parquet in ``sf_dir`` → triples (the driver entry path)."""
+    return kg_triples(corpus_from_documents(sf_dir), cfg)

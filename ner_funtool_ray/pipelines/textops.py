@@ -1,0 +1,119 @@
+"""Text-analysis pipelines over the ``documents`` table (training-data ops).
+
+Each function takes ``sf_dir`` and returns a Dataset whose semantics have an
+exact DuckDB SQL twin (registered in ``__ray_entry__.oracle_sql``):
+language-ID, quality scoring, token counting, fingerprinting, exact dedup,
+vocabulary frequency.  All are stateless vectorized ``map_batches`` except
+the groupbys, which pre-aggregate per batch before shuffling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from ner_funtool_ray.functions.text import (
+    detect_language,
+    fingerprint,
+    quality_features,
+    tokenize_words,
+)
+
+
+def _read_documents(sf_dir: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def doc_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc quality features (doc_id, n_chars, n_tokens, punct_ratio,
+    stopword_ratio, mean_token_len)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        feats = quality_features(batch["text"].to_pylist())
+        return pa.table({"doc_id": batch["doc_id"], **feats})
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def langid(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc heuristic language ID (doc_id, lang_pred)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        preds = [detect_language(t) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(preds)})
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc md5 fingerprint of whitespace-normalized lowercase text."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        fps = [fingerprint(t) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps)})
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
+    """Exact dedup on text fingerprint: keep min doc_id per fingerprint,
+    report copy count.  Shuffle moves (fingerprint, doc_id) partials only."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        fps = [fingerprint(t) for t in batch["text"].to_pylist()]
+        df = pd.DataFrame({"fingerprint": fps, "doc_id": batch["doc_id"].to_numpy()})
+        agg = df.groupby("fingerprint", sort=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
+        )
+        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+
+    partial = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+    return partial.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="doc_id"), Sum("n_copies", alias_name="n_copies")
+    )
+
+
+def vocab_count(sf_dir: str, min_count: int = 5) -> "ray.data.Dataset":
+    """Word frequency over all documents (word, cnt), min_count-filtered —
+    reference ``vocab_build`` aggregation semantics (data_preprocess.py:87-102)
+    at corpus scale: per-batch partial counts, then a small groupby-Sum."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter[str] = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(tokenize_words(t or ""))
+        if not c:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        words, cnts = zip(*c.items())
+        return pa.table({"word": pa.array(words), "cnt": pa.array(cnts, type=pa.int64())})
+
+    partial = _read_documents(sf_dir, ["text"]).map_batches(
+        partial_counts, batch_format="pyarrow"
+    )
+    counts = partial.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+    return counts.filter(expr=f"cnt >= {min_count}")
+
+
+def lang_source_counts(sf_dir: str) -> "ray.data.Dataset":
+    """Confusion-matrix-style crosstab: (lang, source, n) — reference A2
+    pattern (`tag_evaluating.py:183-207`) as groupby-count."""
+    return (
+        _read_documents(sf_dir, ["lang", "source"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n"))
+    )

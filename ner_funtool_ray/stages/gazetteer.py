@@ -1,0 +1,79 @@
+"""Gazetteer mention detection (deterministic, SQL-oracle-checkable path).
+
+The model path (stages.tag) and this gazetteer path both emit the same
+mention schema; the gazetteer path is a pure regex extraction so DuckDB can
+reproduce it exactly, giving the KG pipeline an end-to-end correctness gate.
+
+Actor-pool stage: the regex is compiled once per actor in ``__init__``
+(stateful-stage pattern); extraction is per-batch over Arrow.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ner_funtool_ray.config import GAZETTEER
+
+_CARRY = ("row_id", "repo", "path", "commit", "lang", "sent_id", "content_sha256")
+
+
+class GazetteerMentions:
+    """map_batches callable: sentences → mention rows
+    (carry…, surface, entity_type, start, end) with inclusive char offsets
+    (CLUE span convention, `ner_utils.py:103-146`)."""
+
+    def __init__(self, gazetteer: dict[str, str] | None = None,
+                 text_col: str = "sentence"):
+        gaz = gazetteer or GAZETTEER
+        # longest-first alternation so e.g. 'order' wins over 'or'
+        terms = sorted(gaz.keys(), key=len, reverse=True)
+        self.pattern = re.compile(
+            r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b"
+        )
+        self.gaz = gaz
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        idx: list[int] = []
+        surfaces: list[str] = []
+        types: list[str] = []
+        starts: list[int] = []
+        ends: list[int] = []
+        for i, t in enumerate(texts):
+            for m in self.pattern.finditer(t or ""):
+                idx.append(i)
+                surfaces.append(m.group(1))
+                types.append(self.gaz[m.group(1)])
+                starts.append(m.start(1))
+                ends.append(m.end(1) - 1)  # inclusive end
+        take = pa.array(np.asarray(idx, dtype=np.int64))
+        cols: dict[str, pa.Array] = {
+            name: batch[name].take(take)
+            for name in _CARRY
+            if name in batch.column_names
+        }
+        cols["surface"] = pa.array(surfaces, type=pa.string())
+        cols["entity_type"] = pa.array(types, type=pa.string())
+        cols["start"] = pa.array(starts, type=pa.int64())
+        cols["end"] = pa.array(ends, type=pa.int64())
+        return pa.table(cols)
+
+
+def extract_mentions(
+    sentences: "ray.data.Dataset",
+    gazetteer: dict[str, str] | None = None,
+    batch_size: int = 2048,
+) -> "ray.data.Dataset":
+    return sentences.map_batches(
+        GazetteerMentions,
+        fn_constructor_kwargs={"gazetteer": gazetteer},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )

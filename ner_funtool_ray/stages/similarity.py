@@ -1,0 +1,127 @@
+"""Similarity search over an embedding column (training-data ops).
+
+- :func:`topk_cosine` — brute-force cosine top-k against a broadcast query
+  matrix: the query vectors are ``ray.put`` once and read inside each task;
+  each batch computes a float64 matmul and emits only its local top-k, so
+  the final exact sort touches k × n_batches rows, not the corpus.
+- :func:`lsh_bucket_topk` — the scale path: random-hyperplane LSH bucket
+  keys; candidates = rows sharing a bucket with the query; exact re-score
+  of candidates only.
+
+Embeddings stay Arrow list<float> end-to-end; numpy views are zero-copy
+per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(batch), -1)
+
+
+def cosine_scores(mat: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """Row-wise cosine similarity, float64, zero-safe."""
+    qn = query / max(np.linalg.norm(query), 1e-30)
+    norms = np.linalg.norm(mat, axis=1)
+    return (mat @ qn) / np.maximum(norms, 1e-30)
+
+
+def topk_cosine(
+    embeddings: "ray.data.Dataset",
+    query_vec: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> "ray.data.Dataset":
+    """Exact top-k by cosine vs one query vector.
+
+    Per-batch: matmul + local top-k (partial); final: small global sort.
+    Returns (id_col, score) with score optionally rounded for stable
+    cross-engine comparison.
+    """
+    query_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(query_ref)
+        mat = _batch_matrix(batch, vec_col)
+        scores = cosine_scores(mat, q)
+        take = np.argsort(-scores, kind="stable")[:k]
+        out = {
+            id_col: batch[id_col].take(pa.array(take)),
+            "score": pa.array(scores[take], type=pa.float64()),
+        }
+        return pa.table(out)
+
+    partial = embeddings.map_batches(local_topk, batch_format="pyarrow")
+    top = partial.sort("score", descending=True).limit(k)
+
+    if round_to is not None:
+        top = top.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("score"),
+                "score",
+                pa.array(np.round(t["score"].to_numpy(), round_to)),
+            ),
+            batch_format="pyarrow",
+        )
+    return top
+
+
+def hyperplane_lsh_keys(
+    mat: np.ndarray, planes: np.ndarray
+) -> np.ndarray:
+    """Sign-bit bucket key per row: int64 of (mat @ planes.T > 0) bits."""
+    bits = (mat @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def lsh_bucket_topk(
+    embeddings: "ray.data.Dataset",
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Approximate top-k: restrict to rows in the query's LSH bucket, then
+    exact cosine.  The bucket filter happens inside map_batches (no shuffle);
+    candidate count ≈ n / 2^n_planes."""
+    query = np.asarray(query_vec, dtype=np.float64)
+    d = dim or query.shape[0]
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, d))
+    q_key = int(hyperplane_lsh_keys(query[None, :], planes)[0])
+    query_ref = ray.put(query)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        q = ray.get(query_ref)
+        mat = _batch_matrix(batch, vec_col)
+        keys = hyperplane_lsh_keys(mat, planes)
+        mask = keys == q_key
+        if not mask.any():
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        idx = np.nonzero(mask)[0]
+        scores = cosine_scores(mat[idx], q)
+        take = np.argsort(-scores, kind="stable")[:k]
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(idx[take])),
+            "score": pa.array(scores[take], type=pa.float64()),
+        })
+
+    partial = embeddings.map_batches(candidates, batch_format="pyarrow")
+    return partial.sort("score", descending=True).limit(k)

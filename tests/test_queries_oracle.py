@@ -1,0 +1,61 @@
+"""Local replica of the driver's correctness gate: every queries() entry with
+an oracle_sql() twin must match DuckDB on sf0.001 (row count, schema names,
+order-insensitive values)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name):
+    got = _normalize(_to_pandas(QUERIES[name](SF_DIR)))
+    con = _duck(SF_DIR)
+    expect = _normalize(con.sql(ORACLES[name]).df())
+    assert list(got.columns) == list(expect.columns), (
+        f"{name}: columns {list(got.columns)} != {list(expect.columns)}"
+    )
+    assert len(got) == len(expect), f"{name}: {len(got)} rows != {len(expect)}"
+    pd.testing.assert_frame_equal(
+        got, expect, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-12
+    )
+
+
+def test_entry_smoke():
+    res = entrymod.entry()
+    df = _to_pandas(res)
+    assert len(df) >= 0
+    assert {"subj", "pred", "obj", "weight"} <= set(df.columns)
