@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import ner_funtool_ray.pipelines.relational as _rel
 from ner_funtool_ray.config import ALIASES, GAZETTEER
 from ner_funtool_ray.corpus import CORPUS_FROM_DOCUMENTS_SQL
 from ner_funtool_ray.functions.text import (
@@ -262,6 +263,116 @@ def _q_topk_cosine(sf_dir: str):
     return topk_cosine(ds, query, k=10)
 
 
+def _q_model_mentions(sf_dir: str):
+    from ner_funtool_ray.pipelines.tagging import model_mentions
+
+    return model_mentions(sf_dir)
+
+
+def _q_model_triples(sf_dir: str):
+    from ner_funtool_ray.pipelines.tagging import model_triples
+
+    return model_triples(sf_dir)
+
+
+def _q_cascade_mentions(sf_dir: str):
+    from ner_funtool_ray.pipelines.tagging import model_mentions
+
+    return model_mentions(sf_dir, cascade=True)
+
+
+def _q_tag_metrics(sf_dir: str):
+    from ner_funtool_ray.pipelines.tagging import tag_metrics_report
+
+    return tag_metrics_report(sf_dir)
+
+
+def _q_entity_metrics(sf_dir: str):
+    from ner_funtool_ray.pipelines.tagging import entity_metrics_report
+
+    return entity_metrics_report(sf_dir)
+
+
+def _q_dedup_minhash(sf_dir: str):
+    import ray.data
+
+    from ner_funtool_ray.stages.dedup import minhash_lsh_clusters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_clusters(ds, threshold=0.8)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    import ray.data
+
+    from ner_funtool_ray.stages.dedup import simhash_clusters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_clusters(ds, max_hamming=3)
+
+
+def _q_neardup_embedding(sf_dir: str):
+    import ray.data
+
+    from ner_funtool_ray.stages.dedup import embedding_neardup_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_neardup_pairs(ds, threshold=0.95, n_planes=6)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    import ray.data
+
+    from ner_funtool_ray.stages.dedup import ngram_jaccard_pairs
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, path, threshold=0.5)
+
+
+def _q_ann_lsh_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ner_funtool_ray.stages.similarity import lsh_bucket_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrow = tbl.filter(pc.equal(tbl["vec_id"], 0))
+    query = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return lsh_bucket_topk(ds, query, k=10, n_planes=6)
+
+
+def _q_pricing_summary(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import revenue_by_nation
+
+    return revenue_by_nation(sf_dir)
+
+
+def _q_top_orders(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import top_orders
+
+    return top_orders(sf_dir)
+
+
+def _q_events_hourly(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import events_hourly
+
+    return events_hourly(sf_dir)
+
+
 def entry() -> Any:
     """Flagship KG pipeline on /root/testdata/sf0.001 → triple Dataset."""
     from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
@@ -282,6 +393,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_count": _q_vocab_count,
         "lang_source_counts": _q_lang_source,
         "topk_cosine": _q_topk_cosine,
+        # model path (numpy BiLSTM+CRF / cascade) — non-SQL-expressible,
+        # covered by Ray-vs-serial parity tests; driver records rows-only.
+        "ner_model_mentions": _q_model_mentions,
+        "ner_model_triples": _q_model_triples,
+        "ner_cascade_mentions": _q_cascade_mentions,
+        "ner_tag_metrics": _q_tag_metrics,
+        "ner_entity_metrics": _q_entity_metrics,
+        # dedup / similarity family — LSH-based, covered by unit tests with
+        # planted duplicates; driver records rows-only.
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "neardup_embedding": _q_neardup_embedding,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        # relational operator coverage (groupby / broadcast join / top-k /
+        # tumbling window) — oracle-checked.
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_orders": _q_top_orders,
+        "events_hourly": _q_events_hourly,
     }
 
 
@@ -298,4 +429,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_count": _VOCAB_COUNT_SQL,
         "lang_source_counts": _LANG_SOURCE_SQL,
         "topk_cosine": _TOPK_SQL,
+        "pricing_summary": _rel.PRICING_SUMMARY_SQL,
+        "revenue_by_nation": _rel.REVENUE_BY_NATION_SQL,
+        "top_orders": _rel.TOP_ORDERS_SQL,
+        "events_hourly": _rel.EVENTS_HOURLY_SQL,
     }

@@ -1,0 +1,122 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "triples_per_sec": ...}
+
+--scaling: runs the headline pipeline in TWO fresh processes
+(num_cpus=8 / 32) on the same input and reports both throughputs plus
+scaling efficiency (sandbox stand-in for N vs 4N node clusters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _consume(res) -> int:
+    """Stream-consume a result; returns row count without materializing
+    large datasets on the driver."""
+    import pandas as pd
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    if hasattr(res, "iter_batches"):  # ray.data.Dataset
+        return sum(
+            batch.num_rows for batch in res.iter_batches(batch_format="pyarrow")
+        )
+    return len(res)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    Q = entrymod.queries()
+
+    # warm the OS page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "embeddings"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    bench_queries = [
+        "kg_triples",          # headline: full KG pipeline → triples
+        "kg_mention_counts",
+        "doc_stats",
+        "dedup_exact",
+        "vocab_count",
+        "topk_cosine",
+        "ner_model_triples",   # model path: BiLSTM+CRF actor pool e2e
+    ]
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        n_rows = _consume(Q[name](SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "kg_triples":
+            extras["triples"] = n_rows
+
+    # triples/sec: triples emitted per second of end-to-end pipeline time
+    headline = timings["kg_triples"]
+    result = {
+        "metric": "kg_triples end-to-end seconds (sf dir)",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "triples_per_sec": round(extras.get("triples", 0) / max(headline, 1e-9), 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> float:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])["value"]
+
+    t_lo = one(8)
+    t_hi = one(32)
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "sec_8cpu": t_lo,
+        "sec_32cpu": t_hi,
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

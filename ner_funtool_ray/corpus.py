@@ -85,6 +85,40 @@ _ZH_TEMPLATES = [
     ("阿里巴巴位于杭州。", [("阿里巴巴", "ORG", 0, 3), ("杭州", "LOC", 6, 7)]),
 ]
 
+def synthesize_tagged_corpus(n_rows: int = 200, seed: int = 42) -> pa.Table:
+    """Seed-fixed BMES-tagged eval corpus (FIXTURES.md F2): one row per
+    sentence, (doc_id, sent_id, chars: str, gold_tags: list<string>) with
+    gold spans planted from the templates (exact by construction).
+
+    Uses S- singletons never (templates are ≥2 chars → B/M/E); O elsewhere.
+    """
+    rng = np.random.default_rng(seed)
+    doc_ids, sent_ids, chars_col, tags_col = [], [], [], []
+    for i in range(n_rows):
+        text, spans = _ZH_TEMPLATES[int(rng.integers(0, len(_ZH_TEMPLATES)))]
+        tags = ["O"] * len(text)
+        for surface, typ, s, e in spans:
+            if s == e:
+                tags[s] = f"S-{typ}"
+            else:
+                tags[s] = f"B-{typ}"
+                for j in range(s + 1, e):
+                    tags[j] = f"M-{typ}"
+                tags[e] = f"E-{typ}"
+        doc_ids.append(i)
+        sent_ids.append(0)
+        chars_col.append(text)
+        tags_col.append(tags)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "sent_id": pa.array(sent_ids, type=pa.int64()),
+            "chars": pa.array(chars_col, type=pa.string()),
+            "gold_tags": pa.array(tags_col, type=pa.list_(pa.string())),
+        }
+    )
+
+
 _CODE_TEMPLATE = (
     "import {imp}\n"
     "def handler_{k}(request):\n"

@@ -87,9 +87,12 @@ def simhash64(text: str) -> int:
     if not toks:
         return 0
     v = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
     for t in toks:
-        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-        bits = (h >> np.arange(64)) & 1
+        h = np.uint64(
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+        )
+        bits = (h >> shifts) & np.uint64(1)
         v += np.where(bits == 1, 1, -1)
     return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 

@@ -1,0 +1,274 @@
+"""Relational operator coverage: grouped aggregates, broadcast joins,
+top-k sort, windowed event aggregates — each with an exact DuckDB twin.
+
+Float determinism: money/quantity sums are computed in integer CENTS on
+both engines (``round(x*100)`` per row, summed as int64, divided by 100.0
+at the end) — distributed partial sums of doubles are not associative, so
+both sides sum exact integers instead and the final division of identical
+ints is bit-identical.
+
+Join strategy (SURVEY §2.5): dimension tables (customer, nation) are read
+driver-side (they are the small side), composed into a lookup dict,
+``ray.put`` once, and applied inside ``map_batches`` — a broadcast hash
+join with no shuffle.  The fact table streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _cents(col: pa.ChunkedArray) -> pa.Array:
+    # half_towards_infinity == DuckDB round() (half away from zero);
+    # pyarrow's default half_to_even would drift on .5-cent boundaries
+    return pc.cast(
+        pc.round(pc.multiply(col, 100.0), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1-style pricing summary over lineitem (shipdate cutoff,
+    groupby returnflag+linestatus).  Columns pruned at the read; the filter
+    is a vectorized Arrow kernel; partial aggregation per batch keeps the
+    shuffle to one row per (flag, status) per batch."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_c": _cents(batch["l_quantity"]),
+                "price_c": _cents(batch["l_extendedprice"]),
+                "disc_price_c": _cents(disc_price),
+            }
+        )
+        df = (
+            t.to_pandas()
+            .groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                qty_c=("qty_c", "sum"),
+                price_c=("price_c", "sum"),
+                disc_price_c=("disc_price_c", "sum"),
+                n=("qty_c", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("disc_price_c", alias_name="disc_price_c"),
+            Sum("n", alias_name="count_order"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["count_order"]
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pc.divide(pc.cast(batch["qty_c"], pa.float64()), 100.0),
+                "sum_base_price": pc.divide(
+                    pc.cast(batch["price_c"], pa.float64()), 100.0
+                ),
+                "sum_disc_price": pc.divide(
+                    pc.cast(batch["disc_price_c"], pa.float64()), 100.0
+                ),
+                "avg_qty": pc.divide(
+                    pc.divide(pc.cast(batch["qty_c"], pa.float64()), 100.0),
+                    pc.cast(n, pa.float64()),
+                ),
+                "count_order": n,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+  sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+  sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) / 100.0 AS sum_disc_price,
+  (sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0) / count(*) AS avg_qty,
+  count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
+    """orders ⋈ customer ⋈ nation → revenue per nation (broadcast join:
+    the dimension lookup is built once driver-side and ray.put; the orders
+    fact table streams through map_batches)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nkey2name = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    cust2nation = {
+        c: nkey2name[n]
+        for c, n in zip(
+            cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()
+        )
+    }
+    lookup_ref = ray.put(cust2nation)
+
+    def join(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup.get(c) for c in batch["o_custkey"].to_pylist()]
+        t = pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "rev_c": _cents(batch["o_totalprice"]),
+            }
+        )
+        df = (
+            t.to_pandas()
+            .groupby("n_name", sort=False)
+            .agg(rev_c=("rev_c", "sum"), n_orders=("rev_c", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(join, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("rev_c", alias_name="rev_c"), Sum("n_orders", alias_name="n_orders")
+        )
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "n_name": b["n_name"],
+                "revenue": pc.divide(pc.cast(b["rev_c"], pa.float64()), 100.0),
+                "n_orders": b["n_orders"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n.n_name,
+  sum(CAST(round(o.o_totalprice*100) AS BIGINT)) / 100.0 AS revenue,
+  count(*)::BIGINT AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def top_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Top-k orders by total price: per-batch local top-k partials, then a
+    small global sort — never a full sort of the fact table."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch, k, [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+        )
+        return batch.take(idx)
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling-window aggregate: events per (event_type, hour window) with
+    value sums — windows as groupby over truncated timestamps (the batch
+    twin of a streaming tumbling window; SURVEY §2.9 had none in the
+    reference, this is the training-pipeline extension)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+                "value_c": _cents(batch["value"]),
+            }
+        )
+        df = (
+            t.to_pandas()
+            .groupby(["event_type", "hour"], sort=False)
+            .agg(value_c=("value_c", "sum"), n=("value_c", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("value_c", alias_name="value_c"), Sum("n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "hour": b["hour"],
+                "sum_value": pc.divide(pc.cast(b["value_c"], pa.float64()), 100.0),
+                "n": b["n"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+  sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value,
+  count(*)::BIGINT AS n
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""

@@ -1,0 +1,107 @@
+"""Model-path pipelines: numpy BiLSTM+CRF / cascade tagging over the corpus
+(SURVEY §3.3 Ray restatement) + metric pipelines.
+
+``read_parquet → ingest → sentence split → NerTagger actor pool → span
+decode → canonicalize → triples`` — the serving path of the reference
+(`predict_bert_crf.py` dev_offline / `infer_offline.py`) re-expressed as a
+streaming Dataset pipeline; metrics follow `tag_evaluating` /
+`entity_evaluating` semantics as distributed aggregates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ner_funtool_ray.corpus import corpus_from_documents
+from ner_funtool_ray.metrics.entity_metrics import entity_metrics
+from ner_funtool_ray.metrics.tag_metrics import tag_report
+from ner_funtool_ray.stages.canonicalize import canonicalize
+from ner_funtool_ray.stages.decode import decode_mentions
+from ner_funtool_ray.stages.gazetteer import gold_tag_sentences
+from ner_funtool_ray.stages.ingest import ingest
+from ner_funtool_ray.stages.materialize import all_triples
+from ner_funtool_ray.stages.sentence import split_to_sentences
+from ner_funtool_ray.stages.tag import tag_sentences
+
+MAX_SEQ_LEN = 128
+
+
+def tagged_sentences(
+    sf_dir: str, cascade: bool = False, concurrency=(1, 4)
+) -> "ray.data.Dataset":
+    """sf documents → sentence rows + pred_tags (model actor pool)."""
+    sents = split_to_sentences(ingest(corpus_from_documents(sf_dir)))
+    return tag_sentences(
+        sents, cascade=cascade, max_seq_len=MAX_SEQ_LEN, concurrency=concurrency
+    )
+
+
+def model_mentions(sf_dir: str, cascade: bool = False) -> "ray.data.Dataset":
+    """Model-detected mentions with provenance + canonical entity ids."""
+    mentions = decode_mentions(tagged_sentences(sf_dir, cascade))
+    return canonicalize(mentions)
+
+
+def model_triples(sf_dir: str, cascade: bool = False) -> "ray.data.Dataset":
+    return all_triples(model_mentions(sf_dir, cascade))
+
+
+def _tag_pairs(sf_dir: str, cascade: bool = False) -> "ray.data.Dataset":
+    """Aligned (gold_tag, pred_tag) char rows: gold = gazetteer BMES tags,
+    pred = model tags; both truncated to MAX_SEQ_LEN (gold/pred stay in the
+    same row → positional zip, no shuffle — SURVEY §2.5 J3)."""
+    tagged = tagged_sentences(sf_dir, cascade)
+    both = gold_tag_sentences(tagged, max_seq_len=MAX_SEQ_LEN)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        golds: list[str] = []
+        preds: list[str] = []
+        for g, p in zip(
+            batch["gold_tags"].to_pylist(), batch["pred_tags"].to_pylist()
+        ):
+            n = min(len(g), len(p))
+            golds.extend(g[:n])
+            preds.extend(p[:n])
+        return pa.table(
+            {
+                "gold_tag": pa.array(golds, type=pa.string()),
+                "pred_tag": pa.array(preds, type=pa.string()),
+            }
+        )
+
+    return both.map_batches(flatten, batch_format="pyarrow")
+
+
+def tag_metrics_report(
+    sf_dir: str, cascade: bool = False, remove_o: bool = True
+) -> pd.DataFrame:
+    """Per-tag (tag, precision, recall, f1, support) + avg/total row,
+    model-vs-gazetteer — reference ``Metrics`` math (tag_evaluating.py)."""
+    return tag_report(_tag_pairs(sf_dir, cascade), remove_o=remove_o)
+
+
+def entity_metrics_report(sf_dir: str, cascade: bool = False) -> pd.DataFrame:
+    """One-row (precision, recall, f1) at entity level, model-vs-gazetteer —
+    reference ``entity_metrics`` math (entity_evaluating.py:60-81)."""
+    tagged = gold_tag_sentences(
+        tagged_sentences(sf_dir, cascade), max_seq_len=MAX_SEQ_LEN
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        chars = [
+            (t or "")[:MAX_SEQ_LEN] for t in batch["sentence"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "chars": pa.array(chars, type=pa.string()),
+                "gold_tags": batch["gold_tags"],
+                "pred_tags": batch["pred_tags"],
+            }
+        )
+
+    p, r, f1 = entity_metrics(tagged.map_batches(project, batch_format="pyarrow"))
+    return pd.DataFrame({"precision": [p], "recall": [r], "f1": [f1]})

@@ -25,9 +25,9 @@ def _canon_batch(batch: pa.Table, aliases: dict[str, str]) -> pa.Table:
     surf = pc.utf8_lower(pc.utf8_trim_whitespace(batch["surface"]))
     canon = [aliases.get(s, s) for s in surf.to_pylist()]
     ent = pa.array([f"ent:{c}" for c in canon], type=pa.string())
-    return batch.append_column("canonical", pa.array(canon)).append_column(
-        "entity_id", ent
-    )
+    return batch.append_column(
+        "canonical", pa.array(canon, type=pa.string())
+    ).append_column("entity_id", ent)
 
 
 def canonicalize(

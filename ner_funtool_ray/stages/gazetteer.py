@@ -65,6 +65,61 @@ class GazetteerMentions:
         return pa.table(cols)
 
 
+class GazetteerTagger:
+    """Char-level BMES gold tagger from gazetteer matches: sentence →
+    ``gold_tags`` list<string> (B/M/E/S-type over matched spans, O
+    elsewhere).  Used as the deterministic gold stream for metric
+    pipelines; ``max_seq_len`` truncation mirrors the model path
+    (`run_bert_crf.py:379-381`)."""
+
+    def __init__(self, gazetteer: dict[str, str] | None = None,
+                 text_col: str = "sentence", max_seq_len: int = 128):
+        gaz = gazetteer or GAZETTEER
+        terms = sorted(gaz.keys(), key=len, reverse=True)
+        self.pattern = re.compile(
+            r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b"
+        )
+        self.gaz = gaz
+        self.text_col = text_col
+        self.max_seq_len = max_seq_len
+
+    def tag_one(self, text: str) -> list[str]:
+        t = (text or "")[: self.max_seq_len]
+        tags = ["O"] * len(t)
+        for m in self.pattern.finditer(t):
+            s, e = m.start(1), m.end(1) - 1
+            typ = self.gaz[m.group(1)]
+            if s == e:
+                tags[s] = f"S-{typ}"
+            else:
+                tags[s] = f"B-{typ}"
+                for j in range(s + 1, e):
+                    tags[j] = f"M-{typ}"
+                tags[e] = f"E-{typ}"
+        return tags
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tags = [self.tag_one(t) for t in batch[self.text_col].to_pylist()]
+        return batch.append_column(
+            "gold_tags", pa.array(tags, type=pa.list_(pa.string()))
+        )
+
+
+def gold_tag_sentences(
+    sentences: "ray.data.Dataset",
+    gazetteer: dict[str, str] | None = None,
+    max_seq_len: int = 128,
+    batch_size: int = 2048,
+) -> "ray.data.Dataset":
+    return sentences.map_batches(
+        GazetteerTagger,
+        fn_constructor_kwargs={"gazetteer": gazetteer, "max_seq_len": max_seq_len},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+
+
 def extract_mentions(
     sentences: "ray.data.Dataset",
     gazetteer: dict[str, str] | None = None,

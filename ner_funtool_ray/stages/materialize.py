@@ -16,8 +16,6 @@ Scale design (SURVEY.md §7.1, shuffle #3):
 
 from __future__ import annotations
 
-from itertools import combinations
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -57,30 +55,60 @@ def appears_in_triples(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
-def _doc_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ents = sorted(group["entity_id"].unique())
-    pairs = list(combinations(ents, 2))
-    if not pairs:
-        return pd.DataFrame({"subj": [], "pred": [], "obj": [], "weight": []})
-    return pd.DataFrame(
+_PAIR_SCHEMA = pa.schema(
+    [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+     ("weight", pa.int64())]
+)
+
+
+def _bucket_doc_pairs(group: pd.DataFrame) -> pa.Table:
+    """One hash bucket of docs → partial (subj, pred, obj, weight) counts.
+
+    Vectorized: distinct (row_id, entity_id) self-merged on row_id
+    (pandas hash join), upper-triangle filter, then a local groupby count —
+    no per-document Python loop."""
+    d = group[["row_id", "entity_id"]].drop_duplicates()
+    m = d.merge(d, on="row_id", suffixes=("_a", "_b"))
+    m = m[m["entity_id_a"] < m["entity_id_b"]]
+    agg = (
+        m.groupby(["entity_id_a", "entity_id_b"], sort=False)
+        .size()
+        .reset_index(name="weight")
+    )
+    return pa.table(
         {
-            "subj": [a for a, _ in pairs],
-            "pred": "cooccurs_with",
-            "obj": [b for _, b in pairs],
-            "weight": np.ones(len(pairs), dtype=np.int64),
-        }
+            "subj": pa.array(agg["entity_id_a"], type=pa.string()),
+            "pred": pa.array(["cooccurs_with"] * len(agg), type=pa.string()),
+            "obj": pa.array(agg["entity_id_b"], type=pa.string()),
+            "weight": pa.array(agg["weight"].to_numpy(dtype=np.int64)),
+        },
+        schema=_PAIR_SCHEMA,
     )
 
 
-def cooccurs_triples(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
+def cooccurs_triples(
+    mentions: "ray.data.Dataset", n_buckets: int = 64
+) -> "ray.data.Dataset":
     """entity-pair co-occurrence per document → weight = n docs.
 
-    groupby(row_id) co-locates one document's mentions; pair expansion is
-    per-group; the final groupby sums the per-doc 1-weights.  Mentions are
-    pre-projected to (row_id, entity_id) so the shuffle moves two columns.
+    Shuffle plan: project to (row_id, entity_id), batch-local distinct,
+    then co-locate documents by ``bucket = row_id % n_buckets`` — a groupby
+    over n_buckets groups (bounded), NOT one group per document — and expand
+    pairs with a vectorized self-join per bucket.  The final small groupby
+    sums per-bucket partial counts.
     """
-    slim = mentions.select_columns(["row_id", "entity_id"])
-    pairs = slim.groupby("row_id").map_groups(_doc_pairs, batch_format="pandas")
+
+    def slim_distinct(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.select(["row_id", "entity_id"]).to_pandas().drop_duplicates()
+        )
+        df["bucket"] = (df["row_id"] % n_buckets).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    slim = mentions.map_batches(slim_distinct, batch_format="pyarrow")
+    pairs = slim.groupby("bucket").map_groups(
+        _bucket_doc_pairs, batch_format="pandas"
+    )
     return (
         pairs.groupby(["subj", "pred", "obj"])
         .aggregate(Sum("weight", alias_name="weight"))

@@ -1,0 +1,172 @@
+"""P2+P3 fused encode+tag actor stage (SURVEY §2.4 T1-T4, §7.3).
+
+One actor class holds vocab + model weights (loaded ONCE in ``__init__``)
+and does per-batch: char→id encode (``sentence2id`` semantics), dynamic
+pad-to-batch-max (``pad_sequences`` semantics, `data_preprocess.py:228-242`),
+numpy BiLSTM(+cascade) forward, CRF Viterbi decode, id→tag mapping.
+Encode and tag are fused so the wide fixed-width id columns never
+materialize in the object store (SURVEY §7.3 last bullet).
+
+The same class doubles as the single-process oracle: call it directly on a
+pyarrow table — batch-invariance of the model (tested) makes Ray-vs-serial
+parity exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ner_funtool_ray.functions.spans import trans_label_row
+from ner_funtool_ray.model.bilstm_crf import (
+    BiLstmCrf,
+    CascadeTagger,
+    init_weights,
+    load_weights,
+)
+from ner_funtool_ray.model.vocabs import (
+    ATTRS,
+    BMEO,
+    CASCADE_ATTRS,
+    TAGS,
+    default_char_vocab,
+)
+
+_UNK_ID = 1  # SPECIALS index of <UNK>
+
+
+class NerTagger:
+    """map_batches callable: sentence rows → + pred_tags (list<string>).
+
+    Stateful actor-pool stage: weights/vocabs built or loaded once per
+    actor.  ``weights_path`` loads an .npz checkpoint (FIXTURES.md F5);
+    otherwise seed-fixed weights are generated — identical in every actor.
+    """
+
+    def __init__(
+        self,
+        weights_path: str | None = None,
+        max_seq_len: int = 128,
+        seed: int = 7,
+        text_col: str = "sentence",
+        out_col: str = "pred_tags",
+    ):
+        self.char2id = default_char_vocab()
+        self.id2tag = dict(enumerate(TAGS))
+        self.max_seq_len = max_seq_len
+        self.text_col = text_col
+        self.out_col = out_col
+        if weights_path:
+            w = load_weights(weights_path)
+        else:
+            w = init_weights(
+                vocab_size=len(self.char2id),
+                emb_dim=32,
+                hidden=48,
+                n_tags=len(TAGS),
+                seed=seed,
+            )
+        self.model = BiLstmCrf(w)
+
+    def _encode(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        ids = [
+            [self.char2id.get(c, _UNK_ID) for c in (t or "")[: self.max_seq_len]]
+            for t in texts
+        ]
+        lengths = np.array([len(s) for s in ids], dtype=np.int32)
+        S = max(1, int(lengths.max()) if len(lengths) else 1)
+        mat = np.zeros((len(ids), S), dtype=np.int32)
+        for i, s in enumerate(ids):
+            mat[i, : len(s)] = s
+        return mat, lengths
+
+    def _decode_ids(self, paths: np.ndarray, lengths: np.ndarray) -> list[list[str]]:
+        return [
+            [self.id2tag[int(t)] for t in paths[i, : int(lengths[i])]]
+            for i in range(paths.shape[0])
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        if not texts:
+            return batch.append_column(
+                self.out_col, pa.array([], type=pa.list_(pa.string()))
+            )
+        mat, lengths = self._encode(texts)
+        paths = self.model.predict(mat, lengths)
+        tags = self._decode_ids(paths, lengths)
+        return batch.append_column(
+            self.out_col, pa.array(tags, type=pa.list_(pa.string()))
+        )
+
+
+class CascadeNerTagger(NerTagger):
+    """Cascade variant: BMEO head (CRF) + attr head (argmax), combined via
+    ``trans_label`` O-propagation (`run_multitask_bert_crf.py:632-650`,
+    `ner_utils.py:9-39`).  Emits pred_tags plus the raw bmeo/attr streams."""
+
+    def __init__(self, weights_path: str | None = None, max_seq_len: int = 128,
+                 seed: int = 23, text_col: str = "sentence",
+                 out_col: str = "pred_tags"):
+        super().__init__(None, max_seq_len, seed, text_col, out_col)
+        if weights_path:
+            w = load_weights(weights_path)
+        else:
+            w = init_weights(
+                vocab_size=len(self.char2id),
+                emb_dim=32,
+                hidden=48,
+                n_tags=len(BMEO),
+                n_attrs=len(CASCADE_ATTRS),
+                seed=seed,
+            )
+        self.model = CascadeTagger(w)
+        self.id2bmeo = dict(enumerate(BMEO))
+        self.id2attr = dict(enumerate(CASCADE_ATTRS))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        lst = pa.list_(pa.string())
+        if not texts:
+            for c in ("bmeo_tags", "attr_tags", self.out_col):
+                batch = batch.append_column(c, pa.array([], type=lst))
+            return batch
+        mat, lengths = self._encode(texts)
+        bmeo_ids, attr_ids = self.model.predict_cascade(mat, lengths)
+        bmeo = [
+            [self.id2bmeo[int(t)] for t in bmeo_ids[i, : int(lengths[i])]]
+            for i in range(len(texts))
+        ]
+        attr = [
+            [self.id2attr[int(t)] for t in attr_ids[i, : int(lengths[i])]]
+            for i in range(len(texts))
+        ]
+        combined = [trans_label_row(b, a) for b, a in zip(bmeo, attr)]
+        batch = batch.append_column("bmeo_tags", pa.array(bmeo, type=lst))
+        batch = batch.append_column("attr_tags", pa.array(attr, type=lst))
+        return batch.append_column(self.out_col, pa.array(combined, type=lst))
+
+
+def tag_sentences(
+    sentences: "ray.data.Dataset",
+    cascade: bool = False,
+    weights_path: str | None = None,
+    batch_size: int = 256,
+    concurrency=(1, 4),
+    max_seq_len: int = 128,
+) -> "ray.data.Dataset":
+    """Actor-pool tagging stage.  concurrency × num_cpus sizes the pool;
+    batch_size bounds the (B, S) dense matrices per actor heap."""
+    cls = CascadeNerTagger if cascade else NerTagger
+    return sentences.map_batches(
+        cls,
+        fn_constructor_kwargs={
+            "weights_path": weights_path,
+            "max_seq_len": max_seq_len,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -54,6 +54,22 @@ def test_query_matches_oracle(name):
     )
 
 
+def _schema_and_len(res) -> tuple[list[str], int]:
+    if isinstance(res, pd.DataFrame):
+        return list(res.columns), len(res)
+    return list(res.schema().names), res.count()  # Dataset: schema survives 0 rows
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_query_smoke(name):
+    # non-SQL-expressible queries: must run and return a stable schema
+    cols1, n1 = _schema_and_len(QUERIES[name](SF_DIR))
+    assert len(cols1) > 0
+    cols2, n2 = _schema_and_len(QUERIES[name](SF_DIR))
+    assert cols1 == cols2
+    assert n1 == n2  # deterministic row count
+
+
 def test_entry_smoke():
     res = entrymod.entry()
     df = _to_pandas(res)
