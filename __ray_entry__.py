@@ -194,14 +194,14 @@ def _q_mention_counts(sf_dir: str):
 
     from ner_funtool_ray.pipelines.kg import mentions_dataset
     from ner_funtool_ray.corpus import corpus_from_documents
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
 
     mentions = mentions_dataset(corpus_from_documents(sf_dir))
-    return (
-        mentions.select_columns(["repo", "path", "surface", "entity_type"])
-        .groupby(["repo", "path", "surface", "entity_type"])
-        .aggregate(Count(alias_name="n_mentions"))
-    )
+    keys = ["repo", "path", "surface", "entity_type"]
+    out = bucketed_group_sum(mentions, keys, count_col="n_mentions")
+    return out.select_columns(keys + ["n_mentions"])
 
 
 def _q_triples(sf_dir: str):
@@ -257,7 +257,9 @@ def _q_topk_cosine(sf_dir: str):
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qrow = tbl.filter(pc.equal(tbl["vec_id"], 0))
     query = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
-    ds = ray.data.read_parquet(
+    from ner_funtool_ray.sources.io import read_parquet_auto
+
+    ds = read_parquet_auto(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return topk_cosine(ds, query, k=10)
@@ -294,41 +296,37 @@ def _q_entity_metrics(sf_dir: str):
 
 
 def _q_dedup_minhash(sf_dir: str):
-    import ray.data
-
+    from ner_funtool_ray.sources.io import read_parquet_auto
     from ner_funtool_ray.stages.dedup import minhash_lsh_clusters
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_lsh_clusters(ds, threshold=0.8)
 
 
 def _q_dedup_simhash(sf_dir: str):
-    import ray.data
-
+    from ner_funtool_ray.sources.io import read_parquet_auto
     from ner_funtool_ray.stages.dedup import simhash_clusters
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_clusters(ds, max_hamming=3)
 
 
 def _q_neardup_embedding(sf_dir: str):
-    import ray.data
-
+    from ner_funtool_ray.sources.io import read_parquet_auto
     from ner_funtool_ray.stages.dedup import embedding_neardup_pairs
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_auto(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return embedding_neardup_pairs(ds, threshold=0.95, n_planes=6)
 
 
 def _q_ngram_jaccard(sf_dir: str):
-    import ray.data
-
+    from ner_funtool_ray.sources.io import read_parquet_auto
     from ner_funtool_ray.stages.dedup import ngram_jaccard_pairs
 
     path = f"{sf_dir}/documents.parquet"
-    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    ds = read_parquet_auto(path, columns=["doc_id", "text"])
     return ngram_jaccard_pairs(ds, path, threshold=0.5)
 
 
@@ -343,10 +341,19 @@ def _q_ann_lsh_topk(sf_dir: str):
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qrow = tbl.filter(pc.equal(tbl["vec_id"], 0))
     query = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
-    ds = ray.data.read_parquet(
+    from ner_funtool_ray.sources.io import read_parquet_auto
+
+    ds = read_parquet_auto(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return lsh_bucket_topk(ds, query, k=10, n_planes=6)
+
+
+def _q_linked_mentions(sf_dir: str):
+    from ner_funtool_ray.corpus import corpus_from_documents
+    from ner_funtool_ray.pipelines.kg import linked_mentions
+
+    return linked_mentions(corpus_from_documents(sf_dir))
 
 
 def _q_pricing_summary(sf_dir: str):
@@ -402,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_entity_metrics": _q_entity_metrics,
         # dedup / similarity family — LSH-based, covered by unit tests with
         # planted duplicates; driver records rows-only.
+        "kg_linked_mentions": _q_linked_mentions,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "neardup_embedding": _q_neardup_embedding,

@@ -94,11 +94,43 @@ def run_bench() -> dict:
     return result
 
 
+def run_scaling_job() -> dict:
+    """One fresh-process scaling measurement: the compute-bound model-path
+    pipeline (BiLSTM+CRF actor pool) over a ×REPLICATION corpus."""
+    import ray
+
+    replication = int(os.environ.get("GRAFT_SCALE_REPLICATION", "48"))
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ner_funtool_ray.pipelines.tagging import scaled_model_triples
+
+    import pyarrow.parquet as pq
+
+    pq.read_table(f"{SF_DIR}/documents.parquet")  # warm page cache
+    t0 = time.perf_counter()
+    n = _consume(scaled_model_triples(SF_DIR, replication=replication))
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {"value": round(dt, 3), "rows": n, "num_cpus": NUM_CPUS,
+            "replication": replication}
+
+
 def run_scaling() -> dict:
+    """Same compute-bound job at 8 and 32 CPUs in fresh processes
+    (sandbox stand-in for N vs 4N node clusters)."""
     def one(ncpu: int) -> float:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--scaling-job"],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])["value"]
@@ -107,6 +139,7 @@ def run_scaling() -> dict:
     t_hi = one(32)
     eff = (t_lo / t_hi) / (32 / 8)
     return {
+        "job": "scaled_model_triples (BiLSTM+CRF actor pool, x-replicated corpus)",
         "sec_8cpu": t_lo,
         "sec_32cpu": t_hi,
         "speedup": round(t_lo / t_hi, 3),
@@ -116,7 +149,9 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-job" in sys.argv:
+        print(json.dumps(run_scaling_job()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ner_funtool_ray.sources.io import read_parquet_auto
+
 # SQL twin of corpus_from_documents (kept adjacent so they evolve together).
 CORPUS_FROM_DOCUMENTS_SQL = """
     SELECT
@@ -65,7 +67,7 @@ def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
 
     Pure per-row mapping (no shuffle); matches CORPUS_FROM_DOCUMENTS_SQL.
     """
-    ds = ray.data.read_parquet(
+    ds = read_parquet_auto(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
     )

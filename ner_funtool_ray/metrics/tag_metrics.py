@@ -98,6 +98,57 @@ def tag_report(pairs: "ray.data.Dataset", remove_o: bool = False) -> pd.DataFram
     return out
 
 
+def prf_from_confusion(
+    cm: pd.DataFrame,
+    beta: float = 1.0,
+    average: str = "micro",
+    exclude: tuple[str, ...] = (),
+) -> tuple[float, float, float]:
+    """Micro/macro/weighted P/R/Fβ from a (gold_tag, pred_tag, n) confusion
+    table — reference ``tf_metrics`` semantics (`public_tools/tf_metrics.py:
+    15-215`, streaming confusion-matrix metrics): per-class precision =
+    diag/col-sum, recall = diag/row-sum, Fβ = (1+β²)PR/(β²P+R); micro sums
+    TP/col/row over the selected classes first; weighted weights per-class
+    scores by gold support.  ``exclude`` drops classes (e.g. 'O') from the
+    selection, mirroring the mask at `run_bert_crf.py:627-630`."""
+    tags = sorted(
+        (set(cm["gold_tag"]) | set(cm["pred_tag"])) - set(exclude)
+    )
+    pivot = (
+        cm.pivot_table(
+            index="gold_tag", columns="pred_tag", values="n",
+            aggfunc="sum", fill_value=0,
+        )
+        .reindex(index=tags, columns=tags, fill_value=0)
+        .to_numpy(dtype=float)
+    )
+    diag = pivot.diagonal()
+    col = pivot.sum(axis=0)
+    row = pivot.sum(axis=1)
+    b2 = beta * beta
+
+    def fbeta(p, r):
+        denom = b2 * p + r
+        return (1 + b2) * p * r / denom if denom > 0 else 0.0
+
+    if average == "micro":
+        p = diag.sum() / col.sum() if col.sum() else 0.0
+        r = diag.sum() / row.sum() if row.sum() else 0.0
+        return p, r, fbeta(p, r)
+    import numpy as np
+
+    ps = np.divide(diag, col, out=np.zeros_like(diag), where=col > 0)
+    rs = np.divide(diag, row, out=np.zeros_like(diag), where=row > 0)
+    fs = np.array([fbeta(p, r) for p, r in zip(ps, rs)])
+    if average == "macro":
+        n = len(tags) or 1
+        return float(ps.sum() / n), float(rs.sum() / n), float(fs.sum() / n)
+    if average == "weighted":
+        w = row / (row.sum() or 1.0)
+        return float(ps @ w), float(rs @ w), float(fs @ w)
+    raise ValueError(average)
+
+
 def confusion_matrix(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     """(gold, pred, n) counts over pairs where both tags appear in the gold
     tagset.  The gold tagset is computed with a small unique() and broadcast

@@ -84,10 +84,13 @@ def _lstm_direction(
     h = np.zeros((B, H), dtype=np.float32)
     c = np.zeros((B, H), dtype=np.float32)
     out = np.zeros((B, S, H), dtype=np.float32)
+    # hoist the input projection out of the time loop: one (B*S, D) matmul
+    # instead of S small ones; the loop only does the recurrent h @ Wh
+    w_x, w_h = kernel[:D], kernel[D:]
+    z_x = (x.reshape(B * S, D) @ w_x).reshape(B, S, 4 * H) + bias
     steps = range(S - 1, -1, -1) if reverse else range(S)
     for t in steps:
-        xt = x[:, t, :]
-        z = np.concatenate([xt, h], axis=1) @ kernel + bias
+        z = z_x[:, t, :] + h @ w_h
         i, g, f, o = np.split(z, 4, axis=1)
         valid = (t < lengths)[:, None]  # within the row's true length
         i = _sigmoid(i)

@@ -33,6 +33,21 @@ def mentions_dataset(
     return canonicalize(mentions, aliases=cfg.aliases)
 
 
+def linked_mentions(
+    corpus: "ray.data.Dataset", cfg: PipelineConfig | None = None,
+    threshold: float = 0.85,
+) -> "ray.data.Dataset":
+    """mentions + (linked_entity, link_score) via the P5 broadcast-index
+    linker; catalog = the gazetteer's canonical surfaces."""
+    from ner_funtool_ray.stages.link import link_mentions
+
+    cfg = cfg or PipelineConfig()
+    catalog = sorted({cfg.aliases.get(t, t) for t in cfg.gazetteer})
+    return link_mentions(
+        mentions_dataset(corpus, cfg), catalog, threshold=threshold
+    )
+
+
 def kg_triples(
     corpus: "ray.data.Dataset", cfg: PipelineConfig | None = None
 ) -> "ray.data.Dataset":

@@ -24,6 +24,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from ner_funtool_ray.sources.io import read_parquet_auto
+
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
     # half_towards_infinity == DuckDB round() (half away from zero);
@@ -39,7 +41,7 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     groupby returnflag+linestatus).  Columns pruned at the read; the filter
     is a vectorized Arrow kernel; partial aggregation per batch keeps the
     shuffle to one row per (flag, status) per batch."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_auto(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity",
@@ -164,7 +166,7 @@ def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
         return pa.Table.from_pandas(df, preserve_index=False)
 
     agg = (
-        ray.data.read_parquet(
+        read_parquet_auto(
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
         )
         .map_batches(join, batch_format="pyarrow")
@@ -199,7 +201,7 @@ GROUP BY n.n_name
 def top_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     """Top-k orders by total price: per-batch local top-k partials, then a
     small global sort — never a full sort of the fact table."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_auto(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
 
@@ -227,7 +229,7 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     value sums — windows as groupby over truncated timestamps (the batch
     twin of a streaming tumbling window; SURVEY §2.9 had none in the
     reference, this is the training-pipeline extension)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_auto(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
     )
 

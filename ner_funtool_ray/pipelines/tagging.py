@@ -31,7 +31,7 @@ MAX_SEQ_LEN = 128
 
 
 def tagged_sentences(
-    sf_dir: str, cascade: bool = False, concurrency=(1, 4)
+    sf_dir: str, cascade: bool = False, concurrency=None
 ) -> "ray.data.Dataset":
     """sf documents → sentence rows + pred_tags (model actor pool)."""
     sents = split_to_sentences(ingest(corpus_from_documents(sf_dir)))
@@ -48,6 +48,64 @@ def model_mentions(sf_dir: str, cascade: bool = False) -> "ray.data.Dataset":
 
 def model_triples(sf_dir: str, cascade: bool = False) -> "ray.data.Dataset":
     return all_triples(model_mentions(sf_dir, cascade))
+
+
+def scaled_model_triples(
+    sf_dir: str, replication: int = 64, cascade: bool = False
+) -> "ray.data.Dataset":
+    """Scaling-benchmark job: the model-path pipeline over a ×replication
+    corpus (each input row replicated with distinct doc ids).  Replication
+    happens inside map_batches — one disk read, honest downstream compute —
+    so the job is dominated by BiLSTM+CRF inference + the triple shuffles,
+    i.e. the parts that must scale with cluster size."""
+    import pyarrow as pa
+
+    from ner_funtool_ray.corpus import _derive_batch
+    from ner_funtool_ray.sources.io import read_parquet_auto
+
+    base = read_parquet_auto(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+        rows_per_block=25,  # many read blocks → the fused replicate→tag
+        # chain gets fine-grained tasks (~200) that fill every core
+    )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        tables = []
+        for r in range(replication):
+            t = batch.set_column(
+                batch.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.compute.add(batch["doc_id"], 10_000_000 * r),
+            )
+            tables.append(t)
+        return pa.concat_tables(tables)
+
+    corpus = base.map_batches(replicate, batch_format="pyarrow").map_batches(
+        _derive_batch, batch_format="pyarrow"
+    )
+    # batch_size counts PRE-replicate rows (the fused chain replicates
+    # inside the task); fixed-size actor pool (cpus-2) skips autoscale
+    # ramp-up, leaving two cores for the task-based stages.
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # ~60/40 split between the model actor pool and the task stages
+    # (decode/partials/sorts) that stream concurrently with it — a pool of
+    # cpus-2 starves the task stages and serializes the pipeline tail.
+    pool = max(2, (cpus * 3) // 5)
+    mentions = canonicalize(
+        decode_mentions(
+            tag_sentences(
+                split_to_sentences(ingest(corpus)),
+                cascade=cascade,
+                max_seq_len=MAX_SEQ_LEN,
+                batch_size=64,
+                concurrency=(pool, pool),
+            )
+        )
+    )
+    return all_triples(mentions)
 
 
 def _tag_pairs(sf_dir: str, cascade: bool = False) -> "ray.data.Dataset":

@@ -16,6 +16,8 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
+from ner_funtool_ray.sources.io import read_parquet_auto
+
 from ner_funtool_ray.functions.text import (
     detect_language,
     fingerprint,
@@ -25,7 +27,7 @@ from ner_funtool_ray.functions.text import (
 
 
 def _read_documents(sf_dir: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_auto(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def doc_stats(sf_dir: str) -> "ray.data.Dataset":

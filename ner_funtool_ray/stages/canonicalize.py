@@ -22,12 +22,20 @@ from ner_funtool_ray.config import ALIASES
 
 
 def _canon_batch(batch: pa.Table, aliases: dict[str, str]) -> pa.Table:
+    # fully vectorized: lower+trim, per-alias exact-match rewrite (alias
+    # tables are small), 'ent:' prefix join — no per-row Python
     surf = pc.utf8_lower(pc.utf8_trim_whitespace(batch["surface"]))
-    canon = [aliases.get(s, s) for s in surf.to_pylist()]
-    ent = pa.array([f"ent:{c}" for c in canon], type=pa.string())
-    return batch.append_column(
-        "canonical", pa.array(canon, type=pa.string())
-    ).append_column("entity_id", ent)
+    if isinstance(surf, pa.ChunkedArray):
+        surf = surf.combine_chunks()
+    canon = surf
+    for alias, target in aliases.items():
+        canon = pc.if_else(
+            pc.equal(canon, alias), pa.scalar(target, type=pa.string()), canon
+        )
+    ent = pc.binary_join_element_wise(
+        pa.array(["ent:"] * len(batch), type=pa.string()), canon, ""
+    )
+    return batch.append_column("canonical", canon).append_column("entity_id", ent)
 
 
 def canonicalize(

@@ -26,6 +26,7 @@ import pyarrow as pa
 
 import ray.data
 
+from ner_funtool_ray.utils import default_concurrency
 from ner_funtool_ray.functions.hashing import (
     MinHasher,
     char_ngrams,
@@ -113,7 +114,7 @@ def minhash_candidate_pairs(
             id_col=id_col, text_col=text_col,
         ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=default_concurrency(),
     )
     pairs = (
         banded.groupby("band_key")

@@ -18,6 +18,7 @@ import pyarrow as pa
 import ray.data
 
 from ner_funtool_ray.config import GAZETTEER
+from ner_funtool_ray.utils import default_concurrency
 
 _CARRY = ("row_id", "repo", "path", "commit", "lang", "sent_id", "content_sha256")
 
@@ -116,7 +117,7 @@ def gold_tag_sentences(
         fn_constructor_kwargs={"gazetteer": gazetteer, "max_seq_len": max_seq_len},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 8),
+        concurrency=default_concurrency(),
     )
 
 
@@ -130,5 +131,5 @@ def extract_mentions(
         fn_constructor_kwargs={"gazetteer": gazetteer},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 8),
+        concurrency=default_concurrency(),
     )

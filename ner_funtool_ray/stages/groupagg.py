@@ -1,0 +1,72 @@
+"""Bucketed grouped aggregation for high-cardinality string keys.
+
+``Dataset.groupby(keys).aggregate(...)`` sort-shuffles by the raw key
+tuple; with many distinct multi-string keys the sort dominates (measured
+13s for 93k rows / 4 string keys).  ``bucketed_group_sum`` instead:
+
+1. per-batch partial aggregate (vectorized pandas groupby);
+2. add ``bucket = hash64(keys) % n_buckets`` (deterministic);
+3. ``groupby(bucket)`` — a cheap int64 shuffle into n_buckets groups;
+4. vectorized pandas groupby inside each bucket group.
+
+Same result, bounded group count, all per-row work vectorized.  n_buckets
+scales with cluster size (it is the shuffle parallelism); key skew is
+immaterial because every distinct key lands in exactly one bucket and
+buckets hold many keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _bucket_of(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
+    # crc32: content-based and cross-process deterministic.  (pandas'
+    # hash_pandas_object is NOT stable across worker processes for object
+    # dtype — it salted buckets differently per task and split keys.)
+    import zlib
+
+    joined = df[keys].astype(str).agg("\x00".join, axis=1)
+    return np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) % n_buckets for s in joined),
+        dtype=np.int64,
+        count=len(joined),
+    )
+
+
+def bucketed_group_sum(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    sum_cols: dict[str, str] | None = None,
+    count_col: str | None = "n",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Group by ``keys``; emit sum columns (``sum_cols``: out_name→in_name)
+    and/or a row count (``count_col``)."""
+    sum_cols = sum_cols or {}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + list(sum_cols.values())).to_pandas()
+        if count_col:
+            df["__cnt"] = np.int64(1)
+        spec = {out: (src, "sum") for out, src in sum_cols.items()}
+        if count_col:
+            spec[count_col] = ("__cnt", "sum")
+        agg = df.groupby(keys, sort=False).agg(**spec).reset_index()
+        agg["bucket"] = _bucket_of(agg, keys, n_buckets)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        cols = list(sum_cols) + ([count_col] if count_col else [])
+        agg = group.groupby(keys, sort=False)[cols].sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -47,12 +47,15 @@ def _partial_appears(batch: pa.Table) -> pa.Table:
 
 def appears_in_triples(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
     """entity appears_in repo, weight = total mentions (exact dedup via
-    partial-then-final Sum aggregation)."""
+    partial-then-final aggregation; bucketed merge bounds shuffle groups)."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
     partial = mentions.map_batches(_partial_appears, batch_format="pyarrow")
-    return (
-        partial.groupby(["subj", "pred", "obj"])
-        .aggregate(Sum("weight", alias_name="weight"))
+    out = bucketed_group_sum(
+        partial, ["subj", "pred", "obj"],
+        sum_cols={"weight": "weight"}, count_col=None,
     )
+    return out.select_columns(["subj", "pred", "obj", "weight"])
 
 
 _PAIR_SCHEMA = pa.schema(
@@ -105,18 +108,85 @@ def cooccurs_triples(
         df["bucket"] = (df["row_id"] % n_buckets).astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
     slim = mentions.map_batches(slim_distinct, batch_format="pyarrow")
     pairs = slim.groupby("bucket").map_groups(
         _bucket_doc_pairs, batch_format="pandas"
     )
-    return (
-        pairs.groupby(["subj", "pred", "obj"])
-        .aggregate(Sum("weight", alias_name="weight"))
+    out = bucketed_group_sum(
+        pairs, ["subj", "pred", "obj"],
+        sum_cols={"weight": "weight"}, count_col=None,
     )
+    return out.select_columns(["subj", "pred", "obj", "weight"])
 
 
-def all_triples(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
-    return appears_in_triples(mentions).union(cooccurs_triples(mentions))
+def doc_entity_summary(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Compact per-doc summary: (row_id, repo, entity_id, n_mentions),
+    MATERIALIZED.  This is the one deliberate mid-pipeline materialization:
+    ``all_triples`` fans out into two consumers (appears_in + cooccurs), and
+    without pinning this summary Ray re-executes the entire upstream
+    (read → tag → decode) once per branch.  The summary is orders of
+    magnitude smaller than the corpus (distinct doc×entity rows), so
+    pinning it is cheap; the corpus itself still streams exactly once."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    summary = bucketed_group_sum(
+        mentions.select_columns(["row_id", "repo", "entity_id"]),
+        ["row_id", "repo", "entity_id"],
+        count_col="n_mentions",
+    )
+    return summary.materialize()
+
+
+def all_triples(
+    mentions: "ray.data.Dataset", n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Both triple families from ONE pass over the corpus via the
+    materialized doc-entity summary, merged in ONE final shuffle.
+
+    Shuffle count (each all-to-all has fixed barrier latency): summary
+    merge (1) + doc-bucket pair expansion (1) + one shared final
+    (subj, pred, obj) merge over the UNION of appears/cooccur partials (1).
+    """
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    summary = doc_entity_summary(mentions)
+
+    def appears_partial(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.select(["entity_id", "repo", "n_mentions"])
+            .to_pandas()
+            .groupby(["entity_id", "repo"], sort=False)["n_mentions"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "subj": pa.array(df["entity_id"], type=pa.string()),
+                "pred": pa.array(["appears_in"] * len(df), type=pa.string()),
+                "obj": pa.array(df["repo"], type=pa.string()),
+                "weight": pa.array(df["n_mentions"].to_numpy(dtype=np.int64)),
+            },
+            schema=_PAIR_SCHEMA,
+        )
+
+    def with_doc_bucket(batch: pa.Table) -> pa.Table:
+        df = batch.select(["row_id", "entity_id"]).to_pandas()
+        df["bucket"] = (df["row_id"] % n_buckets).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    appears = summary.map_batches(appears_partial, batch_format="pyarrow")
+    cooccur = (
+        summary.map_batches(with_doc_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_bucket_doc_pairs, batch_format="pandas")
+    )
+    merged = bucketed_group_sum(
+        appears.union(cooccur), ["subj", "pred", "obj"],
+        sum_cols={"weight": "weight"}, count_col=None,
+    )
+    return merged.select_columns(["subj", "pred", "obj", "weight"])
 
 
 def add_subject_bucket(

@@ -88,15 +88,41 @@ class NerTagger:
             for i in range(paths.shape[0])
         ]
 
+    def _predict_texts(self, texts: list[str], chunk: int = 128):
+        """Length-bucketed chunked inference: sort by length, run the model
+        on ≤chunk-row slices (cache-friendly; padding = slice max, not batch
+        max — SURVEY §7.3 length-bucketing item), scatter back to input
+        order.  Returns (per-row tag-id lists, lengths)."""
+        ids = [
+            [self.char2id.get(c, _UNK_ID) for c in (t or "")[: self.max_seq_len]]
+            for t in texts
+        ]
+        lengths = np.array([len(s) for s in ids], dtype=np.int32)
+        order = np.argsort(lengths, kind="stable")
+        out_paths: list[np.ndarray | None] = [None] * len(ids)
+        for lo in range(0, len(order), chunk):
+            sel = order[lo : lo + chunk]
+            sl = lengths[sel]
+            S = max(1, int(sl.max()) if len(sl) else 1)
+            mat = np.zeros((len(sel), S), dtype=np.int32)
+            for k, row in enumerate(sel):
+                mat[k, : lengths[row]] = ids[row]
+            paths = self.model.predict(mat, sl)
+            for k, row in enumerate(sel):
+                out_paths[row] = paths[k]
+        return out_paths, lengths
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         if not texts:
             return batch.append_column(
                 self.out_col, pa.array([], type=pa.list_(pa.string()))
             )
-        mat, lengths = self._encode(texts)
-        paths = self.model.predict(mat, lengths)
-        tags = self._decode_ids(paths, lengths)
+        paths, lengths = self._predict_texts(texts)
+        tags = [
+            [self.id2tag[int(t)] for t in paths[i][: int(lengths[i])]]
+            for i in range(len(texts))
+        ]
         return batch.append_column(
             self.out_col, pa.array(tags, type=pa.list_(pa.string()))
         )
@@ -154,11 +180,16 @@ def tag_sentences(
     cascade: bool = False,
     weights_path: str | None = None,
     batch_size: int = 256,
-    concurrency=(1, 4),
+    concurrency=None,
     max_seq_len: int = 128,
 ) -> "ray.data.Dataset":
-    """Actor-pool tagging stage.  concurrency × num_cpus sizes the pool;
-    batch_size bounds the (B, S) dense matrices per actor heap."""
+    """Actor-pool tagging stage.  concurrency × num_cpus sizes the pool
+    (default: autoscale to cluster CPUs); batch_size bounds the (B, S)
+    dense matrices per actor heap."""
+    from ner_funtool_ray.utils import default_concurrency
+
+    if concurrency is None:
+        concurrency = default_concurrency()
     cls = CascadeNerTagger if cascade else NerTagger
     return sentences.map_batches(
         cls,

@@ -1,0 +1,69 @@
+"""bucketed_group_sum: exact equality with a single-process pandas groupby
+over a multi-block dataset (regression test for the cross-process bucket
+hash bug — pandas hash_pandas_object salted buckets per worker)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+
+def _table(n=50000, seed=0):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "k1": [f"key{int(x)}" for x in rng.integers(0, 2000, n)],
+            "k2": [f"t{int(x)}" for x in rng.integers(0, 3, n)],
+            "w": rng.integers(1, 5, n).astype(np.int64),
+        }
+    )
+
+
+def test_bucketed_group_sum_matches_pandas():
+    tbl = _table()
+    expect = (
+        tbl.to_pandas()
+        .groupby(["k1", "k2"], as_index=False)
+        .agg(w=("w", "sum"))
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    got = (
+        bucketed_group_sum(ds, ["k1", "k2"], sum_cols={"w": "w"}, count_col=None)
+        .to_pandas()[["k1", "k2", "w"]]
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(expect)
+
+
+def test_bucketed_group_count():
+    tbl = _table(n=10000, seed=1)
+    expect = (
+        tbl.to_pandas()
+        .groupby(["k1"], as_index=False)
+        .agg(w=("w", "sum"), n=("w", "size"))
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = bucketed_group_sum(ds, ["k1"], sum_cols={"w": "w"}, count_col="n").to_pandas()
+    merged = got.merge(expect, on="k1", suffixes=("", "_e"))
+    assert len(merged) == len(expect) == len(got)
+    assert (merged["w"] == merged["w_e"]).all()
+    assert (merged["n"] == merged["n_e"]).all()
+
+
+def test_deterministic_across_runs():
+    tbl = _table(n=30000, seed=2)
+    runs = []
+    for _ in range(2):
+        ds = ray.data.from_arrow(tbl).repartition(8)
+        out = (
+            bucketed_group_sum(ds, ["k1", "k2"], sum_cols={"w": "w"}, count_col=None)
+            .to_pandas()
+            .sort_values(["k1", "k2"])
+            .reset_index(drop=True)
+        )
+        runs.append(out[["k1", "k2", "w"]])
+    assert runs[0].equals(runs[1])

@@ -74,6 +74,24 @@ def test_confusion_matrix_counts():
     assert sum(as_dict.values()) == 10  # all pairs in-tagset here
 
 
+def test_prf_from_confusion_micro_macro_weighted():
+    # hand-computed on the GOLD/PRED confusion table (A3 / tf_metrics math)
+    from ner_funtool_ray.metrics.tag_metrics import prf_from_confusion
+
+    cm = confusion_matrix(_pairs_ds()).to_pandas()
+    p, r, f = prf_from_confusion(cm, average="micro")
+    assert (p, r, f) == (pytest.approx(0.7), pytest.approx(0.7), pytest.approx(0.7))
+    p, r, f = prf_from_confusion(cm, average="macro")
+    assert p == pytest.approx(4.166666666 / 6)
+    assert r == pytest.approx(4.166666666 / 6)
+    assert f == pytest.approx(3.933333333 / 6)
+    p, r, f = prf_from_confusion(cm, average="weighted")
+    # weighted P/R match the reference Metrics weighted average (cross-check)
+    assert p == pytest.approx(0.7833333333)
+    assert r == pytest.approx(0.7)
+    assert f == pytest.approx(0.7)
+
+
 def test_entity_metrics_reference_parity():
     chars = "abcdefghij"
     ds = ray.data.from_arrow(
