@@ -380,6 +380,12 @@ def _q_events_hourly(sf_dir: str):
     return events_hourly(sf_dir)
 
 
+def _q_user_sessions(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import user_sessions
+
+    return user_sessions(sf_dir)
+
+
 def entry() -> Any:
     """Flagship KG pipeline on /root/testdata/sf0.001 → triple Dataset."""
     from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
@@ -421,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "top_orders": _q_top_orders,
         "events_hourly": _q_events_hourly,
+        "user_sessions": _q_user_sessions,
     }
 
 
@@ -441,4 +448,5 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": _rel.REVENUE_BY_NATION_SQL,
         "top_orders": _rel.TOP_ORDERS_SQL,
         "events_hourly": _rel.EVENTS_HOURLY_SQL,
+        "user_sessions": _rel.USER_SESSIONS_SQL,
     }

@@ -267,6 +267,46 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Sessionization (streaming-shaped workload as a batch groupby):
+    per-user event stream sorted by ts; a new session starts when the gap
+    to the previous event exceeds ``gap_minutes``.  Returns (user_id,
+    n_sessions, n_events).  Ordering assumption: within a user, ts order
+    defines sessions; equal timestamps share a session regardless of
+    tie-break, so the result is deterministic."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        gaps = g["ts"].diff()
+        new_s = (gaps.isna() | (gaps > pd.Timedelta(minutes=gap_minutes))).sum()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": np.array([new_s], dtype=np.int64),
+                "n_events": np.array([len(g)], dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+USER_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+)
+SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM e GROUP BY user_id
+"""
+
+
 EVENTS_HOURLY_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS hour,
   sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value,

@@ -93,7 +93,7 @@ def scaled_model_triples(
     # ~60/40 split between the model actor pool and the task stages
     # (decode/partials/sorts) that stream concurrently with it — a pool of
     # cpus-2 starves the task stages and serializes the pipeline tail.
-    pool = max(2, (cpus * 3) // 5)
+    pool = max(2, round(cpus * 0.6))
     mentions = canonicalize(
         decode_mentions(
             tag_sentences(
@@ -132,6 +132,36 @@ def _tag_pairs(sf_dir: str, cascade: bool = False) -> "ray.data.Dataset":
         )
 
     return both.map_batches(flatten, batch_format="pyarrow")
+
+
+def predict_interactive(
+    texts: list[str], cascade: bool = False, max_seq_len: int = MAX_SEQ_LEN
+) -> list[list[tuple[str, str, int, int]]]:
+    """Serving-path convenience: texts → per-text typed spans, in-process
+    (the reference's one-sentence-at-a-time predict loop,
+    `predict_bert_crf.py:226-267` / `infer_online.py:242-309`, without the
+    gRPC hop — the model runs in-process; batch serving uses the actor-pool
+    stage instead)."""
+    import pyarrow as pa
+
+    from ner_funtool_ray.functions.spans import decode_bmes
+    from ner_funtool_ray.functions.text import split_sentences
+    from ner_funtool_ray.stages.tag import CascadeNerTagger, NerTagger
+
+    tagger = (CascadeNerTagger if cascade else NerTagger)(max_seq_len=max_seq_len)
+    results: list[list[tuple[str, str, int, int]]] = []
+    for text in texts:
+        sents = split_sentences(text) or [""]
+        out = tagger(pa.table({"sentence": sents}))
+        spans: list[tuple[str, str, int, int]] = []
+        offset = 0
+        for sent, tags in zip(sents, out["pred_tags"].to_pylist()):
+            spans.extend(
+                (typ, surf, s, e) for typ, surf, s, e in decode_bmes(sent, tags)
+            )
+            offset += len(sent)
+        results.append(spans)
+    return results
 
 
 def tag_metrics_report(

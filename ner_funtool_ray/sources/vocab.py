@@ -90,6 +90,31 @@ def vocab_build(texts, min_count: int = 1) -> dict[str, int]:
     return vocab
 
 
+def read_dictionary(path: str) -> dict[str, int]:
+    """Pickled char2id loader (S8, `data_preprocess.py:116-126`)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def load_embedding_matrix(path: str):
+    """Embedding matrix loader (S7): ``.npy``/``.npz``/pickled ``(V, D)``
+    float array (`train_lstm_crf.py:87-88` loads a pickle; we accept numpy
+    formats too).  Loaded once per actor in ``__init__``."""
+    import numpy as _np
+
+    if path.endswith(".npz"):
+        with _np.load(path) as z:
+            return z[z.files[0]]
+    if path.endswith(".npy"):
+        return _np.load(path)
+    import pickle
+
+    with open(path, "rb") as f:
+        return _np.asarray(pickle.load(f), dtype=_np.float32)
+
+
 def sentence2id(sent: str, char2id: dict[str, int]) -> list[int]:
     """char→id with normalization + <UNK> fallback
     (data_preprocess.py:144-160)."""
