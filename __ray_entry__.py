@@ -386,6 +386,24 @@ def _q_user_sessions(sf_dir: str):
     return user_sessions(sf_dir)
 
 
+def _q_customers_without_big_orders(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import customers_without_big_orders
+
+    return customers_without_big_orders(sf_dir)
+
+
+def _q_purchase_view_gap(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import purchase_view_gap
+
+    return purchase_view_gap(sf_dir)
+
+
+def _q_top_order_per_customer(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import top_order_per_customer
+
+    return top_order_per_customer(sf_dir)
+
+
 def entry() -> Any:
     """Flagship KG pipeline on /root/testdata/sf0.001 → triple Dataset."""
     from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
@@ -428,6 +446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
+        "customers_without_big_orders": _q_customers_without_big_orders,
+        "purchase_view_gap": _q_purchase_view_gap,
+        "top_order_per_customer": _q_top_order_per_customer,
     }
 
 
@@ -449,4 +470,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": _rel.TOP_ORDERS_SQL,
         "events_hourly": _rel.EVENTS_HOURLY_SQL,
         "user_sessions": _rel.USER_SESSIONS_SQL,
+        "customers_without_big_orders": _rel.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
+        "purchase_view_gap": _rel.PURCHASE_VIEW_GAP_SQL,
+        "top_order_per_customer": _rel.TOP_ORDER_PER_CUSTOMER_SQL,
     }

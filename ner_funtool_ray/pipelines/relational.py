@@ -267,6 +267,127 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def customers_without_big_orders(
+    sf_dir: str, threshold: float = 400_000.0
+) -> "ray.data.Dataset":
+    """Anti-join: customers with no order above ``threshold``.  The
+    qualifying-custkey set is computed with a pushed-down row filter at the
+    read, broadcast as a set, and applied inside map_batches (no shuffle;
+    SURVEY §2.5 semi/anti-join pattern)."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    big = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filters=[("o_totalprice", ">", threshold)],
+    )
+    keys = set(big["o_custkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        mask = pa.array([c not in k for c in batch["c_custkey"].to_pylist()])
+        return batch.filter(mask)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(anti, batch_format="pyarrow")
+
+
+CUSTOMERS_WITHOUT_BIG_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def purchase_view_gap(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join: for each 'purchase' event, seconds since the same user's
+    latest 'view' at-or-before it (NULL-free: purchases with no prior view
+    are dropped).  Ray shape: groupby(user) → pandas merge_asof per group
+    (sorted by ts) — the documented as-of pattern; equal-ts views give the
+    same gap regardless of tie order, so the result is deterministic."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def gaps(group: pd.DataFrame) -> pd.DataFrame:
+        purchases = group[group["event_type"] == "purchase"].sort_values("ts")
+        views = group[group["event_type"] == "view"].sort_values("ts")
+        if purchases.empty or views.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "secs_since_view": pd.Series([], dtype="int64")})
+        m = pd.merge_asof(
+            purchases[["event_id", "ts"]],
+            views[["ts"]].rename(columns={"ts": "view_ts"}),
+            left_on="ts", right_on="view_ts", direction="backward",
+        ).dropna(subset=["view_ts"])
+        # DuckDB date_diff('second', a, b) counts second-BOUNDARY crossings
+        # (floor(b) - floor(a)), not the floored delta — match it exactly
+        secs = (
+            m["ts"].dt.floor("s") - m["view_ts"].dt.floor("s")
+        ).dt.total_seconds()
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "secs_since_view": secs.astype("int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
+PURCHASE_VIEW_GAP_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view')
+SELECT p.event_id,
+       CAST(date_diff('second', v.view_ts, p.ts) AS BIGINT) AS secs_since_view
+FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.view_ts <= p.ts
+"""
+
+
+def top_order_per_customer(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """Window top-1 per group: each customer's most expensive order
+    (ties → lowest orderkey).  Per-batch partial top-1 per customer, then
+    a bounded hash-bucket merge — the shuffle carries one row per customer
+    per batch, never the fact table."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return df.groupby("o_custkey", sort=False).head(1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = best(batch.to_pandas())
+        df["bucket"] = (df["o_custkey"] % n_buckets).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        out = best(group.drop(columns=["bucket"]))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+TOP_ORDER_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+) = 1
+"""
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     """Sessionization (streaming-shaped workload as a batch groupby):
     per-user event stream sorted by ts; a new session starts when the gap

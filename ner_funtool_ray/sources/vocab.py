@@ -90,6 +90,40 @@ def vocab_build(texts, min_count: int = 1) -> dict[str, int]:
     return vocab
 
 
+def write_label_map(path: str, label_map: dict[str, int]) -> None:
+    """Persist a label map side-file (K8 equivalent of the reference's
+    ``label2id.pkl`` memoization, `run_bert_crf.py:356-359`): written once
+    driver-side, read-only inside actors."""
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump(label_map, f)
+
+
+def clean_bert_vocab(lines: list[str]) -> list[str]:
+    """M18 (`data/clean_vocab.py:7-17`): drop ``[unused*]`` entries and strip
+    leading ``##`` continuation markers from a BERT vocab listing."""
+    out = []
+    for line in lines:
+        tok = line.strip()
+        if not tok or "unused" in tok:
+            continue
+        if tok.startswith("##"):
+            tok = tok[2:]
+        out.append(tok)
+    return out
+
+
+def extract_vocab_from_embedding_lines(
+    lines: list[str],
+    specials: tuple[str, ...] = ("<PAD>", "<UNK>", "<CLS>", "<SEP>", "<MASK>"),
+) -> list[str]:
+    """S15 (`data/clean_vocab.py:20-32`): embedding-text lines
+    (``token dim1 dim2 …``) → vocab listing with specials prepended."""
+    toks = [line.split()[0] for line in lines if line.strip()]
+    return list(specials) + toks
+
+
 def read_dictionary(path: str) -> dict[str, int]:
     """Pickled char2id loader (S8, `data_preprocess.py:116-126`)."""
     import pickle
