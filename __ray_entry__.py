@@ -404,6 +404,25 @@ def _q_top_order_per_customer(sf_dir: str):
     return top_order_per_customer(sf_dir)
 
 
+def _q_event_props_k(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import event_props_k
+
+    return event_props_k(sf_dir)
+
+
+def _q_sample_documents(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import sample_documents
+
+    return sample_documents(sf_dir)
+
+
+def _q_clue_submit(sf_dir: str):
+    from ner_funtool_ray.pipelines.tagging import tagged_sentences
+    from ner_funtool_ray.sources.clue_json import predictions_to_clue_json
+
+    return predictions_to_clue_json(tagged_sentences(sf_dir))
+
+
 def entry() -> Any:
     """Flagship KG pipeline on /root/testdata/sf0.001 → triple Dataset."""
     from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
@@ -449,6 +468,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_big_orders": _q_customers_without_big_orders,
         "purchase_view_gap": _q_purchase_view_gap,
         "top_order_per_customer": _q_top_order_per_customer,
+        "event_props_k": _q_event_props_k,
+        "sample_documents": _q_sample_documents,
+        # CLUE submit writer surface over the model path (rows-only)
+        "ner_clue_submit": _q_clue_submit,
     }
 
 
@@ -473,4 +496,6 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_big_orders": _rel.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "purchase_view_gap": _rel.PURCHASE_VIEW_GAP_SQL,
         "top_order_per_customer": _rel.TOP_ORDER_PER_CUSTOMER_SQL,
+        "event_props_k": _rel.EVENT_PROPS_K_SQL,
+        "sample_documents": _rel.SAMPLE_DOCUMENTS_SQL,
     }

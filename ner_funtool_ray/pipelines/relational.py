@@ -388,6 +388,63 @@ QUALIFY row_number() OVER (
 """
 
 
+def event_props_k(sf_dir: str) -> "ray.data.Dataset":
+    """JSON scalar extraction (§2.8): events.props is a JSON string
+    ``{"k": n}`` → (event_id, k).  Vectorized-enough json.loads per batch;
+    SQL twin uses json_extract."""
+    import json
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = [
+            int(json.loads(p).get("k")) for p in batch["props"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "k": pa.array(ks, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+EVENT_PROPS_K_SQL = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+def sample_documents(sf_dir: str, pct: int = 5) -> "ray.data.Dataset":
+    """Deterministic hash sampling (O1/sampling twin that is reproducible
+    across engines, unlike seeded shuffles): keep doc iff
+    md5_number_lower(doc_id) % 100 < pct — the same rows on every engine
+    and at every parallelism."""
+    import hashlib
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = []
+        for d in batch["doc_id"].to_pylist():
+            h = hashlib.md5(str(d).encode()).digest()
+            u = int.from_bytes(h[8:16], "little")  # md5_number_lower, unsigned
+            mask.append(u % 100 < pct)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SAMPLE_DOCUMENTS_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 5
+"""
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     """Sessionization (streaming-shaped workload as a batch groupby):
     per-user event stream sorted by ts; a new session starts when the gap
