@@ -159,14 +159,28 @@ class CascadeNerTagger(NerTagger):
             for c in ("bmeo_tags", "attr_tags", self.out_col):
                 batch = batch.append_column(c, pa.array([], type=lst))
             return batch
+        # length-bucketed chunks, like NerTagger._predict_texts (cache-
+        # friendly; results identical by model batch-invariance)
         mat, lengths = self._encode(texts)
-        bmeo_ids, attr_ids = self.model.predict_cascade(mat, lengths)
+        order = np.argsort(lengths, kind="stable")
+        bmeo_rows: list = [None] * len(texts)
+        attr_rows: list = [None] * len(texts)
+        chunk = 128
+        for lo in range(0, len(order), chunk):
+            sel = order[lo : lo + chunk]
+            sl = lengths[sel]
+            S = max(1, int(sl.max()) if len(sl) else 1)
+            sub = mat[sel][:, :S]
+            b_ids, a_ids = self.model.predict_cascade(sub, sl)
+            for k, row in enumerate(sel):
+                bmeo_rows[row] = b_ids[k]
+                attr_rows[row] = a_ids[k]
         bmeo = [
-            [self.id2bmeo[int(t)] for t in bmeo_ids[i, : int(lengths[i])]]
+            [self.id2bmeo[int(t)] for t in bmeo_rows[i][: int(lengths[i])]]
             for i in range(len(texts))
         ]
         attr = [
-            [self.id2attr[int(t)] for t in attr_ids[i, : int(lengths[i])]]
+            [self.id2attr[int(t)] for t in attr_rows[i][: int(lengths[i])]]
             for i in range(len(texts))
         ]
         combined = [trans_label_row(b, a) for b, a in zip(bmeo, attr)]
