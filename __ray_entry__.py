@@ -356,6 +356,13 @@ def _q_linked_mentions(sf_dir: str):
     return linked_mentions(corpus_from_documents(sf_dir))
 
 
+def _q_triples_linked(sf_dir: str):
+    from ner_funtool_ray.corpus import corpus_from_documents
+    from ner_funtool_ray.pipelines.kg import kg_triples_linked
+
+    return kg_triples_linked(corpus_from_documents(sf_dir))
+
+
 def _q_pricing_summary(sf_dir: str):
     from ner_funtool_ray.pipelines.relational import pricing_summary
 
@@ -453,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup / similarity family — LSH-based, covered by unit tests with
         # planted duplicates; driver records rows-only.
         "kg_linked_mentions": _q_linked_mentions,
+        "kg_triples_linked": _q_triples_linked,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "neardup_embedding": _q_neardup_embedding,

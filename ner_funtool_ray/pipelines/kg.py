@@ -48,6 +48,46 @@ def linked_mentions(
     )
 
 
+def link_canonicalized_mentions(
+    corpus: "ray.data.Dataset", cfg: PipelineConfig | None = None,
+    threshold: float = 0.85,
+) -> "ray.data.Dataset":
+    """Full P5+P6: mentions are linked against the entity catalog
+    (MinHash blocking + cosine) and the canonical entity id becomes the
+    LINKED entity when the linker is confident, else the alias-normalized
+    surface — the union of the static alias table and the similarity-based
+    alias discovery the north rule describes.  entity_id is overwritten so
+    downstream triple materialization is unchanged."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    linked = linked_mentions(corpus, cfg, threshold)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        use_link = pc.not_equal(batch["linked_entity"], "")
+        canon = pc.if_else(use_link, batch["linked_entity"], batch["canonical"])
+        if isinstance(canon, pa.ChunkedArray):
+            canon = canon.combine_chunks()
+        ent = pc.binary_join_element_wise(
+            pa.array(["ent:"] * len(batch), type=pa.string()), canon, ""
+        )
+        batch = batch.set_column(
+            batch.schema.get_field_index("canonical"), "canonical", canon
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("entity_id"), "entity_id", ent
+        )
+
+    return linked.map_batches(resolve, batch_format="pyarrow")
+
+
+def kg_triples_linked(
+    corpus: "ray.data.Dataset", cfg: PipelineConfig | None = None
+) -> "ray.data.Dataset":
+    """Flagship variant with the linking-based canonicalization."""
+    return all_triples(link_canonicalized_mentions(corpus, cfg))
+
+
 def kg_triples(
     corpus: "ray.data.Dataset", cfg: PipelineConfig | None = None
 ) -> "ray.data.Dataset":
