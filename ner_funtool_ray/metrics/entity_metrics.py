@@ -18,7 +18,6 @@ three counters per batch are shuffled.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 import ray.data

@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from ner_funtool_ray.sources.io import read_parquet_auto
 
@@ -274,7 +274,6 @@ def customers_without_big_orders(
     qualifying-custkey set is computed with a pushed-down row filter at the
     read, broadcast as a set, and applied inside map_batches (no shuffle;
     SURVEY §2.5 semi/anti-join pattern)."""
-    import pyarrow.compute as _pc
     import pyarrow.parquet as pq
 
     big = pq.read_table(

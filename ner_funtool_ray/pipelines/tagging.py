@@ -10,7 +10,6 @@ streaming Dataset pipeline; metrics follow `tag_evaluating` /
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

@@ -9,7 +9,6 @@ the groupbys, which pre-aggregate per batch before shuffling.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

@@ -18,7 +18,6 @@ Inference variant (M6): no labels → label_ids all O except [CLS]/[SEP].
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 import ray.data

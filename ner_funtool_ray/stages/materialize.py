@@ -21,7 +21,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Sum
 
 from ner_funtool_ray.stages.ingest import stable_id64
 

@@ -16,7 +16,6 @@ Scale note: binary payloads dominate block size; callers should lower
 
 from __future__ import annotations
 
-import hashlib
 import struct
 
 import numpy as np

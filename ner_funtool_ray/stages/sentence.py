@@ -9,7 +9,6 @@ functions.text.split_sentences).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 import ray.data

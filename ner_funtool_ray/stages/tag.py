@@ -27,7 +27,6 @@ from ner_funtool_ray.model.bilstm_crf import (
     load_weights,
 )
 from ner_funtool_ray.model.vocabs import (
-    ATTRS,
     BMEO,
     CASCADE_ATTRS,
     TAGS,
