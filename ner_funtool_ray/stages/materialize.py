@@ -120,15 +120,42 @@ def cooccurs_triples(
     return out.select_columns(["subj", "pred", "obj", "weight"])
 
 
-def doc_entity_summary(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
+def doc_entity_summary(
+    mentions: "ray.data.Dataset", checkpoint_dir: str | None = None
+) -> "ray.data.Dataset":
     """Compact per-doc summary: (row_id, repo, entity_id, n_mentions),
-    MATERIALIZED.  This is the one deliberate mid-pipeline materialization:
-    ``all_triples`` fans out into two consumers (appears_in + cooccurs), and
-    without pinning this summary Ray re-executes the entire upstream
-    (read → tag → decode) once per branch.  The summary is orders of
-    magnitude smaller than the corpus (distinct doc×entity rows), so
-    pinning it is cheap; the corpus itself still streams exactly once."""
+    pinned ONCE.  ``all_triples`` fans out into two consumers (appears_in +
+    cooccurs); without pinning, Ray re-executes the entire upstream
+    (read → tag → decode) once per branch.
+
+    Two pinning modes:
+    - default: ``materialize()`` into the object store — right when the
+      summary (distinct doc×entity rows, orders of magnitude smaller than
+      the corpus) fits cluster memory + spill;
+    - ``checkpoint_dir``: write the summary to partitioned parquet and read
+      it back — the 100TB path: the summary lands on durable storage, both
+      branches stream from it, and a failed downstream stage resumes from
+      the checkpoint WITHOUT re-running tagging (stage-level lineage).
+      An existing non-empty checkpoint is reused as-is.
+    """
     from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    if checkpoint_dir is not None:
+        import glob
+        import os
+
+        from ner_funtool_ray.sources.io import read_parquet_auto
+
+        if not glob.glob(os.path.join(checkpoint_dir, "*.parquet")):
+            summary = bucketed_group_sum(
+                mentions.select_columns(["row_id", "repo", "entity_id"]),
+                ["row_id", "repo", "entity_id"],
+                count_col="n_mentions",
+            )
+            summary.select_columns(
+                ["row_id", "repo", "entity_id", "n_mentions"]
+            ).write_parquet(checkpoint_dir)
+        return read_parquet_auto(checkpoint_dir)
 
     summary = bucketed_group_sum(
         mentions.select_columns(["row_id", "repo", "entity_id"]),
@@ -139,7 +166,8 @@ def doc_entity_summary(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def all_triples(
-    mentions: "ray.data.Dataset", n_buckets: int = 64
+    mentions: "ray.data.Dataset", n_buckets: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """Both triple families from ONE pass over the corpus via the
     materialized doc-entity summary, merged in ONE final shuffle.
@@ -150,7 +178,7 @@ def all_triples(
     """
     from ner_funtool_ray.stages.groupagg import bucketed_group_sum
 
-    summary = doc_entity_summary(mentions)
+    summary = doc_entity_summary(mentions, checkpoint_dir=checkpoint_dir)
 
     def appears_partial(batch: pa.Table) -> pa.Table:
         df = (
