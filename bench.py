@@ -69,6 +69,8 @@ def run_bench() -> dict:
         "vocab_count",
         "topk_cosine",
         "ner_model_triples",   # model path: BiLSTM+CRF actor pool e2e
+        "kg_triples_linked",   # linking-based canonicalization variant
+        "dedup_minhash_lsh",
     ]
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

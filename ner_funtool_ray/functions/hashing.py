@@ -55,10 +55,24 @@ class MinHasher:
         self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
 
-    def signature(self, shingles: set[str]) -> np.ndarray:
+    def signature(self, shingles: set[str], h32_cache: dict | None = None) -> np.ndarray:
+        """Signature of a shingle set.  ``h32_cache`` (e.g. held by an
+        actor) memoizes shingle→hash32 — shingles repeat heavily across
+        documents, and md5-per-shingle dominates otherwise.  Cached and
+        uncached paths produce identical signatures."""
         if not shingles:
             return np.full(self.num_perm, _MAX_HASH, dtype=np.uint64)
-        x = np.array([_stable_h32(s) for s in shingles], dtype=np.uint64)
+        if h32_cache is None:
+            x = np.array([_stable_h32(s) for s in shingles], dtype=np.uint64)
+        else:
+            vals = []
+            for s in shingles:
+                v = h32_cache.get(s)
+                if v is None:
+                    v = _stable_h32(s)
+                    h32_cache[s] = v
+                vals.append(v)
+            x = np.array(vals, dtype=np.uint64)
         # (P, S) matrix of permuted hashes → min over shingles
         hv = (np.outer(self.a, x) + self.b[:, None]) % np.uint64(_MERSENNE)
         return (hv & _MAX_HASH).min(axis=1)

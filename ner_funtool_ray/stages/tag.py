@@ -53,6 +53,13 @@ class NerTagger:
         out_col: str = "pred_tags",
     ):
         self.char2id = default_char_vocab()
+        # vectorized encode: codepoint → id lookup table (BMP; astral →
+        # UNK), built once per actor.  Replaces the per-char dict.get loop.
+        self._lut = np.full(0x10000, _UNK_ID, dtype=np.int32)
+        for ch, idx in self.char2id.items():
+            cp = ord(ch) if len(ch) == 1 else None
+            if cp is not None and cp < 0x10000:
+                self._lut[cp] = idx
         self.id2tag = dict(enumerate(TAGS))
         self.max_seq_len = max_seq_len
         self.text_col = text_col
@@ -87,15 +94,21 @@ class NerTagger:
             for i in range(paths.shape[0])
         ]
 
+    def _encode_one(self, text: str) -> np.ndarray:
+        """char→id via the codepoint LUT (vectorized; astral chars → UNK,
+        matching dict.get fallback since the vocab is BMP-only)."""
+        t = (text or "")[: self.max_seq_len]
+        if not t:
+            return np.empty(0, dtype=np.int32)
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        return self._lut[np.minimum(cps, 0xFFFF) * (cps < 0x10000)]
+
     def _predict_texts(self, texts: list[str], chunk: int = 128):
         """Length-bucketed chunked inference: sort by length, run the model
         on ≤chunk-row slices (cache-friendly; padding = slice max, not batch
         max — SURVEY §7.3 length-bucketing item), scatter back to input
         order.  Returns (per-row tag-id lists, lengths)."""
-        ids = [
-            [self.char2id.get(c, _UNK_ID) for c in (t or "")[: self.max_seq_len]]
-            for t in texts
-        ]
+        ids = [self._encode_one(t) for t in texts]
         lengths = np.array([len(s) for s in ids], dtype=np.int32)
         order = np.argsort(lengths, kind="stable")
         out_paths: list[np.ndarray | None] = [None] * len(ids)
