@@ -73,13 +73,30 @@ class _MinHashStage:
         )
 
 
+MAX_BAND_PAIRWISE = 64  # skew guard: bands larger than this use star expansion
+
+
 def _emit_pairs_for_band(rows: pd.DataFrame, a_out, b_out, est) -> None:
-    """Pairs within ONE band bucket + estimated Jaccard from signatures."""
+    """Pairs within ONE band bucket + estimated Jaccard from signatures.
+
+    Skew guard (SURVEY §4 hot-key item): a degenerate band holding k >
+    MAX_BAND_PAIRWISE near-identical docs would cost O(k²); instead it
+    emits a STAR (k-1 pairs to the smallest doc id).  For clustering the
+    star is union-find-equivalent to the clique; pairwise est_jaccard
+    filtering becomes approximate for such bands (documented), while
+    normal-sized bands stay exact."""
     rows = rows.drop_duplicates("doc_id").sort_values("doc_id")
     ids = rows["doc_id"].to_numpy()
     if len(ids) < 2:
         return
     sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in rows["sig"]])
+    if len(ids) > MAX_BAND_PAIRWISE:
+        eq = (sigs[1:] == sigs[0]).mean(axis=1)
+        for j, e in enumerate(eq):
+            a_out.append(int(ids[0]))
+            b_out.append(int(ids[1 + j]))
+            est.append(float(e))
+        return
     for i in range(len(ids)):
         eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
         for j, e in enumerate(eq):

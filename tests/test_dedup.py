@@ -81,6 +81,19 @@ def test_clusters_from_pairs_union_find():
     assert m[10] == m[11] == 10
 
 
+def test_oversized_band_star_guard_keeps_cluster():
+    # 100 identical docs → bands far exceed MAX_BAND_PAIRWISE; the star
+    # expansion must still produce ONE cluster containing all of them
+    text = "identical content repeated across many documents for dedup"
+    n = 100
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(n)), "text": [text] * n})
+    )
+    clusters = minhash_lsh_clusters(ds, threshold=0.9, num_perm=64, num_bands=16)
+    assert len(clusters) == n
+    assert set(clusters["cluster_id"]) == {0}
+
+
 def test_embedding_neardup():
     rng = np.random.default_rng(0)
     base = rng.normal(size=32)
