@@ -26,7 +26,12 @@ from ner_funtool_ray.functions.text import (
 # --------------------------------------------------------------------------
 
 _GAZ_TERMS = sorted(GAZETTEER.keys(), key=len, reverse=True)
-_GAZ_PATTERN = r"\b(" + "|".join(_GAZ_TERMS) + r")\b"
+# re.escape is a no-op for the ASCII-word-only terms config.py validates,
+# but keeps the SQL pattern RE2-safe if the gazetteer ever grows; \b parity
+# between RE2 (ASCII) and Python (Unicode) is guaranteed by that validation.
+import re as _re_mod
+
+_GAZ_PATTERN = r"\b(" + "|".join(_re_mod.escape(t) for t in _GAZ_TERMS) + r")\b"
 _TYPE_CASE = (
     "CASE surface "
     + " ".join(f"WHEN '{t}' THEN '{ty}'" for t, ty in GAZETTEER.items())
@@ -190,12 +195,8 @@ def _q_sentences(sf_dir: str):
 
 
 def _q_mention_counts(sf_dir: str):
-    import pyarrow as pa
-
-    from ner_funtool_ray.pipelines.kg import mentions_dataset
     from ner_funtool_ray.corpus import corpus_from_documents
-    from ray.data.aggregate import Sum
-
+    from ner_funtool_ray.pipelines.kg import mentions_dataset
     from ner_funtool_ray.stages.groupagg import bucketed_group_sum
 
     mentions = mentions_dataset(corpus_from_documents(sf_dir))

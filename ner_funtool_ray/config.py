@@ -42,6 +42,16 @@ GAZETTEER: dict[str, str] = {
     "customer": "TABLE",
 }
 
+# The gazetteer feeds a regex with \b anchors on BOTH engines (Python re in
+# the Ray path, RE2 in the DuckDB oracle).  RE2's \b is ASCII-only while
+# Python's is Unicode-aware, and a metacharacter in a term would need
+# engine-specific escaping — restrict terms to ASCII word characters so the
+# two engines cannot diverge (validated at import).
+import re as _re
+
+_BAD = [t for t in GAZETTEER if not _re.fullmatch(r"[A-Za-z0-9_]+", t)]
+assert not _BAD, f"gazetteer terms must be ASCII word chars (\\b parity): {_BAD}"
+
 # surface → canonical surface (alias merge during canonicalization).
 ALIASES: dict[str, str] = {
     "agg": "aggregate",

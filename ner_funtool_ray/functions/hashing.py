@@ -52,8 +52,12 @@ class MinHasher:
     def __init__(self, num_perm: int = 64, seed: int = 1):
         rng = np.random.default_rng(seed)
         self.num_perm = num_perm
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        # a, b drawn from [1, 2^32) so a*x with 32-bit x stays < 2^64 —
+        # drawing up to 2^61 would overflow uint64 BEFORE the Mersenne
+        # reduction, silently computing (a*x mod 2^64 + b) mod p instead of
+        # the Broder universal hash and weakening the collision guarantees.
+        self.a = rng.integers(1, 1 << 32, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, 1 << 32, size=num_perm, dtype=np.uint64)
 
     def signature(self, shingles: set[str], h32_cache: dict | None = None) -> np.ndarray:
         """Signature of a shingle set.  ``h32_cache`` (e.g. held by an

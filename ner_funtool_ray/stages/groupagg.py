@@ -56,13 +56,15 @@ def bucketed_group_sum(
         spec = {out: (src, "sum") for out, src in sum_cols.items()}
         if count_col:
             spec[count_col] = ("__cnt", "sum")
-        agg = df.groupby(keys, sort=False).agg(**spec).reset_index()
+        # dropna=False: DuckDB keeps NULL group keys, pandas drops them by
+        # default — a silent engine/oracle divergence if a key is ever null
+        agg = df.groupby(keys, sort=False, dropna=False).agg(**spec).reset_index()
         agg["bucket"] = _bucket_of(agg, keys, n_buckets)
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     def merge(group: pd.DataFrame) -> pa.Table:
         cols = list(sum_cols) + ([count_col] if count_col else [])
-        agg = group.groupby(keys, sort=False)[cols].sum().reset_index()
+        agg = group.groupby(keys, sort=False, dropna=False)[cols].sum().reset_index()
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     return (

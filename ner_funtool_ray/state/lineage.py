@@ -74,6 +74,21 @@ def resumable_write(
     """
     manifest = load_manifest(out_dir)
     done = set(manifest["partitions"].keys())
+    # Crash window: a previous run may have died AFTER write_parquet landed
+    # files for a bucket but BEFORE save_manifest recorded it.  Such orphan
+    # directories (on disk, absent from the manifest) would otherwise keep
+    # their files while the resume writes the same rows again under new
+    # uuid names — duplicating the partition and then fingerprinting the
+    # corrupt content as "correct".  Delete them so the bucket is rebuilt
+    # cleanly from scratch.
+    if os.path.isdir(out_dir):
+        import shutil
+
+        for name in os.listdir(out_dir):
+            if not name.startswith(f"{bucket_col}="):
+                continue
+            if name.split("=", 1)[1] not in done:
+                shutil.rmtree(os.path.join(out_dir, name))
     if done:
         done_arr = pa.array(sorted(int(b) for b in done), type=pa.int64())
 

@@ -42,3 +42,17 @@ def test_full_flow_with_resume(tmp_path):
     assert verify_manifest(out)
     hashes_after = {k: v["content_sha256"] for k, v in m2["partitions"].items()}
     assert hashes_before == hashes_after  # resume is byte-identical
+
+    # Crash AFTER files landed but BEFORE the manifest recorded the bucket
+    # (the real write_parquet→save_manifest window): the orphan dir must be
+    # quarantined and rebuilt, not duplicated alongside new uuid files.
+    m = load_manifest(out)
+    del m["partitions"]["2"]  # files for bucket 2 stay on disk
+    save_manifest(out, m)
+
+    m3 = resumable_write(build(), out)
+    assert set(m3["partitions"]) == {"0", "1", "2", "3"}
+    assert verify_manifest(out)
+    hashes_crash = {k: v["content_sha256"] for k, v in m3["partitions"].items()}
+    assert hashes_before == hashes_crash  # no row duplication
+    assert m3["partitions"]["2"]["rows"] == m1["partitions"]["2"]["rows"]
