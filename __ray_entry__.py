@@ -162,6 +162,55 @@ _LANG_SOURCE_SQL = (
     "SELECT lang, source, count(*)::BIGINT AS n FROM documents GROUP BY lang, source"
 )
 
+# Exact word-bigram Jaccard pairs — twin of the distributed inverted-index
+# join in stages/dedup.py:ngram_jaccard_pairs (int division is identical on
+# both engines, so the jaccard column hashes exactly).
+_NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform(
+           generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]))
+         WHEN len(toks) = 1 THEN [toks[1]]
+         ELSE [] END AS sh
+  FROM toks
+),
+d AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.n AS n_a, y.n AS n_b,
+         count(*)::BIGINT AS inter
+  FROM d x JOIN d y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, inter / (n_a + n_b - inter) AS jaccard
+FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.5
+"""
+
+# Connected components over the exact pair graph — recursive-CTE twin of the
+# distributed min-label propagation (stages/dedup.py:clusters_from_pairs_ds).
+_NGRAM_CLUSTERS_SQL = f"""
+WITH RECURSIVE p AS ({_NGRAM_JACCARD_SQL}),
+edges AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+reach(src, node) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u
+)
+SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
+"""
+
+_NEARDUP_EMB_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+    AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
 _TOPK_SQL = """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
@@ -313,6 +362,18 @@ def _q_dedup_simhash(sf_dir: str):
 
 
 def _q_neardup_embedding(sf_dir: str):
+    """EXACT all-pairs cosine ≥ 0.4 (brute-force baseline, oracle-exact);
+    the LSH scale path is ``neardup_embedding_lsh``."""
+    from ner_funtool_ray.sources.io import read_parquet_auto
+    from ner_funtool_ray.stages.dedup import embedding_neardup_exact
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_neardup_exact(ds, threshold=0.4)
+
+
+def _q_neardup_embedding_lsh(sf_dir: str):
     from ner_funtool_ray.sources.io import read_parquet_auto
     from ner_funtool_ray.stages.dedup import embedding_neardup_pairs
 
@@ -326,9 +387,20 @@ def _q_ngram_jaccard(sf_dir: str):
     from ner_funtool_ray.sources.io import read_parquet_auto
     from ner_funtool_ray.stages.dedup import ngram_jaccard_pairs
 
-    path = f"{sf_dir}/documents.parquet"
-    ds = read_parquet_auto(path, columns=["doc_id", "text"])
-    return ngram_jaccard_pairs(ds, path, threshold=0.5)
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+def _q_ngram_clusters(sf_dir: str):
+    from ner_funtool_ray.sources.io import read_parquet_auto
+    from ner_funtool_ray.stages.dedup import ngram_clusters
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ngram_clusters(ds, threshold=0.5)
 
 
 def _q_ann_lsh_topk(sf_dir: str):
@@ -464,9 +536,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_linked": _q_triples_linked,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "neardup_embedding_lsh": _q_neardup_embedding_lsh,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        # exact dedup/similarity twins — oracle-checked (the inverted-index
+        # ngram join, recursive-CC clusters, brute-force cosine pairs)
         "neardup_embedding": _q_neardup_embedding,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ngram_clusters": _q_ngram_clusters,
         # relational operator coverage (groupby / broadcast join / top-k /
         # tumbling window) — oracle-checked.
         "pricing_summary": _q_pricing_summary,
@@ -497,6 +573,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_count": _VOCAB_COUNT_SQL,
         "lang_source_counts": _LANG_SOURCE_SQL,
         "topk_cosine": _TOPK_SQL,
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "ngram_clusters": _NGRAM_CLUSTERS_SQL,
+        "neardup_embedding": _NEARDUP_EMB_SQL,
         "pricing_summary": _rel.PRICING_SUMMARY_SQL,
         "revenue_by_nation": _rel.REVENUE_BY_NATION_SQL,
         "top_orders": _rel.TOP_ORDERS_SQL,

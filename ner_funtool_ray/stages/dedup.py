@@ -2,23 +2,39 @@
 
 - :func:`minhash_lsh_clusters` — char-shingle MinHash → LSH band keys →
   ``groupby(band_key)`` candidate pairs → signature-estimated Jaccard filter
-  → connected components.  Signatures (num_perm × u64) ride the shuffle
-  instead of document text, so the exchange is O(docs × 512B), not O(corpus).
+  → distributed connected components (:func:`clusters_from_pairs_ds`).
+  Signatures (num_perm × u64) ride the shuffle instead of document text, so
+  the exchange is O(docs × 512B), not O(corpus).
 - :func:`simhash_clusters` — 64-bit SimHash, 4×16-bit band bucketing,
-  Hamming-distance verification.
-- :func:`ngram_jaccard_pairs` — exact word-ngram Jaccard verification over
-  MinHash candidate pairs (texts fetched only for candidates).
-- :func:`embedding_neardup_pairs` — cosine near-dup via random-hyperplane
-  LSH buckets; exact re-score inside each bucket.
+  Hamming-distance verification, same distributed clustering.
+- :func:`ngram_jaccard_pairs` — EXACT word-ngram Jaccard pairs via a
+  distributed inverted shingle index (pairs sharing ≥1 shingle are the only
+  candidates, and J ≥ t > 0 implies a shared shingle, so recall is 1.0);
+  intersection counts are aggregated distributed — no driver-side text dict.
+- :func:`ngram_clusters` — connected components over the exact pair graph.
+- :func:`embedding_neardup_exact` — exact all-pairs cosine ≥ threshold via
+  per-batch matmul against a broadcast unit matrix (the brute-force
+  baseline); :func:`embedding_neardup_pairs` is the hyperplane-LSH scale
+  path (bucketed, approximate recall).
 
-Partitioning assumption (documented per SURVEY §2 custom-operator rule):
-candidate PAIRS fit on the driver for the union-find merge — they are the
-output of an LSH blocking step, orders of magnitude smaller than the corpus.
-For adversarial bucket skew, band keys can be salted by doc-count; clusters
-would then come from iterated min-label propagation instead.
+Cluster assembly is DISTRIBUTED: :func:`clusters_from_pairs_ds` runs
+iterated min-label propagation on the pair Dataset (two bounded-bucket
+shuffles per round over edge-sized data, labels materialized per round,
+fixpoint detected by the monotone label sum) — candidate pairs never
+funnel through the driver.  :func:`clusters_from_pairs` (driver union-find)
+remains as the small-scale oracle used by parity tests.
+
+Scale knobs (documented per SURVEY §2 custom-operator rule): LSH band keys
+are crc32-bucketed into a bounded group count; degenerate bands use star
+expansion (``MAX_BAND_PAIRWISE``) which preserves connected components but
+makes per-pair est_jaccard approximate for those bands; the exact ngram
+index takes ``max_df`` to drop ubiquitous shingles at web scale (recall
+then bounded by the cap — leave ``None`` for exact semantics).
 """
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -31,10 +47,190 @@ from ner_funtool_ray.functions.hashing import (
     MinHasher,
     char_ngrams,
     hamming64,
-    jaccard,
     simhash64,
     word_ngrams,
 )
+
+
+def _crc_bucket(strings, n_buckets: int) -> np.ndarray:
+    """Content-based cross-process-deterministic bucket of string keys."""
+    return np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) % n_buckets for s in strings),
+        dtype=np.int64,
+        count=len(strings),
+    )
+
+
+def _pair_bucket(a: np.ndarray, b: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic int bucket for (a, b) pair keys (int64 wrap is defined
+    and identical in every worker process)."""
+    with np.errstate(over="ignore"):
+        return (
+            a.astype(np.int64) * np.int64(1_000_003) + b.astype(np.int64)
+        ) % np.int64(n_buckets)
+
+
+# --------------------------------------------------------------------------
+# distributed connected components (min-label propagation)
+# --------------------------------------------------------------------------
+
+
+def _empty_clusters() -> "ray.data.Dataset":
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "cluster_id": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+
+
+def clusters_from_pairs_ds(
+    pairs: "ray.data.Dataset",
+    n_buckets: int = 64,
+    max_rounds: int = 64,
+) -> "ray.data.Dataset":
+    """(a, b) pair Dataset → (doc_id, cluster_id = min doc in component),
+    fully distributed.
+
+    Iterated min-label propagation: every node starts labeled with its own
+    id; each round every node sends its label to its neighbors and keeps
+    the minimum it sees.  Labels are monotone non-increasing, so the global
+    label SUM is a fixpoint detector (one cheap aggregate per round — no
+    driver-side diff).  Rounds needed = component diameter; LSH pair graphs
+    are cliques/stars (diameter ≤ 2), so this converges in ~3 rounds.
+
+    Per round: one bounded-bucket shuffle to co-locate each node's label
+    with its outgoing edges, one to take the min per receiving node — both
+    over edge-sized data (the LSH-filtered pair set), never the corpus, and
+    never the driver (replaces the round-1 ``.to_pandas()`` union-find).
+    """
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["a"].combine_chunks()
+        b = batch["b"].combine_chunks()
+        node = pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())])
+        val = pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())])
+        n = len(node)
+        return pa.table(
+            {
+                "node": node,
+                "val": val,
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "bucket": pa.array(
+                    np.asarray(node).astype(np.int64) % np.int64(n_buckets)
+                ),
+            }
+        )
+
+    edges = pairs.select_columns(["a", "b"]).map_batches(
+        sym, batch_format="pyarrow"
+    ).materialize()
+    if edges.count() == 0:
+        return _empty_clusters()
+
+    def init_labels(group: pd.DataFrame) -> pa.Table:
+        nodes = np.unique(group["node"].to_numpy())
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "val": pa.array(nodes, type=pa.int64()),
+                "kind": pa.array(np.ones(len(nodes), dtype=np.int8)),
+                "bucket": pa.array(nodes % np.int64(n_buckets)),
+            }
+        )
+
+    labels = (
+        edges.groupby("bucket")
+        .map_groups(init_labels, batch_format="pandas")
+        .materialize()
+    )
+    prev_sum = labels.sum("val")
+
+    def propagate(group: pd.DataFrame) -> pa.Table:
+        lab = group[group["kind"] == 1]
+        e = group[group["kind"] == 0]
+        lbl = pd.Series(lab["val"].to_numpy(), index=lab["node"].to_numpy())
+        tgt = np.concatenate([e["val"].to_numpy(), lab["node"].to_numpy()])
+        cand = np.concatenate(
+            [lbl.loc[e["node"].to_numpy()].to_numpy(), lab["val"].to_numpy()]
+        )
+        # partial min per target inside the bucket task (combiner before
+        # the min shuffle)
+        part = (
+            pd.DataFrame({"node": tgt, "val": cand})
+            .groupby("node", sort=False)["val"]
+            .min()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "node": pa.array(part["node"].to_numpy(), type=pa.int64()),
+                "val": pa.array(part["val"].to_numpy(), type=pa.int64()),
+                "bucket": pa.array(
+                    part["node"].to_numpy().astype(np.int64) % np.int64(n_buckets)
+                ),
+            }
+        )
+
+    def min_merge(group: pd.DataFrame) -> pa.Table:
+        m = group.groupby("node", sort=False)["val"].min().reset_index()
+        nodes = m["node"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "val": pa.array(m["val"].to_numpy(), type=pa.int64()),
+                "kind": pa.array(np.ones(len(m), dtype=np.int8)),
+                "bucket": pa.array(nodes % np.int64(n_buckets)),
+            }
+        )
+
+    for _ in range(max_rounds):
+        labels = (
+            edges.union(labels)
+            .groupby("bucket")
+            .map_groups(propagate, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(min_merge, batch_format="pandas")
+            .materialize()
+        )
+        cur_sum = labels.sum("val")
+        if cur_sum == prev_sum:  # monotone → unchanged sum ⟺ fixpoint
+            break
+        prev_sum = cur_sum
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["node"], "cluster_id": batch["val"]}
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def clusters_from_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side union-find twin of :func:`clusters_from_pairs_ds` —
+    the small-scale oracle for parity tests."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    rows = sorted((x, find(x)) for x in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
 
 
 class _MinHashStage:
@@ -83,8 +279,9 @@ def _emit_pairs_for_band(rows: pd.DataFrame, a_out, b_out, est) -> None:
     MAX_BAND_PAIRWISE near-identical docs would cost O(k²); instead it
     emits a STAR (k-1 pairs to the smallest doc id).  For clustering the
     star is union-find-equivalent to the clique; pairwise est_jaccard
-    filtering becomes approximate for such bands (documented), while
-    normal-sized bands stay exact."""
+    filtering becomes approximate for such bands (documented — exact
+    verification for skewed corpora is :func:`ngram_jaccard_pairs`, whose
+    candidate generation does not go through this cap)."""
     rows = rows.drop_duplicates("doc_id").sort_values("doc_id")
     ids = rows["doc_id"].to_numpy()
     if len(ids) < 2:
@@ -132,7 +329,38 @@ def _bucket_pairs(group: pd.DataFrame) -> pa.Table:
     )
 
 
-def minhash_candidate_pairs(
+def _dedupe_pairs_ds(
+    pairs: "ray.data.Dataset", value_col: str, how: str, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Distinct (a, b) pairs with max/min-merged value — a bounded-bucket
+    distributed groupby (pairs from different bands/buckets repeat)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pbucket",
+            pa.array(
+                _pair_bucket(
+                    np.asarray(batch["a"]), np.asarray(batch["b"]), n_buckets
+                )
+            ),
+        )
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        agg = (
+            group.groupby(["a", "b"], sort=False)[value_col]
+            .agg(how)
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def minhash_candidate_pairs_ds(
     docs: "ray.data.Dataset",
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -140,10 +368,9 @@ def minhash_candidate_pairs(
     num_bands: int = 16,
     ngram: int = 3,
     seed: int = 1,
-) -> pd.DataFrame:
-    """Distinct candidate pairs (a < b) with signature-estimated Jaccard."""
-    import zlib
-
+) -> "ray.data.Dataset":
+    """Distinct candidate pairs (a < b) with signature-estimated Jaccard,
+    as a Dataset (the scale path — nothing funnels through the driver)."""
     banded = docs.map_batches(
         _MinHashStage,
         fn_constructor_kwargs=dict(
@@ -155,54 +382,45 @@ def minhash_candidate_pairs(
     )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        buckets = np.fromiter(
-            (zlib.crc32(k.encode()) % 64 for k in batch["band_key"].to_pylist()),
-            dtype=np.int64, count=batch.num_rows,
-        )
+        buckets = _crc_bucket(batch["band_key"].to_pylist(), 64)
         return batch.append_column("bucket", pa.array(buckets))
 
     pairs = (
         banded.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_bucket_pairs, batch_format="pandas")
-        .to_pandas()
     )
+    return _dedupe_pairs_ds(pairs, "est_jaccard", "max")
+
+
+def minhash_candidate_pairs(docs: "ray.data.Dataset", **kwargs) -> pd.DataFrame:
+    """Driver-side convenience twin of :func:`minhash_candidate_pairs_ds`
+    (tests / small corpora)."""
+    pairs = minhash_candidate_pairs_ds(docs, **kwargs).to_pandas()
     if pairs.empty:
         return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-    return (
-        pairs.groupby(["a", "b"], as_index=False)["est_jaccard"].max()
+    return pairs[["a", "b", "est_jaccard"]].sort_values(["a", "b"]).reset_index(
+        drop=True
     )
-
-
-def clusters_from_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
-    """(a, b) pairs → (doc_id, cluster_id = min doc in component)."""
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["a"], pairs["b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = sorted((ra, rb))
-            parent[hi] = lo
-    rows = sorted((x, find(x)) for x in parent)
-    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
 
 
 def minhash_lsh_clusters(
     docs: "ray.data.Dataset",
     threshold: float = 0.8,
     **kwargs,
-) -> pd.DataFrame:
+) -> "ray.data.Dataset":
     """Near-dup clusters: members of multi-doc components at est_jaccard ≥
-    threshold.  Docs not in any pair are implicit singletons (not listed)."""
-    pairs = minhash_candidate_pairs(docs, **kwargs)
-    hits = pairs[pairs["est_jaccard"] >= threshold]
-    return clusters_from_pairs(hits)
+    threshold.  Docs not in any pair are implicit singletons (not listed).
+    Fully distributed: LSH pairs → threshold filter → min-label
+    propagation; returns a Dataset (doc_id, cluster_id)."""
+    import pyarrow.compute as pc
+
+    pairs = minhash_candidate_pairs_ds(docs, **kwargs)
+    hits = pairs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["est_jaccard"], threshold)),
+        batch_format="pyarrow",
+    )
+    return clusters_from_pairs_ds(hits)
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -227,13 +445,14 @@ def _simhash_stage(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     )
 
 
-def simhash_pairs(
+def simhash_pairs_ds(
     docs: "ray.data.Dataset",
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pd.DataFrame:
-    """Candidate pairs (a, b, hamming) with Hamming distance ≤ max_hamming."""
+) -> "ray.data.Dataset":
+    """Candidate pairs (a, b, hamming) with Hamming distance ≤ max_hamming
+    as a Dataset (bounded crc32 band buckets, same design as minhash)."""
     banded = docs.map_batches(
         _simhash_stage,
         fn_kwargs={"id_col": id_col, "text_col": text_col},
@@ -241,9 +460,6 @@ def simhash_pairs(
     )
 
     def bucket(group: pd.DataFrame) -> pa.Table:
-        # one crc32 hash-bucket; inner C-level groupby separates band keys
-        # and only multi-doc bands do pair work (same bounded-group design
-        # as minhash — a Ray group per band key measured 20x slower)
         a, b, d = [], [], []
         counts = group["band_key"].value_counts()
         multi = counts[counts > 1].index
@@ -269,73 +485,236 @@ def simhash_pairs(
             }
         )
 
-    import zlib
-
     def add_bucket(batch: pa.Table) -> pa.Table:
-        buckets = np.fromiter(
-            (zlib.crc32(k.encode()) % 64 for k in batch["band_key"].to_pylist()),
-            dtype=np.int64, count=batch.num_rows,
-        )
+        buckets = _crc_bucket(batch["band_key"].to_pylist(), 64)
         return batch.append_column("bucket", pa.array(buckets))
 
     pairs = (
         banded.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket, batch_format="pandas")
-        .to_pandas()
     )
+    return _dedupe_pairs_ds(pairs, "hamming", "min")
+
+
+def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3, **kw) -> pd.DataFrame:
+    pairs = simhash_pairs_ds(docs, max_hamming, **kw).to_pandas()
     if pairs.empty:
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
-    return pairs.groupby(["a", "b"], as_index=False)["hamming"].min()
+    return pairs[["a", "b", "hamming"]].sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def simhash_clusters(docs: "ray.data.Dataset", max_hamming: int = 3, **kw) -> pd.DataFrame:
-    return clusters_from_pairs(simhash_pairs(docs, max_hamming, **kw))
+def simhash_clusters(
+    docs: "ray.data.Dataset", max_hamming: int = 3, **kw
+) -> "ray.data.Dataset":
+    return clusters_from_pairs_ds(simhash_pairs_ds(docs, max_hamming, **kw))
 
 
-# --- exact n-gram Jaccard verification -------------------------------------
+# --- exact n-gram Jaccard (distributed inverted index) ----------------------
 
 
 def ngram_jaccard_pairs(
     docs: "ray.data.Dataset",
-    parquet_path: str,
     threshold: float = 0.5,
     ngram: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    **minhash_kwargs,
-) -> pd.DataFrame:
-    """Exact word-ngram Jaccard over MinHash candidate pairs.
+    max_df: int | None = None,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT word-ngram Jaccard pairs (a < b, jaccard ≥ threshold).
 
-    Texts are re-read with a pushed-down id filter for candidate docs only —
-    the exact verification never touches non-candidate rows.
+    Distributed inverted-index join — SQL-oracle-exact (no LSH, no driver
+    text dict):
+
+    1. per doc: distinct word ngrams + the doc's shingle count → inverted
+       index rows (shingle, doc_id, n), crc32-bucketed by shingle;
+    2. per shingle: emit co-occurrence rows for every doc pair sharing it
+       (sorted ids, numpy triangular expansion) carrying (n_a, n_b);
+    3. bucketed group-count over (a, b) → |A∩B|; jaccard =
+       inter / (n_a + n_b − inter), filter ≥ threshold.
+
+    Recall is exactly 1.0: J(A,B) ≥ t > 0 implies a shared shingle, so
+    every qualifying pair is generated.  Pair volume is Σ df²/2 over
+    shingles; at web scale set ``max_df`` to drop ubiquitous shingles (the
+    standard stop-shingle cap — recall then bounded by the cap, and the
+    SQL twin must apply the same cap).  Ints divide identically on every
+    engine, so the jaccard column is bit-identical to the DuckDB twin.
     """
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
-    cand = minhash_candidate_pairs(docs, id_col=id_col, text_col=text_col,
-                                   **minhash_kwargs)
-    if cand.empty:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    need = sorted(set(cand["a"]) | set(cand["b"]))
-    tbl = pq.read_table(
-        parquet_path,
-        columns=[id_col, text_col],
-        filters=[(id_col, "in", need)],
+    def index_rows(batch: pa.Table) -> pa.Table:
+        sh_out: list[str] = []
+        id_out: list[int] = []
+        n_out: list[int] = []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            sh = word_ngrams(text, ngram)
+            n = len(sh)
+            for s in sh:
+                sh_out.append(s)
+                id_out.append(doc_id)
+                n_out.append(n)
+        return pa.table(
+            {
+                "s": pa.array(sh_out, type=pa.string()),
+                "doc_id": pa.array(id_out, type=pa.int64()),
+                "n": pa.array(n_out, type=pa.int64()),
+                "bucket": pa.array(_crc_bucket(sh_out, n_buckets)),
+            }
+        )
+
+    def cooc_pairs(group: pd.DataFrame) -> pa.Table:
+        a_l: list[np.ndarray] = []
+        b_l: list[np.ndarray] = []
+        na_l: list[np.ndarray] = []
+        nb_l: list[np.ndarray] = []
+        counts = group["s"].value_counts()
+        multi = counts[counts > 1].index
+        for _s, sub in group[group["s"].isin(multi)].groupby("s", sort=False):
+            sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            k = len(sub)
+            if k < 2 or (max_df is not None and k > max_df):
+                continue
+            ids = sub["doc_id"].to_numpy()
+            ns = sub["n"].to_numpy()
+            iu, ju = np.triu_indices(k, k=1)
+            a_l.append(ids[iu])
+            b_l.append(ids[ju])
+            na_l.append(ns[iu])
+            nb_l.append(ns[ju])
+        if not a_l:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "n_a": pa.array([], type=pa.int64()),
+                    "n_b": pa.array([], type=pa.int64()),
+                    "inter": pa.array([], type=pa.int64()),
+                }
+            )
+        a = np.concatenate(a_l)
+        b = np.concatenate(b_l)
+        # partial count inside the bucket task (combiner before the pair
+        # shuffle): same (a,b) repeats once per shared shingle
+        df = (
+            pd.DataFrame(
+                {
+                    "a": a,
+                    "b": b,
+                    "n_a": np.concatenate(na_l),
+                    "n_b": np.concatenate(nb_l),
+                }
+            )
+            .groupby(["a", "b", "n_a", "n_b"], sort=False)
+            .size()
+            .rename("inter")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def add_pbucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pbucket",
+            pa.array(
+                _pair_bucket(
+                    np.asarray(batch["a"]), np.asarray(batch["b"]), n_buckets
+                )
+            ),
+        )
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        agg = (
+            group.groupby(["a", "b", "n_a", "n_b"], sort=False)["inter"]
+            .sum()
+            .reset_index()
+        )
+        inter = agg["inter"].to_numpy().astype(np.float64)
+        union = (agg["n_a"] + agg["n_b"]).to_numpy().astype(np.float64) - inter
+        j = inter / union
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": pa.array(agg["a"].to_numpy()[keep], type=pa.int64()),
+                "b": pa.array(agg["b"].to_numpy()[keep], type=pa.int64()),
+                "jaccard": pa.array(j[keep], type=pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(index_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cooc_pairs, batch_format="pandas")
+        .map_batches(add_pbucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(merge, batch_format="pandas")
     )
-    texts = dict(zip(tbl[id_col].to_pylist(), tbl[text_col].to_pylist()))
-    shingles = {i: word_ngrams(t, ngram) for i, t in texts.items()}
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(cand["a"], cand["b"]):
-        j = jaccard(shingles[int(a)], shingles[int(b)])
-        if j >= threshold:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_j.append(j)
-    return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+
+
+def ngram_clusters(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.5,
+    ngram: int = 2,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """Connected components over the EXACT ngram-Jaccard pair graph —
+    distributed end to end (pairs → min-label propagation), with a
+    recursive-CTE SQL twin for the oracle."""
+    return clusters_from_pairs_ds(
+        ngram_jaccard_pairs(docs, threshold=threshold, ngram=ngram, **kwargs)
+    )
 
 
 # --- embedding cosine near-dup ---------------------------------------------
+
+
+def embedding_neardup_exact(
+    embeddings: "ray.data.Dataset",
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """EXACT all-pairs cosine ≥ threshold — the brute-force baseline: the
+    unit-normalized matrix is broadcast once (``ray.put``), every batch
+    does one matmul against it and emits its qualifying (a < b) pairs.
+
+    O(n²) compute but O(n·d) broadcast memory and zero shuffle; the scale
+    path for big n is :func:`embedding_neardup_pairs` (hyperplane LSH).
+    Cosine is rounded to 4 decimals for cross-engine float stability
+    (matches the ``topk_cosine`` oracle protocol)."""
+    from ner_funtool_ray.stages.similarity import _batch_matrix
+
+    tbl = pa.concat_tables(
+        embeddings.select_columns([id_col, vec_col]).iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        )
+    )
+    all_ids = np.asarray(tbl[id_col]).astype(np.int64)
+    mat = _batch_matrix(tbl, vec_col).astype(np.float64)
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+    ref = ray.put((all_ids, unit))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, unit_all = ray.get(ref)
+        ids_b = np.asarray(batch[id_col]).astype(np.int64)
+        m = _batch_matrix(batch, vec_col).astype(np.float64)
+        u = m / np.maximum(np.linalg.norm(m, axis=1), 1e-30)[:, None]
+        sims = u @ unit_all.T  # (B, N)
+        rows, cols = np.nonzero(sims >= threshold)
+        a = ids_b[rows]
+        b = ids_all[cols]
+        keep = a < b  # each unordered pair emitted once, by its lower id
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+                "cosine": pa.array(
+                    np.round(sims[rows, cols][keep], 4), type=pa.float64()
+                ),
+            }
+        )
+
+    return embeddings.map_batches(pairs, batch_format="pyarrow")
 
 
 def embedding_neardup_pairs(
@@ -347,8 +726,9 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> pd.DataFrame:
     """Cosine near-dup pairs via hyperplane-LSH buckets + exact in-bucket
-    re-score.  Bucket count 2^n_planes bounds group sizes; raise n_planes
-    for larger corpora."""
+    re-score (the scale path: bucket count 2^n_planes bounds group sizes;
+    raise n_planes for larger corpora; recall is approximate by
+    construction — the exact twin is :func:`embedding_neardup_exact`)."""
     from ner_funtool_ray.stages.similarity import _batch_matrix, hyperplane_lsh_keys
 
     # derive dim from the first row's list length lazily inside the stage

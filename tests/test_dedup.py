@@ -15,9 +15,12 @@ from ner_funtool_ray.functions.hashing import (
 )
 from ner_funtool_ray.stages.dedup import (
     clusters_from_pairs,
+    clusters_from_pairs_ds,
+    embedding_neardup_exact,
     embedding_neardup_pairs,
     minhash_candidate_pairs,
     minhash_lsh_clusters,
+    ngram_jaccard_pairs,
     simhash_clusters,
 )
 
@@ -49,7 +52,9 @@ def test_minhash_lsh_finds_planted_dups():
     assert (0, 2) in found  # exact dup pair
     est_exact = pairs[(pairs["a"] == 0) & (pairs["b"] == 2)]["est_jaccard"].iloc[0]
     assert est_exact == 1.0
-    clusters = minhash_lsh_clusters(ds, threshold=0.7, num_perm=64, num_bands=16)
+    clusters = minhash_lsh_clusters(
+        ds, threshold=0.7, num_perm=64, num_bands=16
+    ).to_pandas()
     cl = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
     assert cl.get(0) == cl.get(2) == 0
     assert 3 not in cl  # unrelated doc is a singleton
@@ -68,7 +73,7 @@ def test_minhash_deterministic():
 def test_simhash_exact_dup_cluster():
     ds, _ = _docs()
     assert simhash64("same words here") == simhash64("same words here")
-    clusters = simhash_clusters(ds, max_hamming=3)
+    clusters = simhash_clusters(ds, max_hamming=3).to_pandas()
     cl = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
     assert cl.get(0) == cl.get(2) == 0
 
@@ -89,9 +94,108 @@ def test_oversized_band_star_guard_keeps_cluster():
     ds = ray.data.from_arrow(
         pa.table({"doc_id": list(range(n)), "text": [text] * n})
     )
-    clusters = minhash_lsh_clusters(ds, threshold=0.9, num_perm=64, num_bands=16)
+    clusters = minhash_lsh_clusters(
+        ds, threshold=0.9, num_perm=64, num_bands=16
+    ).to_pandas()
     assert len(clusters) == n
     assert set(clusters["cluster_id"]) == {0}
+
+
+def test_distributed_clusters_match_union_find():
+    # Pair graph bigger than any single band: chains (worst case for
+    # propagation depth), cliques and singleton pairs; the distributed
+    # min-label propagation must agree with the driver union-find oracle
+    # exactly — and at this size nothing funnels through the driver.
+    rng = np.random.default_rng(5)
+    a, b = [], []
+    for start in range(0, 3000, 30):  # 100 chains of 30 nodes
+        for i in range(start, start + 29):
+            a.append(i)
+            b.append(i + 1)
+    for c in range(20):  # 20 cliques of 12 nodes
+        nodes = 10_000 + c * 12 + np.arange(12)
+        for i in range(12):
+            for j in range(i + 1, 12):
+                a.append(int(nodes[i]))
+                b.append(int(nodes[j]))
+    perm = rng.permutation(len(a))
+    pairs = pd.DataFrame({"a": np.array(a)[perm], "b": np.array(b)[perm]})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
+    got = (
+        clusters_from_pairs_ds(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = clusters_from_pairs(pairs)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64")
+    )
+
+
+def test_clusters_from_pairs_ds_empty():
+    ds = ray.data.from_arrow(
+        pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
+    )
+    out = clusters_from_pairs_ds(ds)
+    assert out.count() == 0
+    # (empty-Dataset to_pandas drops columns — assert on the Arrow schema)
+    assert out.schema().names == ["doc_id", "cluster_id"]
+
+
+def test_ngram_jaccard_exact_vs_bruteforce():
+    from ner_funtool_ray.functions.hashing import jaccard, word_ngrams
+
+    ds, rows = _docs()
+    got = (
+        ngram_jaccard_pairs(ds, threshold=0.3, ngram=2)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            jac = jaccard(word_ngrams(rows[i], 2), word_ngrams(rows[j], 2))
+            if jac >= 0.3:
+                want.append((i, j, jac))
+    assert list(map(tuple, got[["a", "b"]].to_numpy())) == [
+        (w[0], w[1]) for w in want
+    ]
+    assert np.allclose(got["jaccard"].to_numpy(), [w[2] for w in want])
+
+
+def test_embedding_neardup_exact_vs_bruteforce():
+    rng = np.random.default_rng(3)
+    n, d = 40, 16
+    mat = rng.normal(size=(n, d))
+    mat[7] = mat[3] + rng.normal(scale=0.01, size=d)  # planted near-dup
+    tbl = pa.table(
+        {
+            "vec_id": list(range(n)),
+            "embedding": pa.array(
+                [r.astype(np.float32).tolist() for r in mat],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    got = (
+        embedding_neardup_exact(ray.data.from_arrow(tbl), threshold=0.5)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    m32 = mat.astype(np.float32).astype(np.float64)
+    unit = m32 / np.linalg.norm(m32, axis=1)[:, None]
+    sims = unit @ unit.T
+    want = [
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if sims[i, j] >= 0.5
+    ]
+    assert list(map(tuple, got[["a", "b"]].to_numpy())) == want
+    assert (3, 7) in want
 
 
 def test_embedding_neardup():
