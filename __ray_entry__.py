@@ -328,9 +328,31 @@ def _q_model_triples(sf_dir: str):
 
 
 def _q_cascade_mentions(sf_dir: str):
+    """T4: BERT+Cascade (transformer encoder, BMEO-CRF + attr heads) —
+    the reference's cascade_bert_crf config."""
     from ner_funtool_ray.pipelines.tagging import model_mentions
 
-    return model_mentions(sf_dir, cascade=True)
+    return model_mentions(sf_dir, cascade=True, model="bert")
+
+
+def _q_cascade_lstm_mentions(sf_dir: str):
+    """cascade_lstm_crf config (BiLSTM encoder, cascade heads)."""
+    from ner_funtool_ray.pipelines.tagging import model_mentions
+
+    return model_mentions(sf_dir, cascade=True, model="bilstm")
+
+
+def _q_bert_mentions(sf_dir: str):
+    """T3: BERT+CRF (numpy transformer encoder + CRF head)."""
+    from ner_funtool_ray.pipelines.tagging import model_mentions
+
+    return model_mentions(sf_dir, model="bert")
+
+
+def _q_bert_triples(sf_dir: str):
+    from ner_funtool_ray.pipelines.tagging import model_triples
+
+    return model_triples(sf_dir, model="bert")
 
 
 def _q_tag_metrics(sf_dir: str):
@@ -527,7 +549,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # covered by Ray-vs-serial parity tests; driver records rows-only.
         "ner_model_mentions": _q_model_mentions,
         "ner_model_triples": _q_model_triples,
+        "ner_bert_mentions": _q_bert_mentions,
+        "ner_bert_triples": _q_bert_triples,
         "ner_cascade_mentions": _q_cascade_mentions,
+        "ner_cascade_lstm_mentions": _q_cascade_lstm_mentions,
         "ner_tag_metrics": _q_tag_metrics,
         "ner_entity_metrics": _q_entity_metrics,
         # dedup / similarity family — LSH-based, covered by unit tests with

@@ -1,0 +1,191 @@
+"""Deterministic numpy transformer (BERT-style) encoder + CRF/cascade heads
+(SURVEY §2.4 T3/T4).
+
+Reimplements the reference's BERT encoder structure
+(`bert/modeling_bert.py:106-238`) in seeded numpy so the "BERT" model paths
+run a genuinely distinct architecture from the BiLSTM (T2), consuming the
+wordpiece feature columns (`input_ids` / `input_mask` / `segment_ids`) the
+encode stage produces (`run_bert_crf.py:340-433` semantics):
+
+- embeddings = word + position + token-type, then LayerNorm
+  (`modeling_bert.py:169-196` embedding_lookup/embedding_postprocessor);
+- N transformer layers: multi-head self-attention with an additive
+  −10⁴ mask for padded positions (`modeling_bert.py:558-565`
+  attention_mask → adder), residual + LayerNorm, GELU feed-forward,
+  residual + LayerNorm (`transformer_model`, :606-700);
+- heads: dense projection → CRF Viterbi decode (T3, the
+  ``crf_only=True`` path of `run_bert_crf.py:505-542`), or the cascade
+  pair BMEO-CRF + attr-argmax (T4, `run_multitask_bert_crf.py:606-653`).
+
+Weights are seed-generated (FIXTURES.md F5 stand-in for trained ckpts) and
+persistable as ``.npz``; ``predict`` is a pure function of the weights, so
+Ray actor pools and the single-process oracle are exactly parity-testable.
+Everything is batch-vectorized; the only Python loop is over layers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ner_funtool_ray.model.bilstm_crf import viterbi_decode_batch
+
+
+def gelu(x: np.ndarray) -> np.ndarray:
+    """Gaussian Error Linear Unit — the tanh approximation the reference
+    uses (`modeling_bert.py:264-277`)."""
+    return (
+        0.5
+        * x
+        * (1.0 + np.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * np.power(x, 3))))
+    )
+
+
+def layer_norm(x: np.ndarray, gamma: np.ndarray, beta: np.ndarray,
+               eps: float = 1e-12) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * gamma + beta
+
+
+def init_transformer_weights(
+    vocab_size: int,
+    hidden: int = 48,
+    n_layers: int = 2,
+    n_heads: int = 4,
+    intermediate: int = 96,
+    max_position: int = 160,
+    n_tags: int = 5,
+    n_attrs: int | None = None,
+    type_vocab: int = 2,
+    seed: int = 11,
+) -> dict[str, np.ndarray]:
+    """Seed-fixed BERT-style weight set; ``n_attrs`` adds the cascade attr
+    head (shared encoder, two projections — T4)."""
+    assert hidden % n_heads == 0
+    rng = np.random.default_rng(seed)
+
+    def g(*shape):
+        return rng.normal(0.0, 0.08, size=shape).astype(np.float32)
+
+    w: dict[str, np.ndarray] = {
+        "word_emb": g(vocab_size, hidden),
+        "pos_emb": g(max_position, hidden),
+        "type_emb": g(type_vocab, hidden),
+        "emb_ln_g": np.ones(hidden, dtype=np.float32),
+        "emb_ln_b": np.zeros(hidden, dtype=np.float32),
+        "n_layers": np.array(n_layers),
+        "n_heads": np.array(n_heads),
+    }
+    for i in range(n_layers):
+        w[f"l{i}_q_w"] = g(hidden, hidden)
+        w[f"l{i}_q_b"] = np.zeros(hidden, dtype=np.float32)
+        w[f"l{i}_k_w"] = g(hidden, hidden)
+        w[f"l{i}_k_b"] = np.zeros(hidden, dtype=np.float32)
+        w[f"l{i}_v_w"] = g(hidden, hidden)
+        w[f"l{i}_v_b"] = np.zeros(hidden, dtype=np.float32)
+        w[f"l{i}_ao_w"] = g(hidden, hidden)
+        w[f"l{i}_ao_b"] = np.zeros(hidden, dtype=np.float32)
+        w[f"l{i}_attn_ln_g"] = np.ones(hidden, dtype=np.float32)
+        w[f"l{i}_attn_ln_b"] = np.zeros(hidden, dtype=np.float32)
+        w[f"l{i}_ff1_w"] = g(hidden, intermediate)
+        w[f"l{i}_ff1_b"] = np.zeros(intermediate, dtype=np.float32)
+        w[f"l{i}_ff2_w"] = g(intermediate, hidden)
+        w[f"l{i}_ff2_b"] = np.zeros(hidden, dtype=np.float32)
+        w[f"l{i}_out_ln_g"] = np.ones(hidden, dtype=np.float32)
+        w[f"l{i}_out_ln_b"] = np.zeros(hidden, dtype=np.float32)
+    w["proj_w"] = g(hidden, n_tags)
+    w["proj_b"] = np.zeros(n_tags, dtype=np.float32)
+    w["crf_trans"] = rng.normal(0.0, 0.2, size=(n_tags, n_tags)).astype(np.float32)
+    if n_attrs is not None:
+        w["attr_proj_w"] = g(hidden, n_attrs)
+        w["attr_proj_b"] = np.zeros(n_attrs, dtype=np.float32)
+    return w
+
+
+class TransformerEncoder:
+    """ids/mask/segments → (B, S, H) hidden states, numpy, deterministic."""
+
+    def __init__(self, weights: dict[str, np.ndarray]):
+        self.w = weights
+        self.n_layers = int(weights["n_layers"])
+        self.n_heads = int(weights["n_heads"])
+
+    def encode(
+        self,
+        input_ids: np.ndarray,
+        input_mask: np.ndarray,
+        segment_ids: np.ndarray | None = None,
+    ) -> np.ndarray:
+        w = self.w
+        B, S = input_ids.shape
+        if segment_ids is None:
+            segment_ids = np.zeros_like(input_ids)
+        x = (
+            w["word_emb"][input_ids]
+            + w["pos_emb"][:S][None, :, :]
+            + w["type_emb"][segment_ids]
+        )
+        x = layer_norm(x, w["emb_ln_g"], w["emb_ln_b"])
+        H = x.shape[-1]
+        nh = self.n_heads
+        hd = H // nh
+        # additive attention adder: 0 for real tokens, −1e4 for padding
+        # (modeling_bert.py:558-565)
+        adder = (1.0 - input_mask.astype(np.float32))[:, None, None, :] * -10000.0
+        for i in range(self.n_layers):
+            q = (x @ w[f"l{i}_q_w"] + w[f"l{i}_q_b"]).reshape(B, S, nh, hd)
+            k = (x @ w[f"l{i}_k_w"] + w[f"l{i}_k_b"]).reshape(B, S, nh, hd)
+            v = (x @ w[f"l{i}_v_w"] + w[f"l{i}_v_b"]).reshape(B, S, nh, hd)
+            # (B, nh, S, S) scaled dot-product scores
+            scores = (
+                np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+            ) + adder
+            scores -= scores.max(axis=-1, keepdims=True)  # stable softmax
+            p = np.exp(scores)
+            p /= p.sum(axis=-1, keepdims=True)
+            ctx = np.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, S, H)
+            attn_out = ctx @ w[f"l{i}_ao_w"] + w[f"l{i}_ao_b"]
+            x = layer_norm(
+                x + attn_out, w[f"l{i}_attn_ln_g"], w[f"l{i}_attn_ln_b"]
+            )
+            ff = gelu(x @ w[f"l{i}_ff1_w"] + w[f"l{i}_ff1_b"])
+            ff = ff @ w[f"l{i}_ff2_w"] + w[f"l{i}_ff2_b"]
+            x = layer_norm(x + ff, w[f"l{i}_out_ln_g"], w[f"l{i}_out_ln_b"])
+        return x
+
+
+class BertCrf(TransformerEncoder):
+    """T3: transformer encoder → dense → CRF Viterbi over true lengths
+    (the ``crf_only=True`` head of `run_bert_crf.py:505-542`)."""
+
+    def predict(
+        self,
+        input_ids: np.ndarray,
+        input_mask: np.ndarray,
+        segment_ids: np.ndarray | None = None,
+    ) -> np.ndarray:
+        enc = self.encode(input_ids, input_mask, segment_ids)
+        logits = enc @ self.w["proj_w"] + self.w["proj_b"]
+        lengths = input_mask.astype(np.int32).sum(axis=1)
+        return viterbi_decode_batch(logits, self.w["crf_trans"], lengths)
+
+
+class BertCascade(TransformerEncoder):
+    """T4: shared transformer encoder → BMEO projection + CRF decode and
+    attr projection + masked argmax (`run_multitask_bert_crf.py:606-653`);
+    the cascade O-propagation happens downstream via ``trans_label``."""
+
+    def predict_cascade(
+        self,
+        input_ids: np.ndarray,
+        input_mask: np.ndarray,
+        segment_ids: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        enc = self.encode(input_ids, input_mask, segment_ids)
+        w = self.w
+        bmeo_logits = enc @ w["proj_w"] + w["proj_b"]
+        attr_logits = enc @ w["attr_proj_w"] + w["attr_proj_b"]
+        lengths = input_mask.astype(np.int32).sum(axis=1)
+        bmeo = viterbi_decode_batch(bmeo_logits, w["crf_trans"], lengths)
+        attr = attr_logits.argmax(axis=2).astype(np.int32)
+        return bmeo, np.where(input_mask.astype(bool), attr, 0)

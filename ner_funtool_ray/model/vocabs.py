@@ -48,3 +48,28 @@ def bmeo2id() -> dict[str, int]:
 
 def attr2id() -> dict[str, int]:
     return {t: i for i, t in enumerate(CASCADE_ATTRS)}
+
+
+# --- BERT-path vocabularies (T3/T4) ----------------------------------------
+
+# label list for the BERT+CRF head: corpus tags + the wordpiece-alignment
+# specials appended exactly like the reference (`run_bert_crf.py:295-307`:
+# X for continuation pieces, [CLS]/[SEP] carry their own label ids)
+BERT_TAGS = TAGS + ("X", "[CLS]", "[SEP]")
+BERT_BMEO = BMEO + ("X", "[CLS]", "[SEP]")
+
+
+def default_wordpiece_vocab() -> dict[str, int]:
+    """Deterministic wordpiece vocab over the synthetic corpora's chars
+    ([PAD]/[UNK]/[CLS]/[SEP] + lowercased printable + planted CJK chars) —
+    every process derives the identical dict (FIXTURES.md F3 pattern)."""
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+    seen = set(toks)
+    for ch in string.printable + _ZH_CHARS:
+        c = ch.lower()
+        if not c.strip():  # whitespace/control never reaches wordpiece
+            continue
+        if c not in seen:
+            toks.append(c)
+            seen.add(c)
+    return {t: i for i, t in enumerate(toks)}

@@ -30,23 +30,34 @@ MAX_SEQ_LEN = 128
 
 
 def tagged_sentences(
-    sf_dir: str, cascade: bool = False, concurrency=None
+    sf_dir: str, cascade: bool = False, model: str = "bilstm", concurrency=None
 ) -> "ray.data.Dataset":
-    """sf documents → sentence rows + pred_tags (model actor pool)."""
+    """sf documents → sentence rows + pred_tags (model actor pool).
+
+    ``model``: ``bilstm`` (T2, lstm_crf) or ``bert`` (T3/T4 numpy
+    transformer, the reference's bert_crf / cascade_bert_crf configs)."""
     sents = split_to_sentences(ingest(corpus_from_documents(sf_dir)))
     return tag_sentences(
-        sents, cascade=cascade, max_seq_len=MAX_SEQ_LEN, concurrency=concurrency
+        sents,
+        cascade=cascade,
+        model=model,
+        max_seq_len=MAX_SEQ_LEN,
+        concurrency=concurrency,
     )
 
 
-def model_mentions(sf_dir: str, cascade: bool = False) -> "ray.data.Dataset":
+def model_mentions(
+    sf_dir: str, cascade: bool = False, model: str = "bilstm"
+) -> "ray.data.Dataset":
     """Model-detected mentions with provenance + canonical entity ids."""
-    mentions = decode_mentions(tagged_sentences(sf_dir, cascade))
+    mentions = decode_mentions(tagged_sentences(sf_dir, cascade, model))
     return canonicalize(mentions)
 
 
-def model_triples(sf_dir: str, cascade: bool = False) -> "ray.data.Dataset":
-    return all_triples(model_mentions(sf_dir, cascade))
+def model_triples(
+    sf_dir: str, cascade: bool = False, model: str = "bilstm"
+) -> "ray.data.Dataset":
+    return all_triples(model_mentions(sf_dir, cascade, model))
 
 
 def scaled_model_triples(
@@ -134,7 +145,10 @@ def _tag_pairs(sf_dir: str, cascade: bool = False) -> "ray.data.Dataset":
 
 
 def predict_interactive(
-    texts: list[str], cascade: bool = False, max_seq_len: int = MAX_SEQ_LEN
+    texts: list[str],
+    cascade: bool = False,
+    model: str = "bilstm",
+    max_seq_len: int = MAX_SEQ_LEN,
 ) -> list[list[tuple[str, str, int, int]]]:
     """Serving-path convenience: texts → per-text typed spans, in-process
     (the reference's one-sentence-at-a-time predict loop,
@@ -145,9 +159,9 @@ def predict_interactive(
 
     from ner_funtool_ray.functions.spans import decode_bmes
     from ner_funtool_ray.functions.text import split_sentences
-    from ner_funtool_ray.stages.tag import CascadeNerTagger, NerTagger
+    from ner_funtool_ray.stages.tag import _TAGGER_CLASSES
 
-    tagger = (CascadeNerTagger if cascade else NerTagger)(max_seq_len=max_seq_len)
+    tagger = _TAGGER_CLASSES[(model, cascade)](max_seq_len=max_seq_len)
     results: list[list[tuple[str, str, int, int]]] = []
     for text in texts:
         sents = split_sentences(text) or [""]

@@ -201,22 +201,234 @@ class CascadeNerTagger(NerTagger):
         return batch.append_column(self.out_col, pa.array(combined, type=lst))
 
 
+class BertNerTagger:
+    """T3 actor: sentence rows → + pred_tags via the numpy TRANSFORMER
+    encoder + CRF head (`run_bert_crf.py:505-542` structure), consuming
+    wordpiece features (M1-M6 semantics):
+
+    - each char is one "word"; its wordpiece first piece carries the tag,
+      continuation pieces are ``X`` (`run_bert_crf.py:367-377`);
+    - ``[CLS]``/``[SEP]`` wrap with their own label ids; Viterbi runs over
+      the full special-augmented tag space, then predictions are realigned
+      to chars by taking each char's FIRST-piece tag and stripping
+      CLS/SEP/X (`predict_bert_crf.py:158-173` semantics);
+    - dynamic pad-to-chunk-max (the reference pads to a fixed 128; padding
+      is masked either way, and attention is O(S²) so chunk-local padding
+      is the scale-correct choice — documented deviation).
+
+    Stateful actor-pool stage: tokenizer vocab + transformer weights built
+    (or ``.npz``-loaded) once per actor; ``predict`` is a pure function of
+    the weights, so Ray-vs-serial parity is exact.
+    """
+
+    def __init__(
+        self,
+        weights_path: str | None = None,
+        max_seq_len: int = 128,
+        seed: int = 11,
+        text_col: str = "sentence",
+        out_col: str = "pred_tags",
+    ):
+        from ner_funtool_ray.functions.tokenization import FullTokenizer
+        from ner_funtool_ray.model.transformer import (
+            BertCrf,
+            init_transformer_weights,
+        )
+        from ner_funtool_ray.model.vocabs import (
+            BERT_TAGS,
+            default_wordpiece_vocab,
+        )
+
+        self.vocab = default_wordpiece_vocab()
+        self.tokenizer = FullTokenizer(self.vocab)
+        self.label_list = list(BERT_TAGS)
+        self.id2tag = dict(enumerate(self.label_list))
+        self.max_seq_len = max_seq_len
+        self.text_col = text_col
+        self.out_col = out_col
+        if weights_path:
+            w = load_weights(weights_path)
+        else:
+            w = init_transformer_weights(
+                vocab_size=len(self.vocab),
+                n_tags=len(self.label_list),
+                max_position=max_seq_len + 2,
+                seed=seed,
+            )
+        self.model = BertCrf(w)
+        self._cls = self.vocab["[CLS]"]
+        self._sep = self.vocab["[SEP]"]
+
+    def _encode_one(self, text: str) -> tuple[list[int], list[int]]:
+        """chars → (piece ids incl CLS/SEP, per-char first-piece position
+        or −1 for chars that produce no piece, e.g. whitespace)."""
+        cap = self.max_seq_len - 2
+        ids: list[int] = []
+        first: list[int] = []
+        for ch in text or "":
+            pieces = self.tokenizer.tokenize(ch)
+            if not pieces:
+                first.append(-1)
+                continue
+            if len(ids) + len(pieces) > cap:
+                break
+            first.append(len(ids))
+            ids.extend(self.tokenizer.convert_tokens_to_ids(pieces))
+        return [self._cls] + ids + [self._sep], first
+
+    def _model_tags(self, texts: list[str]) -> list[list[str]]:
+        encoded = [self._encode_one(t) for t in texts]
+        lengths = np.array([len(e[0]) for e in encoded], dtype=np.int32)
+        order = np.argsort(lengths, kind="stable")
+        paths: list[np.ndarray | None] = [None] * len(texts)
+        chunk = 64  # attention is O(S²) — smaller chunks than the BiLSTM
+        for lo in range(0, len(order), chunk):
+            sel = order[lo : lo + chunk]
+            sl = lengths[sel]
+            S = max(2, int(sl.max()) if len(sl) else 2)
+            mat = np.zeros((len(sel), S), dtype=np.int32)
+            mask = np.zeros((len(sel), S), dtype=np.int32)
+            for k, row in enumerate(sel):
+                ids = encoded[row][0]
+                mat[k, : len(ids)] = ids
+                mask[k, : len(ids)] = 1
+            out = self.model.predict(mat, mask)
+            for k, row in enumerate(sel):
+                paths[row] = out[k]
+        tags_out: list[list[str]] = []
+        for (ids, first), path in zip(encoded, paths):
+            row_tags: list[str] = []
+            for pos in first:
+                if pos < 0:
+                    row_tags.append("O")
+                    continue
+                lab = self.id2tag[int(path[1 + pos])]  # +1 skips [CLS]
+                # specials can win the argmax at a real position — they
+                # carry no span semantics, realign to O (M10 strip rule)
+                row_tags.append(
+                    lab if lab not in ("X", "[CLS]", "[SEP]") else "O"
+                )
+            tags_out.append(row_tags)
+        return tags_out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        lst = pa.list_(pa.string())
+        if not texts:
+            return batch.append_column(self.out_col, pa.array([], type=lst))
+        return batch.append_column(
+            self.out_col, pa.array(self._model_tags(texts), type=lst)
+        )
+
+
+class BertCascadeNerTagger(BertNerTagger):
+    """T4 actor: shared transformer encoder → BMEO-CRF head + attr-argmax
+    head, combined via ``trans_label`` O-propagation
+    (`run_multitask_bert_crf.py:606-653`, `ner_utils.py:9-39`).  Emits
+    pred_tags plus the raw bmeo/attr streams like :class:`CascadeNerTagger`."""
+
+    def __init__(self, weights_path: str | None = None, max_seq_len: int = 128,
+                 seed: int = 29, text_col: str = "sentence",
+                 out_col: str = "pred_tags"):
+        from ner_funtool_ray.model.transformer import (
+            BertCascade,
+            init_transformer_weights,
+        )
+        from ner_funtool_ray.model.vocabs import BERT_BMEO, CASCADE_ATTRS
+
+        super().__init__(None, max_seq_len, seed, text_col, out_col)
+        self.bmeo_list = list(BERT_BMEO)
+        self.id2bmeo = dict(enumerate(self.bmeo_list))
+        self.id2attr = dict(enumerate(CASCADE_ATTRS))
+        if weights_path:
+            w = load_weights(weights_path)
+        else:
+            w = init_transformer_weights(
+                vocab_size=len(self.vocab),
+                n_tags=len(self.bmeo_list),
+                n_attrs=len(CASCADE_ATTRS),
+                max_position=max_seq_len + 2,
+                seed=seed,
+            )
+        self.model = BertCascade(w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        lst = pa.list_(pa.string())
+        if not texts:
+            for c in ("bmeo_tags", "attr_tags", self.out_col):
+                batch = batch.append_column(c, pa.array([], type=lst))
+            return batch
+        encoded = [self._encode_one(t) for t in texts]
+        lengths = np.array([len(e[0]) for e in encoded], dtype=np.int32)
+        order = np.argsort(lengths, kind="stable")
+        b_paths: list = [None] * len(texts)
+        a_paths: list = [None] * len(texts)
+        chunk = 64
+        for lo in range(0, len(order), chunk):
+            sel = order[lo : lo + chunk]
+            sl = lengths[sel]
+            S = max(2, int(sl.max()) if len(sl) else 2)
+            mat = np.zeros((len(sel), S), dtype=np.int32)
+            mask = np.zeros((len(sel), S), dtype=np.int32)
+            for k, row in enumerate(sel):
+                ids = encoded[row][0]
+                mat[k, : len(ids)] = ids
+                mask[k, : len(ids)] = 1
+            b_ids, a_ids = self.model.predict_cascade(mat, mask)
+            for k, row in enumerate(sel):
+                b_paths[row] = b_ids[k]
+                a_paths[row] = a_ids[k]
+        bmeo_out: list[list[str]] = []
+        attr_out: list[list[str]] = []
+        comb_out: list[list[str]] = []
+        for (ids, first), bp, ap in zip(encoded, b_paths, a_paths):
+            b_row: list[str] = []
+            a_row: list[str] = []
+            for pos in first:
+                if pos < 0:
+                    b_row.append("O")
+                    a_row.append("O")
+                    continue
+                b = self.id2bmeo[int(bp[1 + pos])]
+                b_row.append(b if b not in ("X", "[CLS]", "[SEP]") else "O")
+                a_row.append(self.id2attr[int(ap[1 + pos])])
+            bmeo_out.append(b_row)
+            attr_out.append(a_row)
+            comb_out.append(trans_label_row(b_row, a_row))
+        batch = batch.append_column("bmeo_tags", pa.array(bmeo_out, type=lst))
+        batch = batch.append_column("attr_tags", pa.array(attr_out, type=lst))
+        return batch.append_column(self.out_col, pa.array(comb_out, type=lst))
+
+
+_TAGGER_CLASSES = {
+    ("bilstm", False): NerTagger,
+    ("bilstm", True): CascadeNerTagger,
+    ("bert", False): BertNerTagger,
+    ("bert", True): BertCascadeNerTagger,
+}
+
+
 def tag_sentences(
     sentences: "ray.data.Dataset",
     cascade: bool = False,
+    model: str = "bilstm",
     weights_path: str | None = None,
     batch_size: int = 256,
     concurrency=None,
     max_seq_len: int = 128,
 ) -> "ray.data.Dataset":
-    """Actor-pool tagging stage.  concurrency × num_cpus sizes the pool
-    (default: autoscale to cluster CPUs); batch_size bounds the (B, S)
-    dense matrices per actor heap."""
+    """Actor-pool tagging stage.  ``model`` selects the encoder family:
+    ``bilstm`` (T2, `model_lstm_crf.py`) or ``bert`` (T3/T4 transformer,
+    `run_bert_crf.py:505-542` / `run_multitask_bert_crf.py:572-653`);
+    ``cascade`` selects the BMEO+attr two-head variant.  concurrency ×
+    num_cpus sizes the pool (default: autoscale to cluster CPUs);
+    batch_size bounds the (B, S) dense matrices per actor heap."""
     from ner_funtool_ray.utils import default_concurrency
 
     if concurrency is None:
         concurrency = default_concurrency()
-    cls = CascadeNerTagger if cascade else NerTagger
+    cls = _TAGGER_CLASSES[(model, cascade)]
     return sentences.map_batches(
         cls,
         fn_constructor_kwargs={
