@@ -125,56 +125,156 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
-    """orders ⋈ customer ⋈ nation → revenue per nation (broadcast join:
-    the dimension lookup is built once driver-side and ray.put; the orders
-    fact table streams through map_batches)."""
+def revenue_by_nation(
+    sf_dir: str,
+    broadcast_limit: int = 5_000_000,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """orders ⋈ customer ⋈ nation → revenue per nation.
+
+    Size-guarded join strategy: nation (25 rows) is always a broadcast
+    dict.  customer is O(rows) in TPC-H, so the plan checks its row count
+    from parquet METADATA (no data read) against ``broadcast_limit``:
+
+    - small side fits → broadcast hash join (dict ``ray.put`` once, fact
+      table streams, no shuffle);
+    - above the limit → bucketed shuffle join: per-batch partial revenue
+      aggregate by custkey (the combiner — the shuffle carries one row per
+      custkey per batch, never raw orders), customer and order partials
+      co-located by ``custkey % n_buckets``, pandas merge per bucket, then
+      a tiny final groupby(n_name).
+
+    Both paths produce identical integer-cent results (oracle-exact)."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
     nat = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
     nkey2name = dict(
         zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
     )
-    cust2nation = {
-        c: nkey2name[n]
-        for c, n in zip(
-            cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()
-        )
-    }
-    lookup_ref = ray.put(cust2nation)
+    n_customers = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
 
-    def join(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup.get(c) for c in batch["o_custkey"].to_pylist()]
-        t = pa.table(
-            {
-                "n_name": pa.array(names, type=pa.string()),
-                "rev_c": _cents(batch["o_totalprice"]),
-            }
+    if n_customers <= broadcast_limit:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
         )
-        df = (
-            t.to_pandas()
-            .groupby("n_name", sort=False)
-            .agg(rev_c=("rev_c", "sum"), n_orders=("rev_c", "size"))
-            .reset_index()
-        )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        cust2nation = {
+            c: nkey2name[n]
+            for c, n in zip(
+                cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()
+            )
+        }
+        lookup_ref = ray.put(cust2nation)
 
-    agg = (
-        read_parquet_auto(
+        def join(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(lookup_ref)
+            names = [lookup.get(c) for c in batch["o_custkey"].to_pylist()]
+            t = pa.table(
+                {
+                    "n_name": pa.array(names, type=pa.string()),
+                    "rev_c": _cents(batch["o_totalprice"]),
+                }
+            )
+            df = (
+                t.to_pandas()
+                .groupby("n_name", sort=False)
+                .agg(rev_c=("rev_c", "sum"), n_orders=("rev_c", "size"))
+                .reset_index()
+            )
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        agg = (
+            read_parquet_auto(
+                f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+            )
+            .map_batches(join, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(
+                Sum("rev_c", alias_name="rev_c"),
+                Sum("n_orders", alias_name="n_orders"),
+            )
+        )
+    else:
+        name_ref = ray.put(nkey2name)
+
+        def order_partials(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "custkey": batch["o_custkey"].to_numpy(),
+                    "rev_c": _cents(batch["o_totalprice"]).to_numpy(),
+                }
+            )
+            agg = (
+                df.groupby("custkey", sort=False)
+                .agg(rev_c=("rev_c", "sum"), n_orders=("rev_c", "size"))
+                .reset_index()
+            )
+            agg["nationkey"] = np.int64(-1)
+            agg["kind"] = np.int8(0)
+            agg["bucket"] = (agg["custkey"] % n_buckets).astype(np.int64)
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        def cust_rows(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "custkey": batch["c_custkey"].to_numpy(),
+                    "rev_c": np.zeros(batch.num_rows, dtype=np.int64),
+                    "n_orders": np.zeros(batch.num_rows, dtype=np.int64),
+                    "nationkey": batch["c_nationkey"].to_numpy().astype(np.int64),
+                    "kind": np.full(batch.num_rows, 1, dtype=np.int8),
+                }
+            )
+            df["bucket"] = (df["custkey"] % n_buckets).astype(np.int64)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        orders_side = read_parquet_auto(
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        ).map_batches(order_partials, batch_format="pyarrow")
+        cust_side = read_parquet_auto(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).map_batches(cust_rows, batch_format="pyarrow")
+
+        def bucket_join(group: pd.DataFrame) -> pa.Table:
+            dim = group[group["kind"] == 1]
+            fact = group[group["kind"] == 0]
+            if fact.empty:
+                return pa.table(
+                    {
+                        "n_name": pa.array([], type=pa.string()),
+                        "rev_c": pa.array([], type=pa.int64()),
+                        "n_orders": pa.array([], type=pa.int64()),
+                    }
+                )
+            nk = fact["custkey"].map(
+                pd.Series(dim["nationkey"].to_numpy(), index=dim["custkey"].to_numpy())
+            )
+            names = nk.map(ray.get(name_ref))
+            agg = (
+                pd.DataFrame(
+                    {
+                        "n_name": names,
+                        "rev_c": fact["rev_c"].to_numpy(),
+                        "n_orders": fact["n_orders"].to_numpy(),
+                    }
+                )
+                .groupby("n_name", sort=False)
+                .sum()
+                .reset_index()
+            )
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        agg = (
+            orders_side.union(cust_side)
+            .groupby("bucket")
+            .map_groups(bucket_join, batch_format="pandas")
+            .groupby("n_name")
+            .aggregate(
+                Sum("rev_c", alias_name="rev_c"),
+                Sum("n_orders", alias_name="n_orders"),
+            )
         )
-        .map_batches(join, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(
-            Sum("rev_c", alias_name="rev_c"), Sum("n_orders", alias_name="n_orders")
-        )
-    )
+
     return agg.map_batches(
         lambda b: pa.table(
             {
@@ -304,23 +404,39 @@ WHERE c_custkey NOT IN
 def purchase_view_gap(sf_dir: str) -> "ray.data.Dataset":
     """As-of join: for each 'purchase' event, seconds since the same user's
     latest 'view' at-or-before it (NULL-free: purchases with no prior view
-    are dropped).  Ray shape: groupby(user) → pandas merge_asof per group
-    (sorted by ts) — the documented as-of pattern; equal-ts views give the
-    same gap regardless of tie order, so the result is deterministic."""
+    are dropped).  Ray shape: hash-bucket users (bounded group count) →
+    one ts-sorted ``merge_asof(by=user_id)`` per bucket — the documented
+    as-of pattern; equal-ts views give the same gap regardless of tie
+    order, so the result is deterministic."""
     ds = read_parquet_auto(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
 
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket",
+            pa.array(
+                (batch["user_id"].to_numpy() % n_buckets).astype(np.int64)
+            ),
+        )
+
     def gaps(group: pd.DataFrame) -> pd.DataFrame:
+        # one Ray group per hash BUCKET of users, not per user (the repo's
+        # groupagg.py lesson: per-key map_groups at high cardinality is the
+        # shuffle bottleneck); within the bucket one ts-sorted merge_asof
+        # with by=user_id handles every user vectorized
         purchases = group[group["event_type"] == "purchase"].sort_values("ts")
         views = group[group["event_type"] == "view"].sort_values("ts")
         if purchases.empty or views.empty:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "secs_since_view": pd.Series([], dtype="int64")})
         m = pd.merge_asof(
-            purchases[["event_id", "ts"]],
-            views[["ts"]].rename(columns={"ts": "view_ts"}),
-            left_on="ts", right_on="view_ts", direction="backward",
+            purchases[["event_id", "user_id", "ts"]],
+            views[["user_id", "ts"]].rename(columns={"ts": "view_ts"}),
+            left_on="ts", right_on="view_ts", by="user_id",
+            direction="backward",
         ).dropna(subset=["view_ts"])
         # DuckDB date_diff('second', a, b) counts second-BOUNDARY crossings
         # (floor(b) - floor(a)), not the floored delta — match it exactly
@@ -334,7 +450,11 @@ def purchase_view_gap(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pandas")
+    )
 
 
 PURCHASE_VIEW_GAP_SQL = """
@@ -448,26 +568,48 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     """Sessionization (streaming-shaped workload as a batch groupby):
     per-user event stream sorted by ts; a new session starts when the gap
     to the previous event exceeds ``gap_minutes``.  Returns (user_id,
-    n_sessions, n_events).  Ordering assumption: within a user, ts order
+    n_sessions, n_events).  Users are hash-bucketed so the shuffle has a
+    bounded group count at any user cardinality.  Ordering assumption:
+    within a user, ts order
     defines sessions; equal timestamps share a session regardless of
     tie-break, so the result is deterministic."""
     ds = read_parquet_auto(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts")
-        gaps = g["ts"].diff()
-        new_s = (gaps.isna() | (gaps > pd.Timedelta(minutes=gap_minutes))).sum()
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": np.array([new_s], dtype=np.int64),
-                "n_events": np.array([len(g)], dtype=np.int64),
-            }
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket",
+            pa.array(
+                (batch["user_id"].to_numpy() % n_buckets).astype(np.int64)
+            ),
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        # one Ray group per hash BUCKET of users (bounded group count —
+        # per-user map_groups is the measured high-cardinality bottleneck);
+        # a single sort + C-level groupby().diff() sessionizes every user
+        # in the bucket vectorized
+        g = group.sort_values(["user_id", "ts"])
+        gaps = g.groupby("user_id", sort=False)["ts"].diff()
+        new_s = gaps.isna() | (gaps > pd.Timedelta(minutes=gap_minutes))
+        out = (
+            g.assign(new_s=new_s.astype(np.int64))
+            .groupby("user_id", sort=False)
+            .agg(n_sessions=("new_s", "sum"), n_events=("new_s", "size"))
+            .reset_index()
+        )
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas")
+    )
 
 
 USER_SESSIONS_SQL = """

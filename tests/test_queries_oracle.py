@@ -75,3 +75,16 @@ def test_entry_smoke():
     df = _to_pandas(res)
     assert len(df) >= 0
     assert {"subj", "pred", "obj", "weight"} <= set(df.columns)
+
+
+def test_revenue_by_nation_shuffle_join_fallback_matches_oracle():
+    # force the size guard past the broadcast path: the bucketed shuffle
+    # join must produce the identical integer-cent result
+    from ner_funtool_ray.pipelines.relational import revenue_by_nation
+
+    got = _normalize(
+        revenue_by_nation(SF_DIR, broadcast_limit=0).to_pandas()
+    )
+    con = _duck(SF_DIR)  # keep the connection alive while the relation runs
+    expect = _normalize(con.sql(ORACLES["revenue_by_nation"]).df())
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)

@@ -1,0 +1,61 @@
+"""Serving surface: named-actor server parity with predict_interactive,
+idempotent start, health, bert-model variant, Serve gate."""
+
+import pytest
+
+from ner_funtool_ray.pipelines.tagging import predict_interactive
+from ner_funtool_ray.serving import predict, start_server, stop_server
+
+
+def test_server_matches_interactive_path():
+    texts = ["中国首都是北京", "spark joins the customer table", ""]
+    server = start_server(name="t-ner", model="bilstm")
+    try:
+        got = predict(server, texts)
+        want = predict_interactive(texts, model="bilstm")
+        assert [r["text"] for r in got] == texts
+        for row, spans in zip(got, want):
+            assert [
+                (e["type"], e["surface"]) for e in row["entities"]
+            ] == [(t, s) for t, s, _s, _e in spans]
+    finally:
+        stop_server("t-ner")
+
+
+def test_server_idempotent_and_healthy():
+    import ray
+
+    s1 = start_server(name="t-ner2")
+    try:
+        s2 = start_server(name="t-ner2")  # same named actor
+        assert ray.get(s1.health.remote()) == "ok"
+        assert ray.get(s2.health.remote()) == "ok"
+        assert s1._actor_id == s2._actor_id
+    finally:
+        stop_server("t-ner2")
+
+
+def test_server_bert_model():
+    server = start_server(name="t-ner-bert", model="bert")
+    try:
+        out = predict(server, ["spark joins the table"])
+        assert out[0]["text"] == "spark joins the table"
+        assert isinstance(out[0]["entities"], list)
+    finally:
+        stop_server("t-ner-bert")
+
+
+def test_serve_deployment_gated():
+    from ner_funtool_ray.serving import build_serve_deployment
+
+    try:
+        import starlette  # noqa: F401
+
+        has_serve_deps = True
+    except ImportError:
+        has_serve_deps = False
+    if has_serve_deps:
+        assert build_serve_deployment() is not None
+    else:
+        with pytest.raises(ImportError):
+            build_serve_deployment()
