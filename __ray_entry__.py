@@ -203,6 +203,20 @@ reach(src, node) AS (
 SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
 """
 
+_ANN_MULTIQUERY_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8)
+SELECT query_id, vec_id, score FROM (
+  SELECT q.query_id, e.vec_id,
+    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS score,
+    row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) DESC,
+               e.vec_id
+    ) AS rn
+  FROM embeddings e CROSS JOIN q
+) WHERE rn <= 10
+"""
+
 _NEARDUP_EMB_SQL = """
 SELECT a.vec_id AS a, b.vec_id AS b,
   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
@@ -444,6 +458,25 @@ def _q_ann_lsh_topk(sf_dir: str):
     return lsh_bucket_topk(ds, query, k=10, n_planes=6)
 
 
+def _q_ann_multiquery(sf_dir: str):
+    """Batched exact ANN: one corpus scan answers 8 queries (vec_id < 8)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.sources.io import read_parquet_auto
+    from ner_funtool_ray.stages.similarity import multiquery_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrows = tbl.filter(pc.less(tbl["vec_id"], 8)).sort_by("vec_id")
+    qids = np.asarray(qrows["vec_id"]).astype(np.int64)
+    qmat = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
+    ds = read_parquet_auto(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return multiquery_topk(ds, qids, qmat, k=10)
+
+
 def _q_linked_mentions(sf_dir: str):
     from ner_funtool_ray.corpus import corpus_from_documents
     from ner_funtool_ray.pipelines.kg import linked_mentions
@@ -568,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_embedding": _q_neardup_embedding,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ngram_clusters": _q_ngram_clusters,
+        "ann_multiquery_topk": _q_ann_multiquery,
         # relational operator coverage (groupby / broadcast join / top-k /
         # tumbling window) — oracle-checked.
         "pricing_summary": _q_pricing_summary,
@@ -601,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "ngram_clusters": _NGRAM_CLUSTERS_SQL,
         "neardup_embedding": _NEARDUP_EMB_SQL,
+        "ann_multiquery_topk": _ANN_MULTIQUERY_SQL,
         "pricing_summary": _rel.PRICING_SUMMARY_SQL,
         "revenue_by_nation": _rel.REVENUE_BY_NATION_SQL,
         "top_orders": _rel.TOP_ORDERS_SQL,

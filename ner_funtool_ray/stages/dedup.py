@@ -90,21 +90,27 @@ def clusters_from_pairs_ds(
     pairs: "ray.data.Dataset",
     n_buckets: int = 64,
     max_rounds: int = 64,
+    driver_cap: int | None = 2_000_000,
 ) -> "ray.data.Dataset":
-    """(a, b) pair Dataset → (doc_id, cluster_id = min doc in component),
-    fully distributed.
+    """(a, b) pair Dataset → (doc_id, cluster_id = min doc in component).
 
-    Iterated min-label propagation: every node starts labeled with its own
-    id; each round every node sends its label to its neighbors and keeps
-    the minimum it sees.  Labels are monotone non-increasing, so the global
-    label SUM is a fixpoint detector (one cheap aggregate per round — no
-    driver-side diff).  Rounds needed = component diameter; LSH pair graphs
-    are cliques/stars (diameter ≤ 2), so this converges in ~3 rounds.
+    Size-guarded strategy (same pattern as the dimension join): LSH pair
+    sets are usually orders of magnitude smaller than the corpus, so below
+    ``driver_cap`` edges the component merge runs as a driver union-find
+    (one pass, no per-round shuffles).  Above the cap — self-similar web
+    corpora can produce pair sets that no single node should hold — it
+    switches to DISTRIBUTED iterated min-label propagation:
 
-    Per round: one bounded-bucket shuffle to co-locate each node's label
-    with its outgoing edges, one to take the min per receiving node — both
-    over edge-sized data (the LSH-filtered pair set), never the corpus, and
-    never the driver (replaces the round-1 ``.to_pandas()`` union-find).
+    every node starts labeled with its own id (folded into the first
+    round); each round every node sends its label to its neighbors and
+    keeps the minimum it sees.  Labels are monotone non-increasing, so the
+    global label SUM is a fixpoint detector (one cheap aggregate per round
+    — no driver-side diff).  Rounds needed = component diameter; LSH pair
+    graphs are cliques/stars (diameter ≤ 2), so this converges in ~3
+    rounds.  Per round: one bounded-bucket shuffle to co-locate each
+    node's label with its outgoing edges, one to take the min per
+    receiving node — both over edge-sized data, never the corpus.  Both
+    paths produce identical labels (equivalence-tested).
     """
 
     def sym(batch: pa.Table) -> pa.Table:
@@ -127,15 +133,39 @@ def clusters_from_pairs_ds(
     edges = pairs.select_columns(["a", "b"]).map_batches(
         sym, batch_format="pyarrow"
     ).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return _empty_clusters()
 
-    def init_labels(group: pd.DataFrame) -> pa.Table:
-        nodes = np.unique(group["node"].to_numpy())
+    if driver_cap is not None and n_edges <= driver_cap:
+        # small-side fast path: one driver pass over the (deduped,
+        # LSH-filtered) edge list — no per-round shuffles
+        df = edges.select_columns(["node", "val"]).to_pandas()
+        out = clusters_from_pairs(
+            pd.DataFrame({"a": df["node"], "b": df["val"]})
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+                    "cluster_id": pa.array(
+                        out["cluster_id"].to_numpy(), type=pa.int64()
+                    ),
+                }
+            )
+        )
+
+    def first_round(group: pd.DataFrame) -> pa.Table:
+        # identity-label round folded into one shuffle: label₁(t) =
+        # min(t, min{u : (u,t) ∈ E}) — the edges are symmetric, so
+        # grouping by the receiving node sees every neighbor
+        m = group.groupby("node", sort=False)["val"].min()
+        nodes = m.index.to_numpy().astype(np.int64)
+        vals = np.minimum(nodes, m.to_numpy().astype(np.int64))
         return pa.table(
             {
                 "node": pa.array(nodes, type=pa.int64()),
-                "val": pa.array(nodes, type=pa.int64()),
+                "val": pa.array(vals, type=pa.int64()),
                 "kind": pa.array(np.ones(len(nodes), dtype=np.int8)),
                 "bucket": pa.array(nodes % np.int64(n_buckets)),
             }
@@ -143,7 +173,7 @@ def clusters_from_pairs_ds(
 
     labels = (
         edges.groupby("bucket")
-        .map_groups(init_labels, batch_format="pandas")
+        .map_groups(first_round, batch_format="pandas")
         .materialize()
     )
     prev_sum = labels.sum("val")
@@ -368,9 +398,15 @@ def minhash_candidate_pairs_ds(
     num_bands: int = 16,
     ngram: int = 3,
     seed: int = 1,
+    dedupe: bool = True,
 ) -> "ray.data.Dataset":
-    """Distinct candidate pairs (a < b) with signature-estimated Jaccard,
-    as a Dataset (the scale path — nothing funnels through the driver)."""
+    """Candidate pairs (a < b) with signature-estimated Jaccard, as a
+    Dataset (the scale path — nothing funnels through the driver).
+
+    ``dedupe=False`` skips the per-pair max-merge shuffle and may emit the
+    same pair once per matching band — correct and cheaper for CLUSTERING
+    consumers (duplicate edges are harmless to component merge, and any
+    occurrence passing the threshold implies the max does too)."""
     banded = docs.map_batches(
         _MinHashStage,
         fn_constructor_kwargs=dict(
@@ -390,6 +426,8 @@ def minhash_candidate_pairs_ds(
         .groupby("bucket")
         .map_groups(_bucket_pairs, batch_format="pandas")
     )
+    if not dedupe:
+        return pairs
     return _dedupe_pairs_ds(pairs, "est_jaccard", "max")
 
 
@@ -411,11 +449,12 @@ def minhash_lsh_clusters(
 ) -> "ray.data.Dataset":
     """Near-dup clusters: members of multi-doc components at est_jaccard ≥
     threshold.  Docs not in any pair are implicit singletons (not listed).
-    Fully distributed: LSH pairs → threshold filter → min-label
-    propagation; returns a Dataset (doc_id, cluster_id)."""
+    LSH pairs → threshold filter → size-guarded component merge; returns a
+    Dataset (doc_id, cluster_id).  Pair max-dedup is skipped (duplicate
+    edges are harmless to clustering — one shuffle saved)."""
     import pyarrow.compute as pc
 
-    pairs = minhash_candidate_pairs_ds(docs, **kwargs)
+    pairs = minhash_candidate_pairs_ds(docs, dedupe=False, **kwargs)
     hits = pairs.map_batches(
         lambda b: b.filter(pc.greater_equal(b["est_jaccard"], threshold)),
         batch_format="pyarrow",
@@ -450,6 +489,7 @@ def simhash_pairs_ds(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dedupe: bool = True,
 ) -> "ray.data.Dataset":
     """Candidate pairs (a, b, hamming) with Hamming distance ≤ max_hamming
     as a Dataset (bounded crc32 band buckets, same design as minhash)."""
@@ -494,6 +534,8 @@ def simhash_pairs_ds(
         .groupby("bucket")
         .map_groups(bucket, batch_format="pandas")
     )
+    if not dedupe:
+        return pairs
     return _dedupe_pairs_ds(pairs, "hamming", "min")
 
 
@@ -507,7 +549,9 @@ def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3, **kw) -> pd.Da
 def simhash_clusters(
     docs: "ray.data.Dataset", max_hamming: int = 3, **kw
 ) -> "ray.data.Dataset":
-    return clusters_from_pairs_ds(simhash_pairs_ds(docs, max_hamming, **kw))
+    return clusters_from_pairs_ds(
+        simhash_pairs_ds(docs, max_hamming, dedupe=False, **kw)
+    )
 
 
 # --- exact n-gram Jaccard (distributed inverted index) ----------------------

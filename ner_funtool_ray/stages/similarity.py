@@ -125,3 +125,79 @@ def lsh_bucket_topk(
 
     partial = embeddings.map_batches(candidates, batch_format="pyarrow")
     return partial.sort("score", descending=True).limit(k)
+
+
+def multiquery_topk(
+    embeddings: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> "ray.data.Dataset":
+    """Batched exact ANN: top-k by cosine for MANY queries at once.
+
+    The (Q, d) query matrix is unit-normalized once and broadcast via
+    ``ray.put``; every batch does ONE (B, d) @ (d, Q) matmul and emits its
+    local top-k rows per query (arg-partition per column), so the shuffle
+    carries k × Q × n_batches rows; the final per-query exact top-k is a
+    tiny bucketed ``groupby(query_id)``.  This is the batched form of
+    :func:`topk_cosine` — amortizing the data pass across the whole query
+    set is the scale play (one corpus scan regardless of Q).
+    """
+    import pandas as pd
+
+    q = np.asarray(query_mat, dtype=np.float64)
+    q_unit = q / np.maximum(np.linalg.norm(q, axis=1), 1e-30)[:, None]
+    qids = np.asarray(query_ids, dtype=np.int64)
+    ref = ray.put((qids, q_unit))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids_q, qu = ray.get(ref)
+        mat = _batch_matrix(batch, vec_col)
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+        scores = unit @ qu.T  # (B, Q)
+        kk = min(k, scores.shape[0])
+        take = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, Q)
+        rows = take.ravel(order="F")
+        out_q = np.repeat(ids_q, kk)
+        out_s = scores[rows, np.repeat(np.arange(len(ids_q)), kk)]
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                id_col: batch[id_col].take(pa.array(rows)),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def final_topk(group: "pd.DataFrame") -> pa.Table:
+        g = (
+            group.sort_values(["query_id", "score", id_col],
+                              ascending=[True, False, True])
+            .groupby("query_id", sort=False)
+            .head(k)
+        )
+        score = g["score"].to_numpy()
+        if round_to is not None:
+            score = np.round(score, round_to)
+        return pa.table(
+            {
+                "query_id": pa.array(g["query_id"].to_numpy(), type=pa.int64()),
+                id_col: pa.array(g[id_col].to_numpy(), type=pa.int64()),
+                "score": pa.array(score, type=pa.float64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "qbucket",
+            pa.array((batch["query_id"].to_numpy() % 16).astype(np.int64)),
+        )
+
+    return (
+        embeddings.map_batches(local_topk, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("qbucket")
+        .map_groups(final_topk, batch_format="pandas")
+    )

@@ -121,16 +121,23 @@ def test_distributed_clusters_match_union_find():
     perm = rng.permutation(len(a))
     pairs = pd.DataFrame({"a": np.array(a)[perm], "b": np.array(b)[perm]})
     ds = ray.data.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
+    want = clusters_from_pairs(pairs)
+    # distributed min-label propagation (cap forced below the edge count)
     got = (
+        clusters_from_pairs_ds(ds, driver_cap=100)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # size-guarded driver fast path must produce identical labels
+    fast = (
         clusters_from_pairs_ds(ds)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
-    want = clusters_from_pairs(pairs)
-    pd.testing.assert_frame_equal(
-        got.astype("int64"), want.astype("int64")
-    )
+    pd.testing.assert_frame_equal(fast.astype("int64"), want.astype("int64"))
 
 
 def test_clusters_from_pairs_ds_empty():
