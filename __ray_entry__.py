@@ -190,11 +190,27 @@ SELECT a, b, inter / (n_a + n_b - inter) AS jaccard
 FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.5
 """
 
-# Connected components over the exact pair graph — recursive-CTE twin of the
-# distributed min-label propagation (stages/dedup.py:clusters_from_pairs_ds).
-_NGRAM_CLUSTERS_SQL = f"""
-WITH RECURSIVE p AS ({_NGRAM_JACCARD_SQL}),
-edges AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+# Connected components over the exact pair graph — recursive-CTE twin of
+# the distributed min-label propagation; assembled below via _cc_wrap (the
+# pair computation must stay OUT of the WITH RECURSIVE scope, see the
+# sketch-family oracle note).
+
+# --- sketch-family oracles -------------------------------------------------
+# The MinHash/SimHash sketches themselves are reproduced in SQL:
+# md5_number_upper(t) == int.from_bytes(md5(t)[:8], 'little') (verified), so
+# the per-token/shingle hashes match hashing.py exactly; the MinHash (a, b)
+# permutation constants are injected as literals from the SAME MinHasher the
+# engine uses.  NOTE: the sketch computation must live in a nested plain
+# WITH (not under WITH RECURSIVE) — DuckDB materializes CTEs differently
+# under RECURSIVE and silently changes UBIGINT equality results.
+
+
+def _cc_wrap(pairs_sql: str) -> str:
+    """Connected components (min reachable label) over a pair subquery —
+    twin of stages/dedup.py:clusters_from_pairs_ds."""
+    return f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({pairs_sql}) q),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
 reach(src, node) AS (
   SELECT u, u FROM edges
   UNION
@@ -202,6 +218,101 @@ reach(src, node) AS (
 )
 SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
 """
+
+
+# SimHash (hashing.py:simhash64): per-token md5 hash, 64 signed bit votes,
+# sign bits packed to UBIGINT; 4×16-bit band blocking; Hamming ≤ 3 verify.
+_SIMHASH_PAIRS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+hh AS (SELECT doc_id, md5_number_upper(t)::UBIGINT AS h FROM tok),
+bits AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hh CROSS JOIN (SELECT unnest(range(64)) AS b) AS bl GROUP BY doc_id, b
+),
+sim0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS sh
+  FROM bits GROUP BY doc_id
+),
+sim AS (
+  SELECT d.doc_id, coalesce(s.sh, 0::UBIGINT) AS sh
+  FROM documents d LEFT JOIN sim0 s USING (doc_id)
+),
+bandrows AS (
+  SELECT doc_id, sh, b, (sh >> (16*b)) & 65535 AS bk
+  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS b) AS bl
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bandrows x JOIN bandrows y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sh, y.sh)) <= 3
+"""
+
+_SIMHASH_CLUSTERS_SQL = _cc_wrap(_SIMHASH_PAIRS_SQL)
+
+
+def _minhash_pairs_sql() -> str:
+    """MinHash-LSH candidate pairs at est_jaccard ≥ 0.8 — twin of
+    stages/dedup.py:minhash_candidate_pairs_ds incl. the
+    MAX_BAND_PAIRWISE=64 star expansion for degenerate bands."""
+    from ner_funtool_ray.functions.hashing import MinHasher
+
+    h = MinHasher(num_perm=64, seed=1)
+    ab = ",".join(
+        f"({i},{int(a)}::UBIGINT,{int(b)}::UBIGINT)"
+        for i, (a, b) in enumerate(zip(h.a, h.b))
+    )
+    mersenne = (1 << 61) - 1
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         array_to_string(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN length(t) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, length(t) - 2), i -> substring(t, i, 3)))
+    WHEN length(t) >= 1 THEN [t] ELSE [] END AS sh
+  FROM norm
+),
+sx AS (SELECT doc_id, md5_number_upper(unnest(sh))::UBIGINT & 4294967295 AS x FROM sh),
+perms(p, a, b) AS (VALUES {ab}),
+sig AS (
+  SELECT doc_id, p, min(((a * x + b) % {mersenne}) & 4294967295) AS v
+  FROM sx CROSS JOIN perms GROUP BY doc_id, p
+),
+bandrows AS (
+  SELECT doc_id, p // 4 AS band, string_agg(v, ',' ORDER BY p) AS bk
+  FROM sig GROUP BY doc_id, p // 4
+),
+grp AS (SELECT band, bk, count(*) AS cnt, min(doc_id) AS mindoc FROM bandrows GROUP BY band, bk),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM bandrows x JOIN bandrows y ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+  JOIN grp g ON g.band = x.band AND g.bk = x.bk
+  WHERE g.cnt <= 64
+  UNION
+  SELECT g.mindoc, y.doc_id
+  FROM bandrows y JOIN grp g ON g.band = y.band AND g.bk = y.bk
+  WHERE g.cnt > 64 AND y.doc_id > g.mindoc
+),
+est AS (
+  SELECT c.a, c.b, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS ej
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p
+  GROUP BY c.a, c.b
+)
+SELECT a, b FROM est WHERE ej >= 0.8
+"""
+
+
+_MINHASH_CLUSTERS_SQL = _cc_wrap(_minhash_pairs_sql())
+_NGRAM_CLUSTERS_SQL = _cc_wrap(_NGRAM_JACCARD_SQL)
 
 _ANN_MULTIQUERY_SQL = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8)
@@ -636,6 +747,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_clusters": _NGRAM_CLUSTERS_SQL,
         "neardup_embedding": _NEARDUP_EMB_SQL,
         "ann_multiquery_topk": _ANN_MULTIQUERY_SQL,
+        "dedup_simhash": _SIMHASH_CLUSTERS_SQL,
+        "dedup_minhash_lsh": _MINHASH_CLUSTERS_SQL,
         "pricing_summary": _rel.PRICING_SUMMARY_SQL,
         "revenue_by_nation": _rel.REVENUE_BY_NATION_SQL,
         "top_orders": _rel.TOP_ORDERS_SQL,
