@@ -69,8 +69,10 @@ def run_bench() -> dict:
         "vocab_count",
         "topk_cosine",
         "ner_model_triples",   # model path: BiLSTM+CRF actor pool e2e
+        "ner_bert_triples",    # transformer (BERT-style) actor pool e2e
         "kg_triples_linked",   # linking-based canonicalization variant
         "dedup_minhash_lsh",
+        "ann_multiquery_topk",
     ]
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -145,16 +147,20 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])["value"]
 
     n = int(os.environ.get("GRAFT_SCALE_N", "4"))
+    # GRAFT_SCALE_HI overrides the large side (e.g. 30 instead of 32 to
+    # leave raylet/driver headroom on a 32-core host); efficiency is
+    # normalized by the actual CPU ratio
+    hi = int(os.environ.get("GRAFT_SCALE_HI", str(4 * n)))
     # best-of-2 per size: shared-host steal makes single runs noisy
     t_lo = min(one(n), one(n))
-    t_hi = min(one(4 * n), one(4 * n))
-    eff = (t_lo / t_hi) / 4
+    t_hi = min(one(hi), one(hi))
+    eff = (t_lo / t_hi) / (hi / n)
     return {
         "job": "scaled_model_triples (BiLSTM+CRF actor pool, x-replicated corpus)",
         "n_cpus": n,
-        "4n_cpus": 4 * n,
+        "4n_cpus": hi,
         f"sec_{n}cpu": t_lo,
-        f"sec_{4*n}cpu": t_hi,
+        f"sec_{hi}cpu": t_hi,
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,

@@ -465,23 +465,55 @@ def minhash_lsh_clusters(
 # --- SimHash ---------------------------------------------------------------
 
 
-def _simhash_stage(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
-    ids: list[int] = []
-    keys: list[str] = []
-    hashes: list[int] = []
-    for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-        h = simhash64(text)
-        for band in range(4):  # 4 × 16-bit bands: ≥1 equal band ⟺ candidates
-            ids.append(doc_id)
-            keys.append(f"{band}:{(h >> (16 * band)) & 0xFFFF:04x}")
-            hashes.append(h)
-    return pa.table(
-        {
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "band_key": pa.array(keys, type=pa.string()),
-            "simhash": pa.array(np.array(hashes, dtype=np.uint64)),
-        }
-    )
+class _SimHashStage:
+    """Actor: emits (doc_id, band_key, simhash); per-token md5 hashes are
+    memoized across the actor's batches (tokens repeat heavily across
+    docs — same cache pattern as the MinHash stage)."""
+
+    def __init__(self, id_col: str, text_col: str):
+        self.id_col = id_col
+        self.text_col = text_col
+        self._tok_cache: dict[str, int] = {}
+
+    def _simhash(self, text: str) -> int:
+        import hashlib
+
+        toks = (text or "").lower().split()
+        if not toks:
+            return 0
+        v = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        one = np.uint64(1)
+        for t in toks:
+            h = self._tok_cache.get(t)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+                self._tok_cache[t] = h
+            bits = (np.uint64(h) >> shifts) & one
+            v += np.where(bits == 1, 1, -1)
+        return int(
+            ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        keys: list[str] = []
+        hashes: list[int] = []
+        for doc_id, text in zip(
+            batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
+        ):
+            h = self._simhash(text)
+            for band in range(4):  # 4 × 16-bit bands: ≥1 equal band ⟺ candidates
+                ids.append(doc_id)
+                keys.append(f"{band}:{(h >> (16 * band)) & 0xFFFF:04x}")
+                hashes.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "band_key": pa.array(keys, type=pa.string()),
+                "simhash": pa.array(np.array(hashes, dtype=np.uint64)),
+            }
+        )
 
 
 def simhash_pairs_ds(
@@ -494,9 +526,10 @@ def simhash_pairs_ds(
     """Candidate pairs (a, b, hamming) with Hamming distance ≤ max_hamming
     as a Dataset (bounded crc32 band buckets, same design as minhash)."""
     banded = docs.map_batches(
-        _simhash_stage,
-        fn_kwargs={"id_col": id_col, "text_col": text_col},
+        _SimHashStage,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
+        concurrency=default_concurrency(),
     )
 
     def bucket(group: pd.DataFrame) -> pa.Table:

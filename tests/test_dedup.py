@@ -227,3 +227,22 @@ def test_embedding_neardup():
     found = set(zip(pairs["a"], pairs["b"]))
     assert (0, 1) in found
     assert (0, 2) not in found and (1, 2) not in found
+
+
+def test_simhash_stage_cache_parity():
+    # the actor's memoized per-token hashing must equal simhash64 exactly
+    # (the SQL oracle depends on it)
+    from ner_funtool_ray.stages.dedup import _SimHashStage
+
+    stage = _SimHashStage("doc_id", "text")
+    texts = [
+        "the quick brown fox the fox",
+        "",
+        "duplicate duplicate duplicate",
+        "中国 首都 北京",
+    ]
+    for t in texts:
+        assert stage._simhash(t) == simhash64(t)
+    # run twice — cache hits must not change results
+    for t in texts:
+        assert stage._simhash(t) == simhash64(t)
