@@ -689,8 +689,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_count": _q_vocab_count,
         "lang_source_counts": _q_lang_source,
         "topk_cosine": _q_topk_cosine,
-        # model path (numpy BiLSTM+CRF / cascade) — non-SQL-expressible,
-        # covered by Ray-vs-serial parity tests; driver records rows-only.
+        # model path (numpy BiLSTM+CRF and transformer encoders, cascade
+        # variants) — weight-dependent, non-SQL-expressible; covered by
+        # Ray-vs-serial parity tests; driver records rows-only.
         "ner_model_mentions": _q_model_mentions,
         "ner_model_triples": _q_model_triples,
         "ner_bert_mentions": _q_bert_mentions,
@@ -699,16 +700,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_cascade_lstm_mentions": _q_cascade_lstm_mentions,
         "ner_tag_metrics": _q_tag_metrics,
         "ner_entity_metrics": _q_entity_metrics,
-        # dedup / similarity family — LSH-based, covered by unit tests with
-        # planted duplicates; driver records rows-only.
+        # linking + RNG-hyperplane LSH — depend on seeded numpy gaussians,
+        # non-SQL-expressible; planted-duplicate unit tests; rows-only.
         "kg_linked_mentions": _q_linked_mentions,
         "kg_triples_linked": _q_triples_linked,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
         "neardup_embedding_lsh": _q_neardup_embedding_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
-        # exact dedup/similarity twins — oracle-checked (the inverted-index
-        # ngram join, recursive-CC clusters, brute-force cosine pairs)
+        # dedup/similarity family — ALL oracle-checked: the MinHash/SimHash
+        # sketches are reproduced exactly in SQL (md5_number byte-order
+        # verified, permutation constants injected), the exact ngram join
+        # and brute-force cosine have direct twins, and connected
+        # components are checked via recursive CTE.
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
         "neardup_embedding": _q_neardup_embedding,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ngram_clusters": _q_ngram_clusters,

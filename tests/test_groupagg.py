@@ -67,3 +67,28 @@ def test_deterministic_across_runs():
         )
         runs.append(out[["k1", "k2", "w"]])
     assert runs[0].equals(runs[1])
+
+
+def test_null_group_keys_kept():
+    # DuckDB oracles keep NULL group keys; pandas drops them by default —
+    # regression for the dropna=False fix (ADVICE r1)
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "k1": ["a", None, "a", None, "b"],
+            "w": [1, 2, 3, 4, 5],
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    got = (
+        bucketed_group_sum(ds, ["k1"], sum_cols={"w": "w"}, count_col="n")
+        .to_pandas()
+    )
+    by_key = {k: (int(w), int(n)) for k, w, n in zip(got["k1"], got["w"], got["n"])}
+    keys = {k for k in by_key if isinstance(k, str)}
+    assert keys == {"a", "b"}
+    null_rows = [v for k, v in by_key.items() if not isinstance(k, str)]
+    assert null_rows == [(6, 2)]  # the NULL group survives with w=2+4
+    assert by_key["a"] == (4, 2)
+    assert by_key["b"] == (5, 1)
