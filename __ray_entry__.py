@@ -314,6 +314,35 @@ SELECT a, b FROM est WHERE ej >= 0.8
 _MINHASH_CLUSTERS_SQL = _cc_wrap(_minhash_pairs_sql())
 _NGRAM_CLUSTERS_SQL = _cc_wrap(_NGRAM_JACCARD_SQL)
 
+# Winnowing fingerprints (MOSS-style): char-5-gram hashes over normalized
+# lowercased text, min per 4-window, distinct — twin of
+# textops._WinnowStage (same md5[:8]-little & 0xffffffff gram hash).
+_WINNOW_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         lower(array_to_string(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''), ' ')) AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i, t
+  FROM norm WHERE length(t) > 0
+),
+h AS (
+  SELECT doc_id, i,
+         md5_number_upper(substring(t, i, 5))::UBIGINT & 4294967295 AS h
+  FROM g
+),
+c AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+winmin AS (
+  SELECT h.doc_id, h.i, c.n,
+         min(h.h) OVER (PARTITION BY h.doc_id ORDER BY h.i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+  FROM h JOIN c USING (doc_id)
+)
+SELECT DISTINCT doc_id, m::BIGINT AS fingerprint
+FROM winmin WHERE i <= n - least(4, n) + 1
+"""
+
 _ANN_MULTIQUERY_SQL = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8)
 SELECT query_id, vec_id, score FROM (
@@ -569,6 +598,12 @@ def _q_ann_lsh_topk(sf_dir: str):
     return lsh_bucket_topk(ds, query, k=10, n_planes=6)
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import winnow_fingerprints
+
+    return winnow_fingerprints(sf_dir)
+
+
 def _q_ann_multiquery(sf_dir: str):
     """Batched exact ANN: one corpus scan answers 8 queries (vec_id < 8)."""
     import numpy as np
@@ -717,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ngram_clusters": _q_ngram_clusters,
         "ann_multiquery_topk": _q_ann_multiquery,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         # relational operator coverage (groupby / broadcast join / top-k /
         # tumbling window) — oracle-checked.
         "pricing_summary": _q_pricing_summary,
@@ -753,6 +789,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_multiquery_topk": _ANN_MULTIQUERY_SQL,
         "dedup_simhash": _SIMHASH_CLUSTERS_SQL,
         "dedup_minhash_lsh": _MINHASH_CLUSTERS_SQL,
+        "winnow_fingerprints": _WINNOW_SQL,
         "pricing_summary": _rel.PRICING_SUMMARY_SQL,
         "revenue_by_nation": _rel.REVENUE_BY_NATION_SQL,
         "top_orders": _rel.TOP_ORDERS_SQL,

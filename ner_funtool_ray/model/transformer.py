@@ -30,14 +30,14 @@ import numpy as np
 from ner_funtool_ray.model.bilstm_crf import viterbi_decode_batch
 
 
+_GELU_C = float(np.sqrt(2.0 / np.pi))
+
+
 def gelu(x: np.ndarray) -> np.ndarray:
     """Gaussian Error Linear Unit — the tanh approximation the reference
-    uses (`modeling_bert.py:264-277`)."""
-    return (
-        0.5
-        * x
-        * (1.0 + np.tanh(np.sqrt(2.0 / np.pi) * (x + 0.044715 * np.power(x, 3))))
-    )
+    uses (`modeling_bert.py:264-277`).  x*x*x instead of power(x,3): same
+    values, ~3× faster in numpy."""
+    return 0.5 * x * (1.0 + np.tanh(_GELU_C * (x + 0.044715 * (x * x * x))))
 
 
 def layer_norm(x: np.ndarray, gamma: np.ndarray, beta: np.ndarray,
@@ -133,17 +133,30 @@ class TransformerEncoder:
         # (modeling_bert.py:558-565)
         adder = (1.0 - input_mask.astype(np.float32))[:, None, None, :] * -10000.0
         for i in range(self.n_layers):
-            q = (x @ w[f"l{i}_q_w"] + w[f"l{i}_q_b"]).reshape(B, S, nh, hd)
-            k = (x @ w[f"l{i}_k_w"] + w[f"l{i}_k_b"]).reshape(B, S, nh, hd)
-            v = (x @ w[f"l{i}_v_w"] + w[f"l{i}_v_b"]).reshape(B, S, nh, hd)
+            # head-major (B, nh, S, hd) layouts so the attention products
+            # run as batched BLAS matmuls (einsum without optimize= falls
+            # back to naive C loops — measured 4× slower)
+            q = (
+                (x @ w[f"l{i}_q_w"] + w[f"l{i}_q_b"])
+                .reshape(B, S, nh, hd)
+                .transpose(0, 2, 1, 3)
+            )
+            k = (
+                (x @ w[f"l{i}_k_w"] + w[f"l{i}_k_b"])
+                .reshape(B, S, nh, hd)
+                .transpose(0, 2, 1, 3)
+            )
+            v = (
+                (x @ w[f"l{i}_v_w"] + w[f"l{i}_v_b"])
+                .reshape(B, S, nh, hd)
+                .transpose(0, 2, 1, 3)
+            )
             # (B, nh, S, S) scaled dot-product scores
-            scores = (
-                np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
-            ) + adder
+            scores = (q @ k.swapaxes(-1, -2)) / np.sqrt(hd) + adder
             scores -= scores.max(axis=-1, keepdims=True)  # stable softmax
             p = np.exp(scores)
             p /= p.sum(axis=-1, keepdims=True)
-            ctx = np.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, S, H)
+            ctx = (p @ v).transpose(0, 2, 1, 3).reshape(B, S, H)
             attn_out = ctx @ w[f"l{i}_ao_w"] + w[f"l{i}_ao_b"]
             x = layer_norm(
                 x + attn_out, w[f"l{i}_attn_ln_g"], w[f"l{i}_attn_ln_b"]

@@ -118,3 +118,81 @@ def lang_source_counts(sf_dir: str) -> "ray.data.Dataset":
         .groupby(["lang", "source"])
         .aggregate(Count(alias_name="n"))
     )
+
+
+class _WinnowStage:
+    """Actor: winnowing (rolling-window-min) fingerprints per document —
+    the MOSS-style local document fingerprinting scheme (public algorithm):
+    char k-gram hashes over whitespace-normalized lowercased text, then the
+    minimum hash of every window of w consecutive k-grams, deduplicated.
+    Near-identical documents share most selected fingerprints, so matching
+    fingerprint rows find local overlap (plagiarism-style dedup), not just
+    whole-document equality like ``fingerprints``.
+
+    k-gram hashes are md5-based (md5[:8] little-endian & 0xffffffff — the
+    same construction the MinHash shingles use) and memoized across the
+    actor's batches; the window minimum is a vectorized numpy
+    sliding-window reduce.
+    """
+
+    def __init__(self, k: int = 5, window: int = 4):
+        self.k = k
+        self.window = window
+        self._cache: dict[str, int] = {}
+
+    def _doc_fps(self, text: str) -> list[int]:
+        import hashlib
+
+        import numpy as np
+
+        t = " ".join((text or "").split()).lower()
+        if not t:
+            return []
+        k = self.k
+        grams = [t[i : i + k] for i in range(max(1, len(t) - k + 1))]
+        hs = np.empty(len(grams), dtype=np.uint64)
+        for i, g in enumerate(grams):
+            v = self._cache.get(g)
+            if v is None:
+                v = (
+                    int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+                    & 0xFFFFFFFF
+                )
+                self._cache[g] = v
+            hs[i] = v
+        w = min(self.window, len(hs))
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        mins = sliding_window_view(hs, w).min(axis=1)
+        return sorted(set(int(x) for x in mins))
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        ids: list[int] = []
+        fps: list[int] = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for fp in self._doc_fps(text):
+                ids.append(doc_id)
+                fps.append(fp)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "fingerprint": pa.array(fps, type=pa.int64()),
+            }
+        )
+
+
+def winnow_fingerprints(
+    sf_dir: str, k: int = 5, window: int = 4
+) -> "ray.data.Dataset":
+    """Distinct winnowing fingerprints per document: (doc_id, fingerprint)
+    rows — actor-pool stage, no shuffle (dedup is per-document local)."""
+    from ner_funtool_ray.utils import default_concurrency
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        _WinnowStage,
+        fn_constructor_kwargs={"k": k, "window": window},
+        batch_format="pyarrow",
+        concurrency=default_concurrency(),
+    )

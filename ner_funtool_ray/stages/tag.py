@@ -258,6 +258,19 @@ class BertNerTagger:
         self.model = BertCrf(w)
         self._cls = self.vocab["[CLS]"]
         self._sep = self.vocab["[SEP]"]
+        # char → piece-id list memo: single chars tokenize deterministically
+        # and repeat constantly (tokenize-per-char measured ~35% of stage
+        # time before caching); built lazily per actor
+        self._piece_cache: dict[str, list[int]] = {}
+
+    def _char_piece_ids(self, ch: str) -> list[int]:
+        ids = self._piece_cache.get(ch)
+        if ids is None:
+            ids = self.tokenizer.convert_tokens_to_ids(
+                self.tokenizer.tokenize(ch)
+            )
+            self._piece_cache[ch] = ids
+        return ids
 
     def _encode_one(self, text: str) -> tuple[list[int], list[int]]:
         """chars → (piece ids incl CLS/SEP, per-char first-piece position
@@ -266,14 +279,14 @@ class BertNerTagger:
         ids: list[int] = []
         first: list[int] = []
         for ch in text or "":
-            pieces = self.tokenizer.tokenize(ch)
-            if not pieces:
+            piece_ids = self._char_piece_ids(ch)
+            if not piece_ids:
                 first.append(-1)
                 continue
-            if len(ids) + len(pieces) > cap:
+            if len(ids) + len(piece_ids) > cap:
                 break
             first.append(len(ids))
-            ids.extend(self.tokenizer.convert_tokens_to_ids(pieces))
+            ids.extend(piece_ids)
         return [self._cls] + ids + [self._sep], first
 
     def _model_tags(self, texts: list[str]) -> list[list[str]]:

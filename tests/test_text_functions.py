@@ -57,3 +57,28 @@ def test_token_count_and_fingerprint():
     assert token_count("") == 0
     assert fingerprint("  Hello   World ") == fingerprint("hello world")
     assert fingerprint("a") != fingerprint("b")
+
+
+def test_winnow_fingerprints_overlap_properties():
+    # exact dup docs share ALL fingerprints; a locally-edited near-dup
+    # shares most; an unrelated doc shares few — the winnowing guarantee
+    from ner_funtool_ray.pipelines.textops import _WinnowStage
+
+    st = _WinnowStage()
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps in the warm afternoon sun near the garden wall"
+    )
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about ray data pipelines and arrow"
+    f_base = set(st._doc_fps(base))
+    f_dup = set(st._doc_fps("  ".join(base.split())))  # whitespace-normalized dup
+    f_near = set(st._doc_fps(near))
+    f_other = set(st._doc_fps(other))
+    assert f_base and f_base == f_dup
+    sim_near = len(f_base & f_near) / len(f_base | f_near)
+    sim_other = len(f_base & f_other) / max(len(f_base | f_other), 1)
+    assert sim_near > 0.6
+    assert sim_other < 0.2
+    assert st._doc_fps("") == []
+    assert len(st._doc_fps("ab")) == 1  # shorter than k → one gram
