@@ -180,3 +180,26 @@ def confusion_matrix(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby(["gold_tag", "pred_tag"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+class BestMetricTracker:
+    """A8 (`train_lstm_crf.py:225,264-265`): running max over eval rounds.
+
+    The reference keeps ``best_f1`` as a loop variable and saves a
+    checkpoint when it improves; here it is a small driver-side artifact a
+    periodic eval pipeline can fold results into (`update` returns True
+    exactly when the metric improved, i.e. when the caller should persist).
+    """
+
+    def __init__(self) -> None:
+        self.best: float | None = None
+        self.best_round: int | None = None
+        self.history: list[float] = []
+
+    def update(self, value: float) -> bool:
+        self.history.append(float(value))
+        if self.best is None or value > self.best:
+            self.best = float(value)
+            self.best_round = len(self.history) - 1
+            return True
+        return False

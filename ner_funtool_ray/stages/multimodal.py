@@ -164,3 +164,185 @@ def synthesize_image_table(n: int = 100, seed: int = 42) -> pa.Table:
             "format": pa.array(["fimg"] * n, type=pa.string()),
         }
     )
+
+
+# --- audio -----------------------------------------------------------------
+
+AUDIO_MAGIC = b"FAUD"  # header: MAGIC | u32 sample_rate | u32 n | i16 samples
+
+
+def make_fake_audio(n_samples: int, sample_rate: int = 16000, seed: int = 0) -> bytes:
+    """Deterministic synthetic 'audio': header + seeded i16 PCM payload."""
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-20000, 20000, size=n_samples, dtype=np.int16)
+    return (
+        AUDIO_MAGIC
+        + struct.pack("<II", sample_rate, n_samples)
+        + samples.tobytes()
+    )
+
+
+class FakeAudioCodec:
+    """Deterministic stand-in for the stubbed audio decode (no soundfile/
+    librosa in this container; the real decode would gate on import like
+    ``decode_image``)."""
+
+    def decode(self, payload: bytes) -> tuple[np.ndarray, int]:
+        if payload[:4] != AUDIO_MAGIC:
+            raise ValueError("bad magic")
+        sr, n = struct.unpack("<II", payload[4:12])
+        return np.frombuffer(payload[12 : 12 + 2 * n], dtype=np.int16), sr
+
+
+class AudioFeatures:
+    """Actor-pool stage: (id, payload binary) → + (sample_rate,
+    duration_sec, rms, zero_cross_rate, peak).  Codec per actor; per-batch
+    numpy over decoded PCM."""
+
+    def __init__(self, codec=None, payload_col: str = "payload"):
+        self.codec = codec or FakeAudioCodec()
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        srs, durs, rmss, zcrs, peaks = [], [], [], [], []
+        for payload in batch[self.payload_col].to_pylist():
+            pcm, sr = self.codec.decode(payload)
+            x = pcm.astype(np.float64)
+            srs.append(sr)
+            durs.append(len(x) / sr if sr else 0.0)
+            rmss.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+            zcrs.append(
+                float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 else 0.0
+            )
+            peaks.append(int(np.abs(pcm).max()) if len(pcm) else 0)
+        return (
+            batch.append_column("sample_rate", pa.array(srs, type=pa.int32()))
+            .append_column("duration_sec", pa.array(durs, type=pa.float64()))
+            .append_column("rms", pa.array(rmss, type=pa.float64()))
+            .append_column("zero_cross_rate", pa.array(zcrs, type=pa.float64()))
+            .append_column("peak", pa.array(peaks, type=pa.int32()))
+        )
+
+
+class AudioWindowFeatures:
+    """Actor-pool flat-map stage: one row per fixed-size PCM window with
+    per-window RMS — the windowed feature-extract shape (batched model
+    inference would consume these windows).  Output explodes rows, so
+    callers keep batch_size small like every binary-payload stage."""
+
+    def __init__(self, window: int = 1024, codec=None, id_col: str = "audio_id",
+                 payload_col: str = "payload"):
+        self.window = window
+        self.codec = codec or FakeAudioCodec()
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, wins, rmss = [], [], []
+        for aid, payload in zip(
+            batch[self.id_col].to_pylist(), batch[self.payload_col].to_pylist()
+        ):
+            pcm, _sr = self.codec.decode(payload)
+            n_full = len(pcm) // self.window
+            if n_full:
+                x = (
+                    pcm[: n_full * self.window]
+                    .astype(np.float64)
+                    .reshape(n_full, self.window)
+                )
+                w_rms = np.sqrt((x * x).mean(axis=1))
+                ids.extend([aid] * n_full)
+                wins.extend(range(n_full))
+                rmss.extend(float(v) for v in w_rms)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, type=pa.int64()),
+                "win_idx": pa.array(wins, type=pa.int64()),
+                "rms": pa.array(rmss, type=pa.float64()),
+            }
+        )
+
+
+# --- video -----------------------------------------------------------------
+
+VIDEO_MAGIC = b"FVID"  # header: MAGIC | u16 w | u16 h | u16 n_frames | frames
+
+
+def make_fake_video(n_frames: int, width: int, height: int, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(
+        0, 256, size=n_frames * width * height, dtype=np.uint8
+    )
+    return (
+        VIDEO_MAGIC
+        + struct.pack("<HHH", width, height, n_frames)
+        + frames.tobytes()
+    )
+
+
+class FakeVideoCodec:
+    """Deterministic stand-in for the stubbed video decode."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if payload[:4] != VIDEO_MAGIC:
+            raise ValueError("bad magic")
+        w, h, n = struct.unpack("<HHH", payload[4:10])
+        return np.frombuffer(
+            payload[10 : 10 + n * w * h], dtype=np.uint8
+        ).reshape(n, h, w)
+
+
+class VideoFrameSample:
+    """Actor-pool flat-map stage: uniformly sample ``n_samples`` frames per
+    video and emit each as a FIMG image payload row — composable with
+    :class:`ImageFeatures`/`ImageResize` downstream (frame-sample →
+    feature-extract is the standard video pipeline shape)."""
+
+    def __init__(self, n_samples: int = 4, codec=None, id_col: str = "video_id",
+                 payload_col: str = "payload"):
+        self.n_samples = n_samples
+        self.codec = codec or FakeVideoCodec()
+        self.img_codec = FakeImageCodec()
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, fidx, payloads = [], [], []
+        for vid, payload in zip(
+            batch[self.id_col].to_pylist(), batch[self.payload_col].to_pylist()
+        ):
+            frames = self.codec.decode(payload)
+            n = frames.shape[0]
+            k = min(self.n_samples, n)
+            # deterministic uniform sampling (first frame of each k-section)
+            take = (np.arange(k) * n) // k
+            for i in take:
+                vids.append(vid)
+                fidx.append(int(i))
+                payloads.append(self.img_codec.encode(frames[i]))
+        return pa.table(
+            {
+                self.id_col: pa.array(vids, type=pa.int64()),
+                "frame_idx": pa.array(fidx, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+
+def audio_features(ds, batch_size: int = 64, concurrency=(1, 4)):
+    return ds.map_batches(
+        AudioFeatures, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def video_frame_sample(ds, n_samples: int = 4, batch_size: int = 16,
+                       concurrency=(1, 4)):
+    # video payloads are the largest: smallest default batch of any stage
+    return ds.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"n_samples": n_samples},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

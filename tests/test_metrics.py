@@ -138,3 +138,15 @@ def test_entity_metrics_empty_intersection_zeroes():
         )
     )
     assert entity_metrics(ds) == (0.0, 0.0, 0.0)
+
+
+def test_best_metric_tracker():
+    from ner_funtool_ray.metrics.tag_metrics import BestMetricTracker
+
+    t = BestMetricTracker()
+    assert t.update(0.5) is True      # first value always improves
+    assert t.update(0.4) is False
+    assert t.update(0.67) is True
+    assert t.update(0.67) is False    # ties do not re-save (reference: >)
+    assert t.best == 0.67 and t.best_round == 2
+    assert t.history == [0.5, 0.4, 0.67, 0.67]

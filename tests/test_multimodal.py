@@ -61,3 +61,90 @@ def test_image_resize_pipeline_composable():
     # binary column type preserved through the stage
     sch = resized.schema()
     assert sch.base_schema.field("payload").type == pa.binary()
+
+
+def test_audio_roundtrip_and_features():
+    from ner_funtool_ray.stages.multimodal import (
+        AudioFeatures,
+        FakeAudioCodec,
+        make_fake_audio,
+    )
+
+    payload = make_fake_audio(16000, sample_rate=16000, seed=3)
+    pcm, sr = FakeAudioCodec().decode(payload)
+    assert sr == 16000 and len(pcm) == 16000
+    tbl = pa.table(
+        {
+            "audio_id": [0, 1],
+            "payload": pa.array(
+                [payload, make_fake_audio(4000, 8000, seed=4)], type=pa.binary()
+            ),
+        }
+    )
+    out = AudioFeatures()(tbl)
+    assert out["duration_sec"].to_pylist() == [1.0, 0.5]
+    assert all(v > 0 for v in out["rms"].to_pylist())
+    assert all(0 < v < 1 for v in out["zero_cross_rate"].to_pylist())
+
+
+def test_audio_window_features_rowcount():
+    from ner_funtool_ray.stages.multimodal import (
+        AudioWindowFeatures,
+        make_fake_audio,
+    )
+
+    tbl = pa.table(
+        {
+            "audio_id": [7],
+            "payload": pa.array([make_fake_audio(5000, seed=1)], type=pa.binary()),
+        }
+    )
+    out = AudioWindowFeatures(window=1024)(tbl)
+    assert out.num_rows == 4  # 5000 // 1024 full windows
+    assert out["win_idx"].to_pylist() == [0, 1, 2, 3]
+
+
+def test_video_frame_sample_composes_with_image_features():
+    import ray.data
+
+    from ner_funtool_ray.stages.multimodal import (
+        FakeVideoCodec,
+        image_features,
+        make_fake_video,
+        video_frame_sample,
+    )
+
+    payload = make_fake_video(10, 16, 12, seed=5)
+    frames = FakeVideoCodec().decode(payload)
+    assert frames.shape == (10, 12, 16)
+    tbl = pa.table(
+        {
+            "video_id": [0, 1],
+            "payload": pa.array(
+                [payload, make_fake_video(3, 8, 8, seed=6)], type=pa.binary()
+            ),
+        }
+    )
+    sampled = video_frame_sample(ray.data.from_arrow(tbl), n_samples=4)
+    feats = image_features(sampled).to_pandas().sort_values(
+        ["video_id", "frame_idx"]
+    )
+    # video 0: 4 uniform frames (0,2,5,7); video 1: capped at its 3 frames
+    assert list(feats["video_id"]) == [0, 0, 0, 0, 1, 1, 1]
+    assert list(feats["frame_idx"])[:4] == [0, 2, 5, 7]
+    assert set(feats[feats.video_id == 0]["width"]) == {16}
+    assert set(feats[feats.video_id == 1]["height"]) == {8}
+
+
+def test_video_frame_sample_deterministic():
+    from ner_funtool_ray.stages.multimodal import VideoFrameSample, make_fake_video
+
+    tbl = pa.table(
+        {
+            "video_id": [0],
+            "payload": pa.array([make_fake_video(20, 8, 8, seed=9)], type=pa.binary()),
+        }
+    )
+    a = VideoFrameSample(n_samples=5)(tbl)
+    b = VideoFrameSample(n_samples=5)(tbl)
+    assert a.equals(b)
