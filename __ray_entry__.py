@@ -649,6 +649,12 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(sf_dir)
 
 
+def _q_shipping_priority(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import shipping_priority
+
+    return shipping_priority(sf_dir)
+
+
 def _q_top_orders(sf_dir: str):
     from ner_funtool_ray.pipelines.relational import top_orders
 
@@ -757,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tumbling window) — oracle-checked.
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
+        "shipping_priority": _q_shipping_priority,
         "top_orders": _q_top_orders,
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
@@ -792,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _WINNOW_SQL,
         "pricing_summary": _rel.PRICING_SUMMARY_SQL,
         "revenue_by_nation": _rel.REVENUE_BY_NATION_SQL,
+        "shipping_priority": _rel.SHIPPING_PRIORITY_SQL,
         "top_orders": _rel.TOP_ORDERS_SQL,
         "events_hourly": _rel.EVENTS_HOURLY_SQL,
         "user_sessions": _rel.USER_SESSIONS_SQL,

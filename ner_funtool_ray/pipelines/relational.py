@@ -298,6 +298,161 @@ GROUP BY n.n_name
 """
 
 
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1995-03-15",
+    k: int = 10,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem → top-k orders by
+    revenue.  This is the engine's FACT-TO-FACT shuffle join (orders ⋈
+    lineitem are both O(rows); the dim joins elsewhere broadcast):
+
+    - semi-join pushdown: the segment-filtered custkey set is small →
+      broadcast once, applied as a vectorized ``np.isin`` mask on orders
+      (at catalog scale this side would fall back to the same bucketed
+      join, like ``revenue_by_nation``'s guard);
+    - lineitem never crosses the wire raw: per-batch partial revenue
+      (integer cents) per orderkey is the combiner, so the shuffle carries
+      one row per orderkey per batch;
+    - both sides co-locate by ``orderkey % n_buckets``; per bucket a
+      pandas merge + group-sum + LOCAL top-k (orderkeys are
+      bucket-disjoint, so pruning to k per bucket is exact); the final
+      sort touches k × n_buckets rows."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filters=[("c_mktsegment", "==", segment)],
+    )
+    keys = np.sort(cust["c_custkey"].to_numpy())
+    keys_ref = ray.put(keys)
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["o_orderdate"], cut))
+        mask = np.isin(batch["o_custkey"].to_numpy(), ray.get(keys_ref))
+        batch = batch.filter(pa.array(mask))
+        n = batch.num_rows
+        ok = batch["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "orderkey": pa.array(ok),
+                "rev_c": pa.array(np.zeros(n, dtype=np.int64)),
+                "o_orderdate": batch["o_orderdate"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "bucket": pa.array(ok % np.int64(n_buckets)),
+            }
+        )
+
+    def lineitem_side(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cut))
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])
+        )
+        df = (
+            pd.DataFrame(
+                {
+                    "orderkey": batch["l_orderkey"].to_numpy().astype(np.int64),
+                    "rev_c": _cents(rev).to_numpy(),
+                }
+            )
+            .groupby("orderkey", sort=False)["rev_c"]
+            .sum()
+            .reset_index()
+        )
+        n = len(df)
+        ok = df["orderkey"].to_numpy()
+        return pa.table(
+            {
+                "orderkey": pa.array(ok),
+                "rev_c": pa.array(df["rev_c"].to_numpy()),
+                "o_orderdate": pa.nulls(n, type=pa.timestamp("us")),
+                "o_orderpriority": pa.nulls(n, type=pa.string()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "bucket": pa.array(ok % np.int64(n_buckets)),
+            }
+        )
+
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_side, batch_format="pyarrow")
+    items = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(lineitem_side, batch_format="pyarrow")
+
+    def bucket_join(group: pd.DataFrame) -> pa.Table:
+        o = group[group["kind"] == 1]
+        l = group[group["kind"] == 0]
+        if o.empty or l.empty:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], type=pa.int64()),
+                    "rev_c": pa.array([], type=pa.int64()),
+                    "o_orderdate": pa.array([], type=pa.timestamp("us")),
+                    "o_orderpriority": pa.array([], type=pa.string()),
+                }
+            )
+        rev = l.groupby("orderkey", sort=False)["rev_c"].sum().reset_index()
+        m = rev.merge(
+            o[["orderkey", "o_orderdate", "o_orderpriority"]], on="orderkey"
+        )
+        top = m.sort_values(
+            ["rev_c", "orderkey"], ascending=[False, True]
+        ).head(k)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(top["orderkey"].to_numpy(), type=pa.int64()),
+                "rev_c": pa.array(top["rev_c"].to_numpy(), type=pa.int64()),
+                "o_orderdate": pa.Array.from_pandas(
+                    top["o_orderdate"], type=pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(
+                    top["o_orderpriority"].tolist(), type=pa.string()
+                ),
+            }
+        )
+
+    top = (
+        orders.union(items)
+        .groupby("bucket")
+        .map_groups(bucket_join, batch_format="pandas")
+        .sort(["rev_c", "l_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue": pc.divide(pc.cast(b["rev_c"], pa.float64()), 100.0),
+                "o_orderdate": b["o_orderdate"],
+                "o_orderpriority": b["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l.l_orderkey,
+  sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) / 100.0 AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+"""
+
+
 def top_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     """Top-k orders by total price: per-batch local top-k partials, then a
     small global sort — never a full sort of the fact table."""
