@@ -664,24 +664,36 @@ QUALIFY row_number() OVER (
 
 def event_props_k(sf_dir: str) -> "ray.data.Dataset":
     """JSON scalar extraction (§2.8): events.props is a JSON string
-    ``{"k": n}`` → (event_id, k).  Vectorized-enough json.loads per batch;
-    SQL twin uses json_extract."""
-    import json
+    ``{"k": n}`` → (event_id, k).  Vectorized via polars'
+    Rust-native ``json_path_match`` (zero Python per row); stdlib
+    ``json.loads`` fallback if polars is absent.  SQL twin uses
+    json_extract."""
+    try:
+        import polars as pl
+    except ImportError:
+        pl = None
 
     ds = read_parquet_auto(
         f"{sf_dir}/events.parquet", columns=["event_id", "props"]
     )
 
     def parse(batch: pa.Table) -> pa.Table:
-        ks = [
-            int(json.loads(p).get("k")) for p in batch["props"].to_pylist()
-        ]
-        return pa.table(
-            {
-                "event_id": batch["event_id"],
-                "k": pa.array(ks, type=pa.int64()),
-            }
-        )
+        if pl is not None:
+            s = pl.from_arrow(batch["props"].combine_chunks())
+            ks = (
+                s.str.json_path_match("$.k")
+                .cast(pl.Int64)
+                .to_arrow()
+                .cast(pa.int64())
+            )
+        else:
+            import json
+
+            ks = pa.array(
+                [int(json.loads(p)["k"]) for p in batch["props"].to_pylist()],
+                type=pa.int64(),
+            )
+        return pa.table({"event_id": batch["event_id"], "k": ks})
 
     return ds.map_batches(parse, batch_format="pyarrow")
 

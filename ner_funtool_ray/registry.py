@@ -84,6 +84,13 @@ def _register_builtins() -> None:
     register_stage("sentence-split", _split_batch, batch_format="pyarrow")
     register_pipeline("kg-gazetteer", kg_from_sf_dir)
     register_pipeline("kg-model", model_triples)
+    register_pipeline(
+        "kg-bert", lambda sf_dir: model_triples(sf_dir, model="bert")
+    )
+    register_pipeline(
+        "kg-cascade-bert",
+        lambda sf_dir: model_triples(sf_dir, cascade=True, model="bert"),
+    )
 
 
 _register_builtins()
