@@ -133,3 +133,91 @@ def test_clue_label_assembly_roundtrip(case):
         for s, e in offs
     }
     assert back == {(s, e, t) for s, e, t in spans}
+
+
+# --- round-2 additions -----------------------------------------------------
+
+
+@st.composite
+def edge_lists(draw):
+    n_nodes = draw(st.integers(min_value=2, max_value=40))
+    n_edges = draw(st.integers(min_value=1, max_value=80))
+    edges = [
+        (
+            draw(st.integers(min_value=0, max_value=n_nodes - 1)),
+            draw(st.integers(min_value=0, max_value=n_nodes - 1)),
+        )
+        for _ in range(n_edges)
+    ]
+    return [(a, b) for a, b in edges if a != b]
+
+
+@given(edge_lists())
+@settings(max_examples=200, deadline=None)
+def test_union_find_matches_bfs_components(edges):
+    """clusters_from_pairs (the driver oracle for the distributed
+    min-label propagation) must equal plain BFS connected components with
+    min-node labels, on arbitrary multigraphs incl. duplicate/reversed
+    edges."""
+    import pandas as pd
+
+    from ner_funtool_ray.stages.dedup import clusters_from_pairs
+
+    if not edges:
+        return
+    got = clusters_from_pairs(
+        pd.DataFrame({"a": [a for a, _ in edges], "b": [b for _, b in edges]})
+    )
+    # BFS reference
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    seen: set[int] = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, queue = [], [start]
+        seen.add(start)
+        while queue:
+            x = queue.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    queue.append(y)
+        label = min(comp)
+        for x in comp:
+            want[x] = label
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+
+
+@given(st.text(alphabet="ab cd\t\n中国x", max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_winnow_whitespace_invariance(text):
+    """Winnowing fingerprints are invariant to whitespace layout (the
+    normalization contract shared with the SQL twin)."""
+    from ner_funtool_ray.pipelines.textops import _WinnowStage
+
+    st_ = _WinnowStage()
+    a = st_._doc_fps(text)
+    b = st_._doc_fps("  ".join(text.split()))
+    assert a == b
+
+
+@given(st.text(alphabet="abc def 中国", max_size=80))
+@settings(max_examples=100, deadline=None)
+def test_minhash_signature_deterministic_and_band_consistent(text):
+    import numpy as np
+
+    from ner_funtool_ray.functions.hashing import MinHasher, char_ngrams
+
+    h1 = MinHasher(num_perm=32, seed=9)
+    h2 = MinHasher(num_perm=32, seed=9)
+    s1 = h1.signature(char_ngrams(text))
+    s2 = h2.signature(char_ngrams(text))
+    assert np.array_equal(s1, s2)
+    assert h1.band_keys(s1, 8) == h2.band_keys(s2, 8)
+    # universal-hash range: truncated to 32 bits
+    assert (s1 <= 0xFFFFFFFF).all()
