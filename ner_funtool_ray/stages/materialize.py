@@ -53,6 +53,8 @@ def appears_in_triples(mentions: "ray.data.Dataset") -> "ray.data.Dataset":
     out = bucketed_group_sum(
         partial, ["subj", "pred", "obj"],
         sum_cols={"weight": "weight"}, count_col=None,
+        driver_cap=2_000_000,  # triple partials ≈ bounded output → the
+        # size-guarded driver merge skips the fixed-cost sort when small
     )
     return out.select_columns(["subj", "pred", "obj", "weight"])
 
@@ -116,6 +118,7 @@ def cooccurs_triples(
     out = bucketed_group_sum(
         pairs, ["subj", "pred", "obj"],
         sum_cols={"weight": "weight"}, count_col=None,
+        driver_cap=2_000_000,
     )
     return out.select_columns(["subj", "pred", "obj", "weight"])
 
@@ -151,6 +154,9 @@ def doc_entity_summary(
                 mentions.select_columns(["row_id", "repo", "entity_id"]),
                 ["row_id", "repo", "entity_id"],
                 count_col="n_mentions",
+                driver_cap=2_000_000,  # partials ≈ summary here (docs
+                # rarely split across batches) and the summary is being
+                # checkpointed anyway — the pin just moves earlier
             )
             summary.select_columns(
                 ["row_id", "repo", "entity_id", "n_mentions"]
@@ -161,6 +167,7 @@ def doc_entity_summary(
         mentions.select_columns(["row_id", "repo", "entity_id"]),
         ["row_id", "repo", "entity_id"],
         count_col="n_mentions",
+        driver_cap=2_000_000,  # see checkpoint branch note
     )
     return summary.materialize()
 
@@ -212,6 +219,7 @@ def all_triples(
     merged = bucketed_group_sum(
         appears.union(cooccur), ["subj", "pred", "obj"],
         sum_cols={"weight": "weight"}, count_col=None,
+        driver_cap=2_000_000,  # final triple merge: partials ≈ output
     )
     return merged.select_columns(["subj", "pred", "obj", "weight"])
 
