@@ -61,6 +61,12 @@ def run_bench() -> dict:
     for t in ("documents", "embeddings"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
+    # warm the Ray worker pool (process spawn + library import) so the first
+    # timed query measures the engine, not one-time worker startup
+    ray.data.range(1_000, override_num_blocks=NUM_CPUS).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+
     bench_queries = [
         "kg_triples",          # headline: full KG pipeline → triples
         "kg_mention_counts",
