@@ -341,8 +341,11 @@ class BertCascadeNerTagger(BertNerTagger):
     pred_tags plus the raw bmeo/attr streams like :class:`CascadeNerTagger`."""
 
     def __init__(self, weights_path: str | None = None, max_seq_len: int = 128,
-                 seed: int = 29, text_col: str = "sentence",
+                 seed: int = 17, text_col: str = "sentence",
                  out_col: str = "pred_tags"):
+        # seed 17 picked from a sweep: it yields a rich mention stream from
+        # the stand-in weights (seeds vary 45-327 non-O tags on the same
+        # fixture; a sparse head exercises little of the decode path)
         from ner_funtool_ray.model.transformer import (
             BertCascade,
             init_transformer_weights,
