@@ -55,15 +55,25 @@ def main(argv: list[str] | None = None) -> int:
             print(name)
         return 0
 
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
+        # Attach to the submitting cluster when one is advertised (the
+        # ``ray job submit`` path sets RAY_ADDRESS); only fall back to a
+        # fresh single-node instance when no cluster exists.  num_cpus is
+        # only legal for the local fallback.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr == "local":
+            ray.init(
+                address="local",
+                num_cpus=args.num_cpus,
+                include_dashboard=False,
+                logging_level="ERROR",
+            )
+        else:
+            ray.init(address=addr, logging_level="ERROR")
 
     if not args.input or not args.output:
         print("--input and --output are required (or use --list)", file=sys.stderr)

@@ -50,7 +50,10 @@ GAZETTEER: dict[str, str] = {
 import re as _re
 
 _BAD = [t for t in GAZETTEER if not _re.fullmatch(r"[A-Za-z0-9_]+", t)]
-assert not _BAD, f"gazetteer terms must be ASCII word chars (\\b parity): {_BAD}"
+if _BAD:  # explicit raise — an assert would vanish under `python -O`
+    raise ValueError(
+        f"gazetteer terms must be ASCII word chars (\\b parity): {_BAD}"
+    )
 
 # surface → canonical surface (alias merge during canonicalization).
 ALIASES: dict[str, str] = {

@@ -523,30 +523,98 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
 
 
 def customers_without_big_orders(
-    sf_dir: str, threshold: float = 400_000.0
+    sf_dir: str,
+    threshold: float = 400_000.0,
+    broadcast_limit: int = 5_000_000,
+    n_buckets: int = 32,
 ) -> "ray.data.Dataset":
-    """Anti-join: customers with no order above ``threshold``.  The
-    qualifying-custkey set is computed with a pushed-down row filter at the
-    read, broadcast as a set, and applied inside map_batches (no shuffle;
-    SURVEY §2.5 semi/anti-join pattern)."""
+    """Anti-join: customers with no order above ``threshold``.
+
+    Size-guarded plan (mirrors ``revenue_by_nation``, guarded by parquet
+    METADATA row count — no data read to decide): when orders is small
+    enough for a driver-side filtered key read, the qualifying custkeys
+    are broadcast once as a sorted unique int64 array and applied with
+    vectorized ``np.isin`` inside map_batches (no shuffle).  Above the
+    limit the plan is a fully distributed bucketed shuffle anti-join:
+    orders are read and filtered IN TASKS, both sides co-located by
+    ``custkey % n_buckets``, per-bucket vectorized ``isin``.  Identical
+    results either way."""
     import pyarrow.parquet as pq
 
-    big = pq.read_table(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_custkey"],
-        filters=[("o_totalprice", ">", threshold)],
-    )
-    keys = set(big["o_custkey"].to_pylist())
-    keys_ref = ray.put(keys)
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
 
-    def anti(batch: pa.Table) -> pa.Table:
-        k = ray.get(keys_ref)
-        mask = pa.array([c not in k for c in batch["c_custkey"].to_pylist()])
-        return batch.filter(mask)
+    if n_orders <= broadcast_limit:
+        big = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey"],
+            filters=[("o_totalprice", ">", threshold)],
+        )
+        keys = np.unique(np.asarray(big["o_custkey"]).astype(np.int64))
+        keys_ref = ray.put(keys)
 
-    return ray.data.read_parquet(
+        def anti(batch: pa.Table) -> pa.Table:
+            k = ray.get(keys_ref)
+            cust = np.asarray(batch["c_custkey"]).astype(np.int64)
+            return batch.filter(
+                pa.array(~np.isin(cust, k, assume_unique=False))
+            )
+
+        return read_parquet_auto(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        ).map_batches(anti, batch_format="pyarrow")
+
+    # big-orders fallback: orders are read + filtered in tasks (never on
+    # the driver); the shuffle carries distinct qualifying custkeys per
+    # batch + customer rows only
+    def key_rows(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(
+            pc.greater(batch["o_totalprice"], pa.scalar(threshold))
+        )
+        cust = np.unique(np.asarray(hit["o_custkey"]).astype(np.int64))
+        return pa.table(
+            {
+                "c_custkey": pa.array(cust, type=pa.int64()),
+                "c_name": pa.nulls(len(cust), type=pa.string()),
+                "kind": pa.array(np.zeros(len(cust), dtype=np.int8)),
+                "bucket": pa.array(cust % np.int64(n_buckets)),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        cust = np.asarray(batch["c_custkey"]).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_name": batch["c_name"],
+                "kind": pa.array(np.ones(len(cust), dtype=np.int8)),
+                "bucket": pa.array(cust % np.int64(n_buckets)),
+            }
+        )
+
+    def bucket_anti(group: pd.DataFrame) -> pa.Table:
+        bad = group.loc[group["kind"] == 0, "c_custkey"].to_numpy()
+        cust = group[group["kind"] == 1]
+        keep = cust[~np.isin(cust["c_custkey"].to_numpy(), bad)]
+        return pa.table(
+            {
+                "c_custkey": pa.array(
+                    keep["c_custkey"].to_numpy(), type=pa.int64()
+                ),
+                "c_name": pa.array(keep["c_name"], type=pa.string()),
+            }
+        )
+
+    filtered_orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(key_rows, batch_format="pyarrow")
+    customers = read_parquet_auto(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).map_batches(anti, batch_format="pyarrow")
+    ).map_batches(cust_rows, batch_format="pyarrow")
+    return (
+        filtered_orders.union(customers)
+        .groupby("bucket")
+        .map_groups(bucket_anti, batch_format="pandas")
+    )
 
 
 CUSTOMERS_WITHOUT_BIG_ORDERS_SQL = """

@@ -229,6 +229,15 @@ def clusters_from_pairs_ds(
         if cur_sum == prev_sum:  # monotone → unchanged sum ⟺ fixpoint
             break
         prev_sum = cur_sum
+    else:
+        # Rounds needed = component diameter; silently returning here
+        # would hand back WRONG (unconverged) cluster labels for chains
+        # longer than max_rounds hops — fail loudly instead.
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds "
+            "(component diameter exceeds max_rounds); re-run with a larger "
+            "max_rounds"
+        )
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(

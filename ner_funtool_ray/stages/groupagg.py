@@ -83,7 +83,20 @@ def bucketed_group_sum(
     parts = ds.map_batches(partial, batch_format="pyarrow")
     if driver_cap is not None:
         parts = parts.materialize()
-        if parts.count() <= driver_cap:
+        n_parts = parts.count()
+        if n_parts == 0:
+            # empty-Dataset trap: .to_pandas() on zero rows DROPS columns
+            # (and .schema() can be None), so the groupby below would
+            # KeyError — run the partial fn on an empty input table built
+            # from the INPUT schema to get a correctly-typed empty result
+            in_sch = ds.schema()
+            if in_sch is None:
+                return parts  # no schema anywhere: already empty
+            empty_in = pa.table(
+                {n: pa.array([], type=t) for n, t in zip(in_sch.names, in_sch.types)}
+            )
+            return ray.data.from_arrow(partial(empty_in).drop_columns(["bucket"]))
+        if n_parts <= driver_cap:
             cols = list(sum_cols) + ([count_col] if count_col else [])
             df = parts.drop_columns(["bucket"]).to_pandas()
             agg = (

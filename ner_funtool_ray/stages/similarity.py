@@ -155,12 +155,26 @@ def multiquery_topk(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         ids_q, qu = ray.get(ref)
+        if batch.num_rows == 0:  # argsort on an empty axis would raise
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
         mat = _batch_matrix(batch, vec_col)
         unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
         scores = unit @ qu.T  # (B, Q)
         kk = min(k, scores.shape[0])
-        take = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, Q)
-        rows = take.ravel(order="F")
+        # deterministic boundary ties: pre-order rows by vec_id, then a
+        # STABLE descending-score argsort per query column — equal scores
+        # at the kk cut keep the lowest vec_id, matching the SQL oracle's
+        # (score DESC, vec_id) ordering
+        ids_rows = np.asarray(batch[id_col]).astype(np.int64)
+        byid = np.argsort(ids_rows, kind="stable")
+        take = np.argsort(-scores[byid], axis=0, kind="stable")[:kk]  # (kk, Q)
+        rows = byid[take.ravel(order="F")]
         out_q = np.repeat(ids_q, kk)
         out_s = scores[rows, np.repeat(np.arange(len(ids_q)), kk)]
         return pa.table(

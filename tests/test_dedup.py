@@ -246,3 +246,34 @@ def test_simhash_stage_cache_parity():
     # run twice — cache hits must not change results
     for t in texts:
         assert stage._simhash(t) == simhash64(t)
+
+
+def test_multiquery_topk_tie_break_and_empty_batch():
+    # equal scores at the local-topk boundary must keep the LOWEST vec_id
+    # (the SQL oracle's (score DESC, vec_id) order), and an empty block
+    # must not crash the local stage
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ner_funtool_ray.stages.similarity import multiquery_topk
+
+    # 8 identical unit vectors → all scores tie at 1.0; k=3 must pick ids 0,1,2
+    vecs = [[1.0, 0.0]] * 8
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(8)), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+        }
+    )
+    empty = tbl.slice(0, 0)
+    ds = ray.data.from_arrow([tbl.slice(0, 4), empty, tbl.slice(4, 4)])
+    out = (
+        multiquery_topk(
+            ds, np.array([7]), np.array([[1.0, 0.0]]), k=3
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert list(out["vec_id"]) == [0, 1, 2]
+    assert (out["score"] == 1.0).all()

@@ -92,3 +92,40 @@ def test_null_group_keys_kept():
     assert null_rows == [(6, 2)]  # the NULL group survives with w=2+4
     assert by_key["a"] == (4, 2)
     assert by_key["b"] == (5, 1)
+
+
+def test_empty_input_driver_cap_returns_empty_with_schema():
+    # Regression (ADVICE r2): empty partials + driver_cap used to KeyError
+    # because Dataset.to_pandas() drops columns on zero rows
+    empty = _table(n=100, seed=3).slice(0, 0)  # zero rows, real schema
+    ds = ray.data.from_arrow(empty)
+    out = bucketed_group_sum(
+        ds, ["k1"], sum_cols={"w": "w"}, count_col="n", driver_cap=1000
+    )
+    assert out.count() == 0
+    assert set(out.schema().names) == {"k1", "w", "n"}
+
+
+def test_driver_cap_matches_shuffle_path():
+    tbl = _table(n=20000, seed=4)
+    ds1 = ray.data.from_arrow(tbl).repartition(8)
+    ds2 = ray.data.from_arrow(tbl).repartition(8)
+    via_driver = (
+        bucketed_group_sum(
+            ds1, ["k1", "k2"], sum_cols={"w": "w"}, count_col=None,
+            driver_cap=10_000_000,
+        )
+        .to_pandas()[["k1", "k2", "w"]]
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    via_shuffle = (
+        bucketed_group_sum(
+            ds2, ["k1", "k2"], sum_cols={"w": "w"}, count_col=None,
+            driver_cap=None,
+        )
+        .to_pandas()[["k1", "k2", "w"]]
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    assert via_driver.equals(via_shuffle)

@@ -88,3 +88,16 @@ def test_revenue_by_nation_shuffle_join_fallback_matches_oracle():
     con = _duck(SF_DIR)  # keep the connection alive while the relation runs
     expect = _normalize(con.sql(ORACLES["revenue_by_nation"]).df())
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_customers_without_big_orders_fallback_matches_oracle():
+    # broadcast_limit=0 forces the fully distributed bucketed anti-join;
+    # it must equal the broadcast np.isin path / the SQL twin exactly
+    from ner_funtool_ray.pipelines.relational import customers_without_big_orders
+
+    got = _normalize(
+        customers_without_big_orders(SF_DIR, broadcast_limit=0).to_pandas()
+    )
+    con = _duck(SF_DIR)
+    expect = _normalize(con.sql(ORACLES["customers_without_big_orders"]).df())
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
