@@ -343,6 +343,202 @@ SELECT DISTINCT doc_id, m::BIGINT AS fingerprint
 FROM winmin WHERE i <= n - least(4, n) + 1
 """
 
+# --- linking oracles --------------------------------------------------------
+# The P5 linker (stages/link.py) is fully SQL-reproducible since round 3:
+# blocking = MinHash(32 perms, seed 5, 16 bands) over char-3grams (same
+# md5_number_upper & 0xFFFFFFFF hash + injected (a,b) literals as the
+# dedup_minhash oracle), scoring = cosine between md5-derived hash
+# embeddings (functions/md5vec.py: component l of gram g =
+# md5_number_lower('emb:'+g+':'+l)/2^64*2-1 — bit-identical on both
+# engines).  The candidate universe is static (gazetteer surfaces ×
+# canonical catalog), so the link table is computed over VALUES lists.
+
+
+def _link_table_sql(threshold: float = 0.85, dim: int = 64) -> str:
+    """(surface, linked_entity, link_score) for every gazetteer surface —
+    twin of stages/link.py:EntityLinker.link_one over the canonical
+    catalog (pipelines/kg.py:linked_mentions)."""
+    from ner_funtool_ray.functions.hashing import MinHasher
+
+    catalog = sorted({ALIASES.get(t, t) for t in GAZETTEER})
+    surfaces = sorted(GAZETTEER)
+    h = MinHasher(num_perm=32, seed=5)
+    ab = ",".join(
+        f"({i},{int(a)}::UBIGINT,{int(b)}::UBIGINT)"
+        for i, (a, b) in enumerate(zip(h.a, h.b))
+    )
+    mers = (1 << 61) - 1
+    surf_vals = ",".join(f"('{s}')" for s in surfaces)
+    cat_vals = ",".join(f"('{e}')" for e in catalog)
+    return f"""
+WITH surf(surface) AS (VALUES {surf_vals}),
+cat(ent) AS (VALUES {cat_vals}),
+items AS (
+  SELECT 0 AS side, surface AS key, trim(lower(surface)) AS txt FROM surf
+  UNION ALL
+  SELECT 1, ent, lower(ent) FROM cat
+),
+itemsn AS (
+  SELECT side, key,
+    array_to_string(list_filter(regexp_split_to_array(txt, '\\s+'), x -> x <> ''), ' ') AS t
+  FROM items
+),
+grams AS (
+  SELECT side, key,
+    CASE WHEN length(t) >= 3 THEN list_distinct(list_transform(generate_series(1, length(t)-2), i -> substring(t, i, 3)))
+         WHEN length(t) >= 1 THEN [t] ELSE [] END AS gs
+  FROM itemsn
+),
+gx AS (SELECT side, key, unnest(gs) AS g FROM grams),
+hx AS (SELECT side, key, md5_number_upper(g)::UBIGINT & 4294967295 AS x FROM gx),
+perms(p, a, b) AS (VALUES {ab}),
+sig AS (
+  SELECT side, key, p, min(((a * x + b) % {mers}) & 4294967295) AS v
+  FROM hx CROSS JOIN perms GROUP BY side, key, p
+),
+bandrows AS (
+  SELECT side, key, p // 2 AS band, string_agg(v, ',' ORDER BY p) AS bk
+  FROM sig GROUP BY side, key, p // 2
+),
+cand AS (
+  SELECT DISTINCT m.key AS surface, e.key AS ent
+  FROM bandrows m JOIN bandrows e ON m.band = e.band AND m.bk = e.bk
+  WHERE m.side = 0 AND e.side = 1
+),
+dims AS (SELECT unnest(range({dim})) AS l),
+emb AS (
+  SELECT side, key, l,
+    sum(md5_number_lower('emb:' || g || ':' || l) / 18446744073709551616.0 * 2.0 - 1.0) AS e
+  FROM gx CROSS JOIN dims GROUP BY side, key, l
+),
+nrm AS (SELECT side, key, sqrt(sum(e*e)) AS nn FROM emb GROUP BY side, key),
+scored AS (
+  SELECT c.surface, c.ent, sum(em.e * ee.e) / (nm.nn * ne.nn) AS score
+  FROM cand c
+  JOIN emb em ON em.side = 0 AND em.key = c.surface
+  JOIN emb ee ON ee.side = 1 AND ee.key = c.ent AND ee.l = em.l
+  JOIN nrm nm ON nm.side = 0 AND nm.key = c.surface
+  JOIN nrm ne ON ne.side = 1 AND ne.key = c.ent
+  GROUP BY c.surface, c.ent, nm.nn, ne.nn
+),
+best AS (
+  SELECT surface, ent, score,
+         row_number() OVER (PARTITION BY surface ORDER BY score DESC, ent) AS rn
+  FROM scored
+)
+SELECT s.surface,
+  CASE WHEN b.score >= {threshold} THEN b.ent ELSE '' END AS linked_entity,
+  CASE WHEN b.score >= {threshold} THEN round(b.score, 6) ELSE 0.0 END AS link_score
+FROM surf s LEFT JOIN best b ON b.surface = s.surface AND b.rn = 1
+"""
+
+
+_LINKED_MENTIONS_SQL = f"""
+WITH sents AS ({_SENTENCES_SQL}),
+mts AS (
+  SELECT row_id, repo, path, sent_id,
+         unnest(regexp_extract_all(sentence, '{_GAZ_PATTERN}', 1)) AS surface
+  FROM sents
+),
+lk AS (
+  SELECT surface AS lsurf, linked_entity, link_score
+  FROM ({_link_table_sql()})
+)
+SELECT m.row_id, m.repo, m.path, m.sent_id, m.surface,
+       {_TYPE_CASE} AS entity_type,
+       {_ALIAS_CASE} AS canonical,
+       'ent:' || {_ALIAS_CASE} AS entity_id,
+       lk.linked_entity, lk.link_score
+FROM mts m JOIN lk ON lk.lsurf = m.surface
+"""
+
+# Triples over the LINKING-based canonicalization (kg.py:kg_triples_linked):
+# entity = linked_entity when the linker is confident, else the
+# alias-normalized surface; then the same appears_in/cooccurs_with assembly
+# as _TRIPLES_SQL.
+_TRIPLES_LINKED_SQL = f"""
+WITH m AS (
+  SELECT doc_id, 'repos/' || source AS repo,
+         unnest(regexp_extract_all(text, '{_GAZ_PATTERN}', 1)) AS surface
+  FROM documents
+),
+lk AS (
+  SELECT surface AS lsurf, linked_entity, link_score
+  FROM ({_link_table_sql()})
+),
+c AS (
+  SELECT m.doc_id, m.repo,
+    'ent:' || CASE WHEN lk.linked_entity <> '' THEN lk.linked_entity
+                   ELSE {_ALIAS_CASE} END AS entity_id
+  FROM m JOIN lk ON lk.lsurf = m.surface
+),
+appears AS (
+  SELECT entity_id AS subj, 'appears_in' AS pred, repo AS obj,
+         count(*)::BIGINT AS weight
+  FROM c GROUP BY entity_id, repo
+),
+d AS (SELECT DISTINCT doc_id, entity_id FROM c),
+cooc AS (
+  SELECT a.entity_id AS subj, 'cooccurs_with' AS pred, b.entity_id AS obj,
+         count(*)::BIGINT AS weight
+  FROM d a JOIN d b USING (doc_id)
+  WHERE a.entity_id < b.entity_id
+  GROUP BY a.entity_id, b.entity_id
+)
+SELECT * FROM appears UNION ALL SELECT * FROM cooc
+"""
+
+# --- hyperplane-LSH oracles -------------------------------------------------
+# Buckets use md5-derived planes (functions/md5vec.py:planes_sql_cte), so
+# DuckDB reproduces the exact bucketing; in-bucket scoring is the same
+# ::DOUBLE[] cosine recipe as the brute-force oracles.
+
+
+def _emb_lsh_keys_cte(n_planes: int, seed: int = 42, dim: int = 64) -> str:
+    from ner_funtool_ray.functions.md5vec import planes_sql_cte
+
+    return f"""
+planes AS ({planes_sql_cte(n_planes, dim, seed)}),
+ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS l,
+         unnest(embedding::DOUBLE[]) AS e
+  FROM embeddings
+),
+dots AS (
+  SELECT v.vec_id, pl.j, sum(v.e * pl.p) AS d
+  FROM ev v JOIN planes pl ON pl.l = v.l GROUP BY v.vec_id, pl.j
+),
+keys AS (
+  SELECT vec_id,
+         sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bk
+  FROM dots GROUP BY vec_id
+)"""
+
+
+_ANN_LSH_SQL = f"""
+WITH {_emb_lsh_keys_cte(6)}
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score
+FROM embeddings e
+JOIN keys ke ON ke.vec_id = e.vec_id
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+JOIN keys kq ON kq.vec_id = 0
+WHERE ke.bk = kq.bk
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id
+LIMIT 10
+"""
+
+_NEARDUP_LSH_SQL = f"""
+WITH {_emb_lsh_keys_cte(4)}
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a
+JOIN keys ka ON ka.vec_id = a.vec_id
+JOIN keys kb ON kb.bk = ka.bk
+JOIN embeddings b ON b.vec_id = kb.vec_id AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
 _ANN_MULTIQUERY_SQL = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8)
 SELECT query_id, vec_id, score FROM (
@@ -550,13 +746,16 @@ def _q_neardup_embedding(sf_dir: str):
 
 
 def _q_neardup_embedding_lsh(sf_dir: str):
+    """LSH-bucketed near-dup pairs (md5-derived planes → SQL-exact twin).
+    threshold 0.4 / 4 planes so the driver sweep exercises a NON-EMPTY
+    result (0.95 over gaussian test vectors had no true pairs)."""
     from ner_funtool_ray.sources.io import read_parquet_auto
     from ner_funtool_ray.stages.dedup import embedding_neardup_pairs
 
     ds = read_parquet_auto(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return embedding_neardup_pairs(ds, threshold=0.95, n_planes=6)
+    return embedding_neardup_pairs(ds, threshold=0.4, n_planes=4)
 
 
 def _q_ngram_jaccard(sf_dir: str):
@@ -627,7 +826,12 @@ def _q_linked_mentions(sf_dir: str):
     from ner_funtool_ray.corpus import corpus_from_documents
     from ner_funtool_ray.pipelines.kg import linked_mentions
 
-    return linked_mentions(corpus_from_documents(sf_dir))
+    return linked_mentions(corpus_from_documents(sf_dir)).select_columns(
+        [
+            "row_id", "repo", "path", "sent_id", "surface", "entity_type",
+            "canonical", "entity_id", "linked_entity", "link_score",
+        ]
+    )
 
 
 def _q_triples_linked(sf_dir: str):
@@ -741,8 +945,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_cascade_lstm_mentions": _q_cascade_lstm_mentions,
         "ner_tag_metrics": _q_tag_metrics,
         "ner_entity_metrics": _q_entity_metrics,
-        # linking + RNG-hyperplane LSH — depend on seeded numpy gaussians,
-        # non-SQL-expressible; planted-duplicate unit tests; rows-only.
+        # linking + hyperplane LSH — md5-derived embeddings/planes since
+        # round 3, so all four are SQL-oracle-exact (see the linking and
+        # hyperplane-LSH oracle sections above).
         "kg_linked_mentions": _q_linked_mentions,
         "kg_triples_linked": _q_triples_linked,
         "neardup_embedding_lsh": _q_neardup_embedding_lsh,
@@ -808,4 +1013,8 @@ def oracle_sql() -> dict[str, str]:
         "top_order_per_customer": _rel.TOP_ORDER_PER_CUSTOMER_SQL,
         "event_props_k": _rel.EVENT_PROPS_K_SQL,
         "sample_documents": _rel.SAMPLE_DOCUMENTS_SQL,
+        "kg_linked_mentions": _LINKED_MENTIONS_SQL,
+        "kg_triples_linked": _TRIPLES_LINKED_SQL,
+        "ann_lsh_topk": _ANN_LSH_SQL,
+        "neardup_embedding_lsh": _NEARDUP_LSH_SQL,
     }

@@ -775,20 +775,18 @@ def sample_documents(sf_dir: str, pct: int = 5) -> "ray.data.Dataset":
     """Deterministic hash sampling (O1/sampling twin that is reproducible
     across engines, unlike seeded shuffles): keep doc iff
     md5_number_lower(doc_id) % 100 < pct — the same rows on every engine
-    and at every parallelism."""
-    import hashlib
+    and at every parallelism.  Hashing is the vectorized single-block MD5
+    kernel (functions/md5vec.py) — no per-row Python loop."""
+    from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
 
     ds = read_parquet_auto(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
 
     def keep(batch: pa.Table) -> pa.Table:
-        mask = []
-        for d in batch["doc_id"].to_pylist():
-            h = hashlib.md5(str(d).encode()).digest()
-            u = int.from_bytes(h[8:16], "little")  # md5_number_lower, unsigned
-            mask.append(u % 100 < pct)
-        return batch.filter(pa.array(mask))
+        ids = [str(d) for d in batch["doc_id"].to_pylist()]
+        u = md5_number_lower_batch(ids)
+        return batch.filter(pa.array(u % np.uint64(100) < np.uint64(pct)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 

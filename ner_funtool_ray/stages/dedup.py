@@ -810,11 +810,20 @@ def embedding_neardup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> pd.DataFrame:
+    round_to: int | None = 4,
+) -> "ray.data.Dataset":
     """Cosine near-dup pairs via hyperplane-LSH buckets + exact in-bucket
     re-score (the scale path: bucket count 2^n_planes bounds group sizes;
     raise n_planes for larger corpora; recall is approximate by
-    construction — the exact twin is :func:`embedding_neardup_exact`)."""
+    construction — the exact twin is :func:`embedding_neardup_exact`).
+
+    Round-2 review items fixed: returns a streaming ``Dataset`` (the pair
+    set never lands on the driver), the in-bucket scorer is a vectorized
+    ``np.nonzero`` over the similarity matrix (no per-pair Python loop),
+    and the planes are md5-derived (functions/md5vec.py) so the result has
+    an exact DuckDB twin.  Each vector lands in exactly ONE bucket (the
+    key uses all planes), so no cross-bucket pair dedup is needed."""
+    from ner_funtool_ray.functions.md5vec import md5_planes
     from ner_funtool_ray.stages.similarity import _batch_matrix, hyperplane_lsh_keys
 
     # derive dim from the first row's list length lazily inside the stage
@@ -823,8 +832,7 @@ def embedding_neardup_pairs(
     def keyed(batch: pa.Table) -> pa.Table:
         mat = _batch_matrix(batch, vec_col)
         if state["planes"] is None:
-            rng = np.random.default_rng(seed)
-            state["planes"] = rng.normal(size=(n_planes, mat.shape[1]))
+            state["planes"] = md5_planes(n_planes, mat.shape[1], seed=seed)
         keys = hyperplane_lsh_keys(mat, state["planes"])
         return pa.table(
             {
@@ -836,32 +844,26 @@ def embedding_neardup_pairs(
 
     def bucket_pairs(group: pd.DataFrame) -> pa.Table:
         rows = group.sort_values(id_col)
-        ids = rows[id_col].to_numpy()
+        ids = rows[id_col].to_numpy().astype(np.int64)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in rows[vec_col]])
         norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-30)
         unit = mat / norms[:, None]
         sims = unit @ unit.T
-        a, b, s = [], [], []
-        iu = np.triu_indices(len(ids), k=1)
-        for i, j in zip(*iu):
-            if sims[i, j] >= threshold:
-                a.append(int(ids[i]))
-                b.append(int(ids[j]))
-                s.append(float(sims[i, j]))
+        np.fill_diagonal(sims, -np.inf)
+        i, j = np.nonzero(np.triu(sims >= threshold, k=1))
+        cos = sims[i, j]
+        if round_to is not None:
+            cos = np.round(cos, round_to)
         return pa.table(
             {
-                "a": pa.array(a, type=pa.int64()),
-                "b": pa.array(b, type=pa.int64()),
-                "cosine": pa.array(s, type=pa.float64()),
+                "a": pa.array(ids[i], type=pa.int64()),
+                "b": pa.array(ids[j], type=pa.int64()),
+                "cosine": pa.array(cos, type=pa.float64()),
             }
         )
 
-    pairs = (
+    return (
         embeddings.map_batches(keyed, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
     )
-    if pairs.empty:
-        return pd.DataFrame({"a": [], "b": [], "cosine": []})
-    return pairs.groupby(["a", "b"], as_index=False)["cosine"].max()

@@ -16,8 +16,6 @@ same semantics, one exchange; the blocking key and its skew handling
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -30,16 +28,20 @@ EMB_DIM = 64
 
 
 def surface_embedding(surface: str, dim: int = EMB_DIM) -> np.ndarray:
-    """Deterministic char-ngram hash embedding: sum of ngram-seeded unit
-    gaussian vectors, L2-normalized.  Similar surfaces share ngrams →
-    nearby vectors (stand-in for learned alias embeddings, FIXTURES F4)."""
-    grams = char_ngrams(surface.lower(), 3)
+    """Deterministic char-ngram hash embedding: sum of per-gram md5-derived
+    vectors (component l of gram g = ``md5_unit('emb:'+g+':'+l)``),
+    L2-normalized.  Similar surfaces share ngrams → nearby vectors
+    (stand-in for learned alias embeddings, FIXTURES F4).  The md5-unit
+    construction (functions/md5vec.py) is reproducible in DuckDB via
+    ``md5_number_lower``, which makes the linking pipeline SQL-oracle
+    checkable (round-2 review item: seeded numpy gaussians were not)."""
+    from ner_funtool_ray.functions.md5vec import md5_unit_batch
+
+    grams = sorted(char_ngrams(surface.lower(), 3))
     if not grams:
         return np.zeros(dim)
-    v = np.zeros(dim)
-    for g in sorted(grams):
-        seed = int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "little")
-        v += np.random.default_rng(seed).normal(size=dim)
+    keys = [f"emb:{g}:{l}" for g in grams for l in range(dim)]
+    v = md5_unit_batch(keys).reshape(len(grams), dim).sum(axis=0)
     n = np.linalg.norm(v)
     return v / n if n > 0 else v
 

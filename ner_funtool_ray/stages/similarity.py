@@ -96,19 +96,29 @@ def lsh_bucket_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = 4,
 ) -> "ray.data.Dataset":
     """Approximate top-k: restrict to rows in the query's LSH bucket, then
     exact cosine.  The bucket filter happens inside map_batches (no shuffle);
-    candidate count ≈ n / 2^n_planes."""
+    candidate count ≈ n / 2^n_planes.
+
+    Hyperplanes are md5-derived (functions/md5vec.py) rather than seeded
+    gaussians, so the bucketing — and therefore the whole result — has an
+    exact DuckDB twin; ties are broken by lowest id to match its
+    (score DESC, id) ordering."""
+    from ner_funtool_ray.functions.md5vec import md5_planes
+
     query = np.asarray(query_vec, dtype=np.float64)
     d = dim or query.shape[0]
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, d))
+    planes = md5_planes(n_planes, d, seed=seed)
     q_key = int(hyperplane_lsh_keys(query[None, :], planes)[0])
     query_ref = ray.put(query)
 
     def candidates(batch: pa.Table) -> pa.Table:
         q = ray.get(query_ref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
         mat = _batch_matrix(batch, vec_col)
         keys = hyperplane_lsh_keys(mat, planes)
         mask = keys == q_key
@@ -117,14 +127,28 @@ def lsh_bucket_topk(
                              "score": pa.array([], type=pa.float64())})
         idx = np.nonzero(mask)[0]
         scores = cosine_scores(mat[idx], q)
-        take = np.argsort(-scores, kind="stable")[:k]
+        # stable sort over id-ordered rows → ties at the k cut keep the
+        # lowest id (the SQL twin's ORDER BY score DESC, id)
+        ids = np.asarray(batch[id_col]).astype(np.int64)[idx]
+        byid = np.argsort(ids, kind="stable")
+        take = byid[np.argsort(-scores[byid], kind="stable")[:k]]
         return pa.table({
             id_col: batch[id_col].take(pa.array(idx[take])),
             "score": pa.array(scores[take], type=pa.float64()),
         })
 
     partial = embeddings.map_batches(candidates, batch_format="pyarrow")
-    return partial.sort("score", descending=True).limit(k)
+    top = partial.sort(["score", id_col], descending=[True, False]).limit(k)
+    if round_to is not None:
+        top = top.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("score"),
+                "score",
+                pa.array(np.round(t["score"].to_numpy(), round_to)),
+            ),
+            batch_format="pyarrow",
+        )
+    return top
 
 
 def multiquery_topk(

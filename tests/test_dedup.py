@@ -223,7 +223,7 @@ def test_embedding_neardup():
     )
     pairs = embedding_neardup_pairs(
         ray.data.from_arrow(tbl), threshold=0.95, n_planes=2
-    )
+    ).to_pandas()  # Dataset since r3 (driver-materialization fix)
     found = set(zip(pairs["a"], pairs["b"]))
     assert (0, 1) in found
     assert (0, 2) not in found and (1, 2) not in found
