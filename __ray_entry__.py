@@ -600,7 +600,11 @@ def _q_mention_counts(sf_dir: str):
 
     mentions = mentions_dataset(corpus_from_documents(sf_dir))
     keys = ["repo", "path", "surface", "entity_type"]
-    out = bucketed_group_sum(mentions, keys, count_col="n_mentions")
+    # partials ≈ output here (one row per doc×surface) — the size-guarded
+    # driver merge skips the fixed-cost bucket shuffle when small
+    out = bucketed_group_sum(
+        mentions, keys, count_col="n_mentions", driver_cap=2_000_000
+    )
     return out.select_columns(keys + ["n_mentions"])
 
 

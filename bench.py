@@ -67,6 +67,19 @@ def run_bench() -> dict:
         lambda b: b, batch_format="pyarrow"
     ).materialize()
 
+    # warm the DRIVER-side pandas/numpy kernels used by the size-guarded
+    # driver merges (first call of merge/groupby/factorize pages in their
+    # C extensions — measured ~0.5-5 s on a cold cache, which would be
+    # charged to the first timed query otherwise)
+    import numpy as np
+    import pandas as pd
+
+    _w = pd.DataFrame({"r": np.arange(2000) % 97, "c": np.arange(2000) % 31})
+    _w.merge(_w, on="r")
+    _w.groupby(["r", "c"], sort=False).size()
+    pd.factorize(_w["r"])
+    np.unique(_w["c"].to_numpy(), return_index=True, return_counts=True)
+
     bench_queries = [
         "kg_triples",          # headline: full KG pipeline → triples
         "kg_mention_counts",

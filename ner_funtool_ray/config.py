@@ -76,7 +76,12 @@ class PipelineConfig:
     tag_batch_size: int = 256       # rows per model batch
     tag_concurrency: int | tuple = 4  # model actor pool size
     encode_batch_size: int = 1024
-    mention_batch_size: int = 2048
+    # NOTE: on a fused actor stage, batch_size also sets TASK granularity
+    # against pre-fusion input rows — 2048 collapsed the sf0.1 gazetteer
+    # scan to 2-3 tasks on 32 CPUs.  256 docs (~256 KB text) per regex
+    # batch keeps per-call overhead negligible while giving the scheduler
+    # enough tasks to fill the pool at any corpus size.
+    mention_batch_size: int = 256
     triple_partitions: int = 16     # output partitions (hash(subj) % N)
     salt_buckets: int = 8           # sub-buckets for hot subjects
     minhash_perm: int = 64

@@ -35,6 +35,7 @@ def read_parquet_auto(
     paths,
     columns=None,
     rows_per_block: int = 4000,
+    min_rows_per_block: int = 200,
     max_blocks: int = 256,
     **kwargs,
 ) -> "ray.data.Dataset":
@@ -42,7 +43,15 @@ def read_parquet_auto(
         paths = [paths]
     try:
         rows = _total_rows(paths)
-        n_blocks = max(1, min(max_blocks, (rows + rows_per_block - 1) // rows_per_block))
+        # Two regimes: big tables get rows/rows_per_block blocks (full read
+        # parallelism); mid-size tables (a few thousand rows — e.g. the
+        # sf0.1 documents table) would land at 1-2 blocks under that
+        # formula and serialize every downstream stage, so guarantee a
+        # parallelism floor of up to 64 blocks as long as each block keeps
+        # ≥ min_rows_per_block rows.  Tiny dimension tables still collapse
+        # to 1-2 blocks (per-block overhead dominates otherwise).
+        floor = min(64, rows // min_rows_per_block)
+        n_blocks = max(1, min(max_blocks, max(rows // rows_per_block, floor)))
     except Exception:
         n_blocks = None  # metadata unavailable → Ray default
     return ray.data.read_parquet(

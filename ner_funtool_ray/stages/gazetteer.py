@@ -18,7 +18,7 @@ import pyarrow as pa
 import ray.data
 
 from ner_funtool_ray.config import GAZETTEER
-from ner_funtool_ray.utils import default_concurrency
+# (actor-pool helper no longer needed here — gazetteer stages run as tasks)
 
 _CARRY = ("row_id", "repo", "path", "commit", "lang", "sent_id", "content_sha256")
 
@@ -106,19 +106,54 @@ class GazetteerTagger:
         )
 
 
+def _tagger_batch(
+    batch: pa.Table, gaz_items: tuple, max_seq_len: int
+) -> pa.Table:
+    key = ("tagger", gaz_items, max_seq_len)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = GazetteerTagger(dict(gaz_items), max_seq_len=max_seq_len)
+        _STAGE_CACHE[key] = stage
+    return stage(batch)
+
+
 def gold_tag_sentences(
     sentences: "ray.data.Dataset",
     gazetteer: dict[str, str] | None = None,
     max_seq_len: int = 128,
     batch_size: int = 2048,
 ) -> "ray.data.Dataset":
+    gaz = gazetteer or GAZETTEER
     return sentences.map_batches(
-        GazetteerTagger,
-        fn_constructor_kwargs={"gazetteer": gazetteer, "max_seq_len": max_seq_len},
+        _tagger_batch,
+        fn_kwargs={
+            "gaz_items": tuple(sorted(gaz.items())),
+            "max_seq_len": max_seq_len,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=default_concurrency(),
     )
+
+
+# Per-worker-process stage cache for the TASK-pool path: compiling a
+# small gazetteer regex is microseconds, so running this stage as an actor
+# pool bought nothing and paid 1-2 s of dedicated-pool spin-up per query
+# (measured ~40% of the sf0.1 headline's wall).  Tasks reuse the warm
+# default worker pool; each worker compiles once into this cache.  The
+# actor-pool pattern stays the right call for EXPENSIVE state (model
+# weights — stages/tag.py); this stage's state is cheap.
+_STAGE_CACHE: dict = {}
+
+
+def _mentions_batch(
+    batch: pa.Table, gaz_items: tuple, text_col: str = "sentence"
+) -> pa.Table:
+    key = ("mentions", gaz_items, text_col)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = GazetteerMentions(dict(gaz_items), text_col=text_col)
+        _STAGE_CACHE[key] = stage
+    return stage(batch)
 
 
 def extract_mentions(
@@ -126,10 +161,10 @@ def extract_mentions(
     gazetteer: dict[str, str] | None = None,
     batch_size: int = 2048,
 ) -> "ray.data.Dataset":
+    gaz = gazetteer or GAZETTEER
     return sentences.map_batches(
-        GazetteerMentions,
-        fn_constructor_kwargs={"gazetteer": gazetteer},
+        _mentions_batch,
+        fn_kwargs={"gaz_items": tuple(sorted(gaz.items()))},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=default_concurrency(),
     )

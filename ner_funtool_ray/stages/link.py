@@ -117,24 +117,36 @@ class EntityLinker:
         )
 
 
+# Per-worker linker cache for the task-pool path (keyed by the broadcast
+# index ref): rebuilding from the ray.get'd payload is a dict copy — cheap
+# enough that a dedicated actor pool only added spin-up latency.  The
+# surface→link memo lives on the cached linker, so it still amortizes
+# across every batch a worker processes.
+_LINKER_CACHE: dict = {}
+
+
+def _link_batch(batch: pa.Table, index_ref, threshold: float) -> pa.Table:
+    key = (index_ref.hex(), threshold)
+    linker = _LINKER_CACHE.get(key)
+    if linker is None:
+        linker = EntityLinker(index_ref, threshold=threshold)
+        _LINKER_CACHE[key] = linker
+    return linker(batch)
+
+
 def link_mentions(
     mentions: "ray.data.Dataset",
     entities: list[str],
     threshold: float = 0.85,
     batch_size: int = 2048,
-    concurrency=None,
+    concurrency=None,  # kept for API compat; task pool ignores it
 ) -> "ray.data.Dataset":
     """Broadcast-index linking stage (no shuffle).  ``entities`` is the
     canonical catalog (e.g. the gazetteer's canonical surfaces)."""
-    from ner_funtool_ray.utils import default_concurrency
-
-    if concurrency is None:
-        concurrency = default_concurrency()
     index_ref = ray.put(build_entity_index(entities))
     return mentions.map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={"index_ref": index_ref, "threshold": threshold},
+        _link_batch,
+        fn_kwargs={"index_ref": index_ref, "threshold": threshold},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )

@@ -172,9 +172,90 @@ def doc_entity_summary(
     return summary.materialize()
 
 
+def _assemble_triples_local(df: pd.DataFrame) -> pa.Table:
+    """Driver-side triple assembly from a doc-entity summary DataFrame
+    (row_id, repo, entity_id, n_mentions) — the same appears_in/cooccurs
+    math as the distributed path in one pass, with the pair expansion on
+    FACTORIZED int codes (string merges on the ~k² expansion were 3×
+    slower).  Entity codes are rank-ordered so code comparison equals the
+    distributed path's lexicographic ``entity_id_a < entity_id_b``."""
+    appears = (
+        df.groupby(["entity_id", "repo"], sort=False)["n_mentions"]
+        .sum()
+        .reset_index()
+    )
+
+    ent_codes_raw, ent_uniq = pd.factorize(df["entity_id"])
+    order = np.argsort(ent_uniq)  # rank in lexicographic order
+    rank_of = np.empty(len(ent_uniq), dtype=np.int64)
+    rank_of[order] = np.arange(len(ent_uniq), dtype=np.int64)
+    ents_sorted = ent_uniq.to_numpy()[order]
+    row_codes, _ = pd.factorize(df["row_id"])
+
+    # distinct (doc, entity) pairs as sorted int keys — np.unique gives
+    # them ordered by (doc, entity-rank), which the expansion below relies
+    # on for its c_a < c_b filter
+    n_ents = np.int64(len(ent_uniq))
+    uk0 = np.unique(row_codes.astype(np.int64) * n_ents
+                    + rank_of[ent_codes_raw])
+    c = uk0 % n_ents
+    r = uk0 // n_ents
+    # per-doc all-pairs expansion, pure numpy (a pandas self-merge here
+    # was the assembly's dominant cost): for each element, pair it with
+    # every element of its doc block, then keep the strict upper triangle
+    starts, ks = np.unique(r, return_index=True, return_counts=True)[1:]
+    k_per_el = np.repeat(ks, ks)
+    left = np.repeat(np.arange(len(uk0), dtype=np.int64), k_per_el)
+    el_block_start = np.concatenate(
+        [[0], np.cumsum(k_per_el[:-1])]
+    ).astype(np.int64)
+    within = np.arange(len(left), dtype=np.int64) - np.repeat(
+        el_block_start, k_per_el
+    )
+    right = np.repeat(np.repeat(starts, ks), k_per_el) + within
+    mask = right > left  # blocks are entity-rank-sorted ⇒ c[right] > c[left]
+    uk, counts = np.unique(
+        c[left[mask]] * n_ents + c[right[mask]], return_counts=True
+    )
+    ca = uk // n_ents
+    cb = uk % n_ents
+
+    return pa.table(
+        {
+            "subj": pa.array(
+                np.concatenate(
+                    [appears["entity_id"].to_numpy(), ents_sorted[ca]]
+                ),
+                type=pa.string(),
+            ),
+            "pred": pa.array(
+                ["appears_in"] * len(appears)
+                + ["cooccurs_with"] * len(uk),
+                type=pa.string(),
+            ),
+            "obj": pa.array(
+                np.concatenate(
+                    [appears["repo"].to_numpy(), ents_sorted[cb]]
+                ),
+                type=pa.string(),
+            ),
+            "weight": pa.array(
+                np.concatenate(
+                    [
+                        appears["n_mentions"].to_numpy(dtype=np.int64),
+                        counts.astype(np.int64),
+                    ]
+                )
+            ),
+        },
+        schema=_PAIR_SCHEMA,
+    )
+
+
 def all_triples(
     mentions: "ray.data.Dataset", n_buckets: int = 64,
     checkpoint_dir: str | None = None,
+    driver_cap: int | None = 200_000,
 ) -> "ray.data.Dataset":
     """Both triple families from ONE pass over the corpus via the
     materialized doc-entity summary, merged in ONE final shuffle.
@@ -182,10 +263,34 @@ def all_triples(
     Shuffle count (each all-to-all has fixed barrier latency): summary
     merge (1) + doc-bucket pair expansion (1) + one shared final
     (subj, pred, obj) merge over the UNION of appears/cooccur partials (1).
-    """
+
+    Size guard (``driver_cap``, same pattern as ``bucketed_group_sum`` /
+    ``clusters_from_pairs_ds``): the summary is already pinned and
+    counted; at or below the cap the whole triple assembly is ONE
+    driver-side pandas pass — skipping the two remaining all-to-all
+    barriers, whose ~3 s fixed latency each dominates small/medium jobs
+    (measured: the sf0.1 headline spends >60% of its wall in them).
+    Above the cap (or when checkpointing), the distributed plan runs
+    unchanged.  Both paths compute identical triples (parity-tested)."""
     from ner_funtool_ray.stages.groupagg import bucketed_group_sum
 
     summary = doc_entity_summary(mentions, checkpoint_dir=checkpoint_dir)
+
+    if driver_cap is not None and checkpoint_dir is None:
+        n = summary.count()
+        if n == 0:
+            return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+        if n <= driver_cap:
+            df = summary.select_columns(
+                ["row_id", "repo", "entity_id", "n_mentions"]
+            ).to_pandas()
+            # quadratic guard: the pair expansion is Σ k_doc² — a single
+            # degenerate doc with huge entity fan-out must not blow up the
+            # driver; such inputs take the distributed path (which spreads
+            # the same expansion across doc buckets)
+            ks = np.unique(df["row_id"].to_numpy(), return_counts=True)[1]
+            if float((ks.astype(np.float64) ** 2).sum()) <= 2e8:
+                return ray.data.from_arrow(_assemble_triples_local(df))
 
     def appears_partial(batch: pa.Table) -> pa.Table:
         df = (

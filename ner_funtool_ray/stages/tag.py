@@ -440,10 +440,18 @@ def tag_sentences(
     ``cascade`` selects the BMEO+attr two-head variant.  concurrency ×
     num_cpus sizes the pool (default: autoscale to cluster CPUs);
     batch_size bounds the (B, S) dense matrices per actor heap."""
-    from ner_funtool_ray.utils import default_concurrency
-
     if concurrency is None:
-        concurrency = default_concurrency()
+        # FIXED pool size (min == max): autoscaling from 1 actor made the
+        # wall time bimodal (2× spread run-to-run) because scale-up
+        # decisions lag queue pressure; the model stage dominates its
+        # pipelines, so claim the node minus headroom for the raylet and
+        # the task stages up front.
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        n = max(1, cpus - 2)
+        concurrency = (n, n)
     cls = _TAGGER_CLASSES[(model, cascade)]
     return sentences.map_batches(
         cls,

@@ -101,3 +101,24 @@ def test_customers_without_big_orders_fallback_matches_oracle():
     con = _duck(SF_DIR)
     expect = _normalize(con.sql(ORACLES["customers_without_big_orders"]).df())
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_all_triples_local_assembly_matches_distributed():
+    # the size-guarded driver assembly and the distributed two-shuffle plan
+    # must emit identical triples
+    from ner_funtool_ray.corpus import corpus_from_documents
+    from ner_funtool_ray.pipelines.kg import mentions_dataset
+    from ner_funtool_ray.stages.materialize import all_triples
+
+    key = ["subj", "pred", "obj"]
+    loc = (
+        all_triples(mentions_dataset(corpus_from_documents(SF_DIR)))
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    dist = (
+        all_triples(
+            mentions_dataset(corpus_from_documents(SF_DIR)), driver_cap=None
+        )
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(loc, dist)
