@@ -164,7 +164,10 @@ _LANG_SOURCE_SQL = (
 
 # Exact word-bigram Jaccard pairs — twin of the distributed inverted-index
 # join in stages/dedup.py:ngram_jaccard_pairs (int division is identical on
-# both engines, so the jaccard column hashes exactly).
+# both engines, so the jaccard column hashes exactly).  The df ≤ 10000
+# stop-shingle cap mirrors the engine's max_df default EXACTLY (it never
+# binds at the test SFs — synthetic max df is 338 — but keeps the twin in
+# lockstep on corpora where it does).
 _NGRAM_JACCARD_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -180,10 +183,12 @@ sh AS (
   FROM toks
 ),
 d AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh),
+keep AS (SELECT s FROM d GROUP BY s HAVING count(*) <= 10000),
 pairs AS (
   SELECT x.doc_id AS a, y.doc_id AS b, x.n AS n_a, y.n AS n_b,
          count(*)::BIGINT AS inter
   FROM d x JOIN d y ON x.s = y.s AND x.doc_id < y.doc_id
+  JOIN keep k ON k.s = x.s
   GROUP BY 1, 2, 3, 4
 )
 SELECT a, b, inter / (n_a + n_b - inter) AS jaccard
@@ -912,10 +917,16 @@ def _q_sample_documents(sf_dir: str):
 
 
 def _q_clue_submit(sf_dir: str):
+    """CLUE submit writer with the in-query integrity self-check: offsets
+    in the label JSON are verified against the source sentences (a bad
+    span RAISES rather than producing a silently-wrong submission), and
+    n_spans rides along so the rows-only sweep pins span counts too."""
     from ner_funtool_ray.pipelines.tagging import tagged_sentences
     from ner_funtool_ray.sources.clue_json import predictions_to_clue_json
 
-    return predictions_to_clue_json(tagged_sentences(sf_dir))
+    return predictions_to_clue_json(
+        tagged_sentences(sf_dir), verify_offsets=True, with_span_counts=True
+    )
 
 
 def entry() -> Any:

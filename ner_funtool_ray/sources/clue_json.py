@@ -70,33 +70,56 @@ def predictions_to_clue_json(
     text_col: str = "sentence",
     tags_col: str = "pred_tags",
     id_col: str = "row_id",
+    verify_offsets: bool = False,
+    with_span_counts: bool = False,
 ) -> "ray.data.Dataset":
     """Tagged rows → CLUE submit rows (id, label-JSON string).
 
     Span re-assembly uses ``get_result`` semantics (decode_clue_spans);
     label dict shape per `predict_bert_wol.py:204-221`.  Carries the
     explicit id column — never block order.
-    """
+
+    ``verify_offsets`` is the submit-integrity self-check: every span
+    recorded in the label JSON must re-locate its surface at
+    ``text[start:end+1]`` — a corrupted offset raises instead of writing a
+    bad submission.  ``with_span_counts`` adds an ``n_spans`` column so
+    the driver's rows-only sweep also pins the total span count."""
 
     def convert(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
         tag_lists = batch[tags_col].to_pylist()
         labels = []
+        n_spans = []
         for text, tags in zip(texts, tag_lists):
             spans, types = decode_clue_spans(text or "", tags or [])
+            label = spans_to_clue_label(text or "", spans, types)
+            count = 0
+            for typ, surfaces in label.items():
+                for surface, sps in surfaces.items():
+                    count += len(sps)
+                    if verify_offsets:
+                        for s, e in sps:
+                            if (text or "")[s : e + 1] != surface:
+                                raise ValueError(
+                                    "clue submit offset mismatch: "
+                                    f"{typ}/{surface!r} at [{s},{e}] vs "
+                                    f"{(text or '')[s:e + 1]!r}"
+                                )
+            n_spans.append(count)
             labels.append(
-                json.dumps(
-                    spans_to_clue_label(text or "", spans, types),
-                    ensure_ascii=False,
-                    sort_keys=True,
-                )
+                json.dumps(label, ensure_ascii=False, sort_keys=True)
             )
-        return pa.table(
+        out = pa.table(
             {
                 "id": pa.array(ids),
                 "label": pa.array(labels, type=pa.string()),
             }
         )
+        if with_span_counts:
+            out = out.append_column(
+                "n_spans", pa.array(n_spans, type=pa.int64())
+            )
+        return out
 
     return tagged.map_batches(convert, batch_format="pyarrow")

@@ -35,7 +35,7 @@ def read_parquet_auto(
     paths,
     columns=None,
     rows_per_block: int = 4000,
-    min_rows_per_block: int = 200,
+    min_rows_per_block: int = 500,
     max_blocks: int = 256,
     **kwargs,
 ) -> "ray.data.Dataset":
@@ -43,15 +43,26 @@ def read_parquet_auto(
         paths = [paths]
     try:
         rows = _total_rows(paths)
-        # Two regimes: big tables get rows/rows_per_block blocks (full read
-        # parallelism); mid-size tables (a few thousand rows — e.g. the
-        # sf0.1 documents table) would land at 1-2 blocks under that
-        # formula and serialize every downstream stage, so guarantee a
-        # parallelism floor of up to 64 blocks as long as each block keeps
-        # ≥ min_rows_per_block rows.  Tiny dimension tables still collapse
-        # to 1-2 blocks (per-block overhead dominates otherwise).
-        floor = min(64, rows // min_rows_per_block)
-        n_blocks = max(1, min(max_blocks, max(rows // rows_per_block, floor)))
+        if rows >= 1_000_000:
+            # big tables: Ray's own target-block-size splitting is the
+            # scale-correct choice (a fixed block-count override would
+            # produce multi-GB blocks at 100 TB) — don't override
+            n_blocks = None
+        else:
+            # small/mid tables: Ray's default over-splits tiny dimension
+            # tables (dozens of sub-100-row blocks whose scheduling
+            # overhead dominates — measured 17 s → 0.7 s on a 5k-row
+            # aggregate) and the rows/rows_per_block formula under-splits
+            # mid-size ones (the 5k-row sf0.1 documents table became 2
+            # blocks and serialized every downstream stage).  Use a
+            # parallelism floor of up to 64 blocks while keeping
+            # ≥ min_rows_per_block rows per block (500: small enough to fill a
+            # 32-core node on a 5k-row table, big enough that per-block
+            # scheduling stays negligible for matmul-shaped stages).
+            floor = min(64, rows // min_rows_per_block)
+            n_blocks = max(
+                1, min(max_blocks, max(rows // rows_per_block, floor))
+            )
     except Exception:
         n_blocks = None  # metadata unavailable → Ray default
     return ray.data.read_parquet(

