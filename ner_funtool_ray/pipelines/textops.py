@@ -183,16 +183,26 @@ class _WinnowStage:
         )
 
 
+_WINNOW_CACHE: dict = {}
+
+
+def _winnow_batch(batch, k: int, window: int):
+    # task-pool stage with a per-worker cached instance: the k-gram hash
+    # memo survives across batches AND queries without actor-pool spin-up
+    stage = _WINNOW_CACHE.get((k, window))
+    if stage is None:
+        stage = _WinnowStage(k=k, window=window)
+        _WINNOW_CACHE[(k, window)] = stage
+    return stage(batch)
+
+
 def winnow_fingerprints(
     sf_dir: str, k: int = 5, window: int = 4
 ) -> "ray.data.Dataset":
     """Distinct winnowing fingerprints per document: (doc_id, fingerprint)
-    rows — actor-pool stage, no shuffle (dedup is per-document local)."""
-    from ner_funtool_ray.utils import default_concurrency
-
+    rows — no shuffle (dedup is per-document local)."""
     return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        _WinnowStage,
-        fn_constructor_kwargs={"k": k, "window": window},
+        _winnow_batch,
+        fn_kwargs={"k": k, "window": window},
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     )

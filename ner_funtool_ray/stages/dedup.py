@@ -28,8 +28,9 @@ Scale knobs (documented per SURVEY §2 custom-operator rule): LSH band keys
 are crc32-bucketed into a bounded group count; degenerate bands use star
 expansion (``MAX_BAND_PAIRWISE``) which preserves connected components but
 makes per-pair est_jaccard approximate for those bands; the exact ngram
-index takes ``max_df`` to drop ubiquitous shingles at web scale (recall
-then bounded by the cap — leave ``None`` for exact semantics).
+index drops shingles with df > ``max_df`` (default 10 000 — the absolute
+stop-shingle cap that bounds Σdf² at web scale; its SQL twin applies the
+identical filter, and ``None`` disables it).
 """
 
 from __future__ import annotations
@@ -42,7 +43,6 @@ import pyarrow as pa
 
 import ray.data
 
-from ner_funtool_ray.utils import default_concurrency
 from ner_funtool_ray.functions.hashing import (
     MinHasher,
     char_ngrams,
@@ -308,6 +308,29 @@ class _MinHashStage:
         )
 
 
+# Task-pool path for the sketch stages: the stage state (hash params + the
+# shingle→h32 memo) is cheap to build, so a dedicated actor pool only added
+# spin-up latency; tasks reuse the warm default workers and the per-worker
+# cached stage keeps the memo — which now also persists ACROSS queries in
+# the same session.
+_SKETCH_STAGE_CACHE: dict = {}
+
+
+def _minhash_batch(
+    batch: pa.Table, num_perm: int, num_bands: int, ngram: int, seed: int,
+    id_col: str, text_col: str,
+) -> pa.Table:
+    key = ("minhash", num_perm, num_bands, ngram, seed, id_col, text_col)
+    stage = _SKETCH_STAGE_CACHE.get(key)
+    if stage is None:
+        stage = _MinHashStage(
+            num_perm=num_perm, num_bands=num_bands, ngram=ngram, seed=seed,
+            id_col=id_col, text_col=text_col,
+        )
+        _SKETCH_STAGE_CACHE[key] = stage
+    return stage(batch)
+
+
 MAX_BAND_PAIRWISE = 64  # skew guard: bands larger than this use star expansion
 
 
@@ -417,13 +440,12 @@ def minhash_candidate_pairs_ds(
     consumers (duplicate edges are harmless to component merge, and any
     occurrence passing the threshold implies the max does too)."""
     banded = docs.map_batches(
-        _MinHashStage,
-        fn_constructor_kwargs=dict(
+        _minhash_batch,
+        fn_kwargs=dict(
             num_perm=num_perm, num_bands=num_bands, ngram=ngram, seed=seed,
             id_col=id_col, text_col=text_col,
         ),
         batch_format="pyarrow",
-        concurrency=default_concurrency(),
     )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -534,12 +556,15 @@ def simhash_pairs_ds(
 ) -> "ray.data.Dataset":
     """Candidate pairs (a, b, hamming) with Hamming distance ≤ max_hamming
     as a Dataset (bounded crc32 band buckets, same design as minhash)."""
-    banded = docs.map_batches(
-        _SimHashStage,
-        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
-        batch_format="pyarrow",
-        concurrency=default_concurrency(),
-    )
+    def _simhash_batch(batch: pa.Table) -> pa.Table:
+        key = ("simhash", id_col, text_col)
+        stage = _SKETCH_STAGE_CACHE.get(key)
+        if stage is None:
+            stage = _SimHashStage(id_col=id_col, text_col=text_col)
+            _SKETCH_STAGE_CACHE[key] = stage
+        return stage(batch)
+
+    banded = docs.map_batches(_simhash_batch, batch_format="pyarrow")
 
     def bucket(group: pd.DataFrame) -> pa.Table:
         a, b, d = [], [], []
