@@ -880,6 +880,18 @@ def _q_events_hourly(sf_dir: str):
     return events_hourly(sf_dir)
 
 
+def _q_events_sliding(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import events_sliding
+
+    return events_sliding(sf_dir)
+
+
+def _q_doc_length_quantiles(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import doc_length_quantiles
+
+    return doc_length_quantiles(sf_dir)
+
+
 def _q_user_sessions(sf_dir: str):
     from ner_funtool_ray.pipelines.relational import user_sessions
 
@@ -986,6 +998,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": _q_shipping_priority,
         "top_orders": _q_top_orders,
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
+        "doc_length_quantiles": _q_doc_length_quantiles,
         "user_sessions": _q_user_sessions,
         "customers_without_big_orders": _q_customers_without_big_orders,
         "purchase_view_gap": _q_purchase_view_gap,
@@ -1022,6 +1036,8 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": _rel.SHIPPING_PRIORITY_SQL,
         "top_orders": _rel.TOP_ORDERS_SQL,
         "events_hourly": _rel.EVENTS_HOURLY_SQL,
+        "events_sliding": _rel.EVENTS_SLIDING_SQL,
+        "doc_length_quantiles": _rel.DOC_LENGTH_QUANTILES_SQL,
         "user_sessions": _rel.USER_SESSIONS_SQL,
         "customers_without_big_orders": _rel.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "purchase_view_gap": _rel.PURCHASE_VIEW_GAP_SQL,

@@ -797,6 +797,69 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 5
 """
 
 
+def doc_length_quantiles(
+    sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.95)
+) -> "ray.data.Dataset":
+    """EXACT per-group quantiles (p25/p50/p75/p95 of document length per
+    lang) — the wide-aggregate shape a 100 TB pipeline needs without
+    collecting group values: lengths are bounded-domain INTEGERS, so the
+    distributed plan aggregates a (lang, n_chars) → count HISTOGRAM
+    (bucketed partial-then-final sum; the shuffle carries one row per
+    distinct (lang, length), never per document) and computes the exact
+    order statistics from cumulative counts.  Interpolation mirrors
+    DuckDB's ``quantile_cont`` (linear between the two bracketing order
+    stats), so the SQL twin hashes exactly."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    hist = bucketed_group_sum(
+        ds, ["lang", "n_chars"], count_col="cnt", driver_cap=2_000_000
+    )
+
+    def quantiles(group: pd.DataFrame) -> pa.Table:
+        out_rows = []
+        for lang, sub in group.groupby("lang", sort=False):
+            sub = sub.sort_values("n_chars")
+            vals = sub["n_chars"].to_numpy(dtype=np.float64)
+            cnts = sub["cnt"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(cnts)
+            n = int(cum[-1])
+            row = {"lang": lang}
+            for q in qs:
+                h = (n - 1) * q
+                lo_i = int(np.floor(h))
+                hi_i = min(lo_i + 1, n - 1)
+                lo_v = vals[np.searchsorted(cum, lo_i + 1)]
+                hi_v = vals[np.searchsorted(cum, hi_i + 1)]
+                row[f"p{int(q * 100)}"] = lo_v + (h - lo_i) * (hi_v - lo_v)
+            out_rows.append(row)
+        df = pd.DataFrame(out_rows)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # the histogram is tiny (distinct lengths × langs); one group per lang
+    # would also be fine — a single merge task keeps it deterministic
+    def collect(batch: pa.Table) -> pa.Table:
+        return batch
+
+    return (
+        hist.map_batches(collect, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(quantiles, batch_format="pandas", batch_size=None)
+    )
+
+
+DOC_LENGTH_QUANTILES_SQL = """
+SELECT lang,
+  quantile_cont(n_chars, 0.25) AS p25,
+  quantile_cont(n_chars, 0.50) AS p50,
+  quantile_cont(n_chars, 0.75) AS p75,
+  quantile_cont(n_chars, 0.95) AS p95
+FROM documents GROUP BY lang
+"""
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     """Sessionization (streaming-shaped workload as a batch groupby):
     per-user event stream sorted by ts; a new session starts when the gap
@@ -865,4 +928,86 @@ SELECT event_type, date_trunc('hour', ts) AS hour,
   count(*)::BIGINT AS n
 FROM events
 GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def events_sliding(
+    sf_dir: str, size_minutes: int = 60, hop_minutes: int = 15
+) -> "ray.data.Dataset":
+    """HOPPING-window aggregate (§2.9 family, alongside the tumbling
+    ``events_hourly`` and session windows): each event contributes to the
+    size/hop overlapping windows covering it.  Ray shape: the window
+    expansion + a batch-local partial aggregate happen inside map_batches
+    (the shuffle carries one row per (type, window) per batch, ~size/hop ×
+    smaller than the event stream), then a bounded groupby merges partials.
+    Window slots are integer epoch-second arithmetic so the DuckDB twin is
+    bit-exact; value sums ride as integer cents (the shared float-sum
+    protocol)."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    hop_us = hop_minutes * 60 * 1_000_000
+    n_hops = size_minutes // hop_minutes
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()))
+        slot = us // hop_us  # positive epochs: trunc == floor
+        vc = np.asarray(_cents(batch["value"]))
+        types = batch["event_type"].to_pandas()
+        n = len(us)
+        wslot = np.concatenate([slot - i for i in range(n_hops)])
+        df = (
+            pd.DataFrame(
+                {
+                    "event_type": pd.concat(
+                        [types] * n_hops, ignore_index=True
+                    ),
+                    "wslot": wslot,
+                    "value_c": np.tile(vc, n_hops),
+                }
+            )
+            .groupby(["event_type", "wslot"], sort=False)
+            .agg(value_c=("value_c", "sum"), n=("value_c", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "wslot"])
+        .aggregate(Sum("value_c", alias_name="value_c"), Sum("n", alias_name="n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ws = (np.asarray(b["wslot"]) * hop_us).astype("datetime64[us]")
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "window_start": pa.array(ws, type=pa.timestamp("us")),
+                "sum_value": pc.divide(
+                    pc.cast(b["value_c"], pa.float64()), 100.0
+                ),
+                "n": b["n"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_SLIDING_SQL = """
+WITH e AS (
+  SELECT event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) // 900 AS slot,
+         CAST(round(value*100) AS BIGINT) AS vc
+  FROM events
+),
+x AS (
+  SELECT event_type, vc, slot - i AS wslot
+  FROM e CROSS JOIN (SELECT unnest(range(4)) AS i) t
+)
+SELECT event_type,
+       make_timestamp(wslot * 900 * 1000000) AS window_start,
+       sum(vc) / 100.0 AS sum_value,
+       count(*)::BIGINT AS n
+FROM x GROUP BY 1, 2
 """
