@@ -833,7 +833,11 @@ def doc_length_quantiles(
                 hi_i = min(lo_i + 1, n - 1)
                 lo_v = vals[np.searchsorted(cum, lo_i + 1)]
                 hi_v = vals[np.searchsorted(cum, hi_i + 1)]
-                row[f"p{int(q * 100)}"] = lo_v + (h - lo_i) * (hi_v - lo_v)
+                frac = h - lo_i
+                # DuckDB's quantile_cont lerps as (1-f)*lo + f*hi — the
+                # algebraically-equal lo + f*(hi-lo) differs in the last
+                # ulp and breaks the bit-exact value hash
+                row[f"p{int(q * 100)}"] = (1.0 - frac) * lo_v + frac * hi_v
             out_rows.append(row)
         df = pd.DataFrame(out_rows)
         return pa.Table.from_pandas(df, preserve_index=False)

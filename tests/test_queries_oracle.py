@@ -52,6 +52,17 @@ def test_query_matches_oracle(name):
     pd.testing.assert_frame_equal(
         got, expect, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-12
     )
+    # the driver's correctness gate HASHES values — float columns must be
+    # bit-exact, not merely close (caught a quantile lerp-form mismatch)
+    import numpy as np
+
+    for c in got.columns:
+        g = got[c].to_numpy()
+        if g.dtype.kind == "f":
+            e = expect[c].to_numpy()
+            assert np.array_equal(g, e, equal_nan=True), (
+                f"{name}.{c}: floats not bit-exact"
+            )
 
 
 def _schema_and_len(res) -> tuple[list[str], int]:
