@@ -544,6 +544,50 @@ JOIN embeddings b ON b.vec_id = kb.vec_id AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """
 
+# IVF-flat twin: md5-derived unit centroids, nearest-centroid assignment
+# (ties → lowest centroid id), 4 probed partitions, exact re-score.
+_ANN_IVF_SQL = """
+WITH cents0 AS (
+  SELECT c, l,
+    md5_number_lower('ivf:7:' || c || ':' || l) / 18446744073709551616.0 * 2.0 - 1.0 AS p
+  FROM (SELECT unnest(range(16)) AS c) CROSS JOIN (SELECT unnest(range(64)) AS l)
+),
+cnorm AS (SELECT c, sqrt(sum(p*p)) AS nc FROM cents0 GROUP BY c),
+cu AS (SELECT c0.c, c0.l, c0.p / cn.nc AS u FROM cents0 c0 JOIN cnorm cn ON cn.c = c0.c),
+ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS l,
+         unnest(embedding::DOUBLE[]) AS e
+  FROM embeddings
+),
+en AS (SELECT vec_id, sqrt(sum(e*e)) AS ne FROM ev GROUP BY vec_id),
+sims AS (
+  SELECT v.vec_id, cu.c, sum((v.e / n.ne) * cu.u) AS s
+  FROM ev v JOIN en n ON n.vec_id = v.vec_id JOIN cu ON cu.l = v.l
+  GROUP BY v.vec_id, cu.c
+),
+assign AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT c FROM (
+    SELECT s.c, row_number() OVER (ORDER BY s.s DESC, s.c) AS rn
+    FROM sims s WHERE s.vec_id = 0
+  ) WHERE rn <= 4
+)
+SELECT e.vec_id,
+  round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score
+FROM embeddings e
+JOIN assign a ON a.vec_id = e.vec_id
+JOIN probes p ON p.c = a.c
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id
+LIMIT 10
+"""
+
 _ANN_MULTIQUERY_SQL = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8)
 SELECT query_id, vec_id, score FROM (
@@ -806,6 +850,25 @@ def _q_ann_lsh_topk(sf_dir: str):
     return lsh_bucket_topk(ds, query, k=10, n_planes=6)
 
 
+def _q_ann_ivf_topk(sf_dir: str):
+    """IVF-flat ANN: md5-derived coarse quantizer, 4 of 16 partitions
+    probed, exact in-partition re-score (oracle-exact)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.sources.io import read_parquet_auto
+    from ner_funtool_ray.stages.similarity import ivf_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrow = tbl.filter(pc.equal(tbl["vec_id"], 0))
+    query = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    ds = read_parquet_auto(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ivf_topk(ds, query, k=10, n_centroids=16, n_probe=4)
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     from ner_funtool_ray.pipelines.textops import winnow_fingerprints
 
@@ -990,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ngram_clusters": _q_ngram_clusters,
         "ann_multiquery_topk": _q_ann_multiquery,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "winnow_fingerprints": _q_winnow_fingerprints,
         # relational operator coverage (groupby / broadcast join / top-k /
         # tumbling window) — oracle-checked.
@@ -1028,6 +1092,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_clusters": _NGRAM_CLUSTERS_SQL,
         "neardup_embedding": _NEARDUP_EMB_SQL,
         "ann_multiquery_topk": _ANN_MULTIQUERY_SQL,
+        "ann_ivf_topk": _ANN_IVF_SQL,
         "dedup_simhash": _SIMHASH_CLUSTERS_SQL,
         "dedup_minhash_lsh": _MINHASH_CLUSTERS_SQL,
         "winnow_fingerprints": _WINNOW_SQL,

@@ -110,12 +110,18 @@ def scaled_model_triples(
                 split_to_sentences(ingest(corpus)),
                 cascade=cascade,
                 max_seq_len=MAX_SEQ_LEN,
+                # 64 source rows/task (~78 tasks at x96): measured optimum —
+                # halving to 32 ADDED ~27 s at 30 CPUs (per-task fused-chain
+                # overhead beats the wave-quantization saving)
                 batch_size=64,
                 concurrency=(pool, pool),
             )
         )
     )
-    return all_triples(mentions)
+    # raised cap: the x96 summary (~4M rows) driver-assembles in ~2s,
+    # replacing two all-to-all barriers whose fixed latency is the
+    # dominant non-compute phase of this job (r2 Amdahl attribution)
+    return all_triples(mentions, driver_cap=5_000_000)
 
 
 def _tag_pairs(sf_dir: str, cascade: bool = False) -> "ray.data.Dataset":

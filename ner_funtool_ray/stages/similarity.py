@@ -151,6 +151,86 @@ def lsh_bucket_topk(
     return top
 
 
+def ivf_topk(
+    embeddings: "ray.data.Dataset",
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int | None = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> "ray.data.Dataset":
+    """IVF-flat approximate top-k: vectors are partitioned by nearest
+    centroid (the inverted-file coarse quantizer); the query scans only
+    the ``n_probe`` nearest partitions and re-scores those exactly.
+
+    Centroids are md5-derived unit vectors (functions/md5vec.py — the
+    deterministic stand-in for k-means centroids, giving the structure an
+    exact DuckDB twin; a trained quantizer would slot into the same
+    assignment stage).  Assignment happens INSIDE map_batches — one
+    (B, d) @ (d, C) matmul per batch, no shuffle; at scale the natural
+    extension is writing the assignment out as a partition column so
+    probes prune at the READ (partitioned parquet), which this layout
+    makes trivial.  Ties in centroid distance go to the lowest centroid
+    id; final ordering is (score DESC, id), matching the SQL twin."""
+    from ner_funtool_ray.functions.md5vec import md5_unit_batch
+
+    query = np.asarray(query_vec, dtype=np.float64)
+    d = dim or query.shape[0]
+    keys = [f"ivf:{seed}:{c}:{l}" for c in range(n_centroids) for l in range(d)]
+    cents = md5_unit_batch(keys).reshape(n_centroids, d)
+    cents = cents / np.maximum(
+        np.linalg.norm(cents, axis=1), 1e-30
+    )[:, None]
+
+    # probe set: centroids nearest to the query by cosine (equivalently
+    # max dot against unit centroids)
+    qsims = cents @ (query / max(np.linalg.norm(query), 1e-30))
+    order = np.lexsort((np.arange(n_centroids), -qsims))
+    probes = np.sort(order[:n_probe])
+    query_ref = ray.put((query, cents, probes))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        q, c, pr = ray.get(query_ref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        mat = _batch_matrix(batch, vec_col)
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+        sims = unit @ c.T  # (B, C)
+        # argmax with lowest-id tie-break: argmax returns the FIRST max
+        assign = np.argmax(sims, axis=1)
+        mask = np.isin(assign, pr)
+        if not mask.any():
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        idx = np.nonzero(mask)[0]
+        scores = cosine_scores(mat[idx], q)
+        ids = np.asarray(batch[id_col]).astype(np.int64)[idx]
+        byid = np.argsort(ids, kind="stable")
+        take = byid[np.argsort(-scores[byid], kind="stable")[:k]]
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(idx[take])),
+            "score": pa.array(scores[take], type=pa.float64()),
+        })
+
+    partial = embeddings.map_batches(candidates, batch_format="pyarrow")
+    top = partial.sort(["score", id_col], descending=[True, False]).limit(k)
+    if round_to is not None:
+        top = top.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("score"),
+                "score",
+                pa.array(np.round(t["score"].to_numpy(), round_to)),
+            ),
+            batch_format="pyarrow",
+        )
+    return top
+
+
 def multiquery_topk(
     embeddings: "ray.data.Dataset",
     query_ids: np.ndarray,

@@ -334,3 +334,34 @@ def test_ngram_jaccard_max_df_cap_binds_identically_to_sql_rule():
     assert list(zip(expect["a"], expect["b"])) == [(1, 2), (3, 4)]
     import pandas as pd
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_ivf_topk_probes_own_partition_and_orders():
+    # the query's own partition is always probed (its centroid ranks first),
+    # so the query vector itself must come back at rank 1 with score 1.0
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ner_funtool_ray.stages.similarity import ivf_topk
+
+    rng = np.random.default_rng(12)
+    n, d = 200, 64
+    mat = rng.normal(size=(n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), type=pa.int64()),
+            "embedding": pa.array(
+                [r.astype(np.float32).tolist() for r in mat],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    q = mat[0].astype(np.float32).astype(np.float64)
+    out = ivf_topk(
+        ray.data.from_arrow(tbl), q, k=5, n_centroids=8, n_probe=2
+    ).to_pandas()
+    assert len(out) >= 1
+    assert out.iloc[0]["vec_id"] == 0
+    assert out.iloc[0]["score"] == 1.0
+    assert (out["score"].to_numpy()[:-1] >= out["score"].to_numpy()[1:]).all()
