@@ -955,6 +955,18 @@ def _q_doc_length_quantiles(sf_dir: str):
     return doc_length_quantiles(sf_dir)
 
 
+def _q_forecast_revenue(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import forecast_revenue
+
+    return forecast_revenue(sf_dir)
+
+
+def _q_profit_by_nation_year(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import profit_by_nation_year
+
+    return profit_by_nation_year(sf_dir)
+
+
 def _q_user_sessions(sf_dir: str):
     from ner_funtool_ray.pipelines.relational import user_sessions
 
@@ -1064,6 +1076,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "forecast_revenue": _q_forecast_revenue,
+        "profit_by_nation_year": _q_profit_by_nation_year,
         "user_sessions": _q_user_sessions,
         "customers_without_big_orders": _q_customers_without_big_orders,
         "purchase_view_gap": _q_purchase_view_gap,
@@ -1103,6 +1117,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _rel.EVENTS_HOURLY_SQL,
         "events_sliding": _rel.EVENTS_SLIDING_SQL,
         "doc_length_quantiles": _rel.DOC_LENGTH_QUANTILES_SQL,
+        "forecast_revenue": _rel.FORECAST_REVENUE_SQL,
+        "profit_by_nation_year": _rel.PROFIT_BY_NATION_YEAR_SQL,
         "user_sessions": _rel.USER_SESSIONS_SQL,
         "customers_without_big_orders": _rel.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "purchase_view_gap": _rel.PURCHASE_VIEW_GAP_SQL,

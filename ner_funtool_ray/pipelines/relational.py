@@ -797,6 +797,160 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 5
 """
 
 
+def forecast_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q6 shape — the pure filter-aggregate fact scan: revenue
+    forgone from 1996 shipments at 5-7% discount and quantity < 24.
+    The batch transform is all pyarrow.compute (filter + integer-cent
+    product + partial sum); the driver only adds ~n_blocks partial rows.
+    Integer cents × integer discount-percent keep the sum associativity-
+    free, so the result hashes bit-exactly against the SQL twin at any
+    parallelism."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]")
+    hi = np.datetime64("1997-01-01").astype("datetime64[us]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dc = _cents(batch["l_discount"])
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+                pc.less(batch["l_shipdate"], pa.scalar(hi)),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(dc, 5), pc.less_equal(dc, 7)
+                ),
+                pc.less(batch["l_quantity"], 24.0),
+            ),
+        )
+        hit = batch.filter(keep)
+        ep = _cents(hit["l_extendedprice"])
+        dh = _cents(hit["l_discount"])
+        rev = int(pc.sum(pc.multiply(ep, dh)).as_py() or 0)
+        return pa.table(
+            {
+                "rev4": pa.array([rev], type=pa.int64()),
+                "n": pa.array([hit.num_rows], type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "revenue": pa.array(
+                    [parts["rev4"].sum() / 10000.0], type=pa.float64()
+                ),
+                "n": pa.array([int(parts["n"].sum())], type=pa.int64()),
+            }
+        )
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT
+  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      * CAST(round(l_discount*100) AS BIGINT)) / 10000.0 AS revenue,
+  count(*)::BIGINT AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def profit_by_nation_year(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q9 shape — fact scan with two broadcast dimension joins and a
+    broadcast semi-join filter: profit on PROMO parts per supplier nation
+    per ship year.  supplier→nation (100 rows) rides as a broadcast dict,
+    the PROMO partkey set as a sorted int array (vectorized ``np.isin``);
+    the fact table never shuffles — per-batch partials aggregate by
+    (nation, year) and a tiny bounded groupby merges them.  Amounts are
+    integer cents × integer (100 - discount%), bit-exact vs the twin."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk2name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    sup2nation = {
+        s: nk2name[n]
+        for s, n in zip(sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist())
+    }
+    promo = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filters=[("p_type", "=", "PROMO")],
+    )
+    promo_keys = np.unique(np.asarray(promo["p_partkey"]).astype(np.int64))
+    refs = ray.put((sup2nation, promo_keys))
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s2n, pk = ray.get(refs)
+        keep = np.isin(np.asarray(batch["l_partkey"]).astype(np.int64), pk)
+        hit = batch.filter(pa.array(keep))
+        ep = np.asarray(_cents(hit["l_extendedprice"]))
+        dc = np.asarray(_cents(hit["l_discount"]))
+        amount4 = ep * (100 - dc)
+        yr = np.asarray(pc.year(hit["l_shipdate"])).astype(np.int64)
+        nations = pd.Series(hit["l_suppkey"].to_numpy()).map(s2n)
+        return pa.Table.from_pandas(
+            pd.DataFrame({"n_name": nations, "yr": yr, "profit4": amount4}),
+            preserve_index=False,
+        )
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    # partials are ≤ (nations × years) rows per batch — the size-guarded
+    # driver merge skips the ~3 s fixed Sort barrier; above the cap the
+    # bounded-bucket shuffle handles it
+    agg = bucketed_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["n_name", "yr"],
+        sum_cols={"profit4": "profit4"},
+        count_col="n",
+        driver_cap=2_000_000,
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "n_name": b["n_name"],
+                "yr": b["yr"],
+                "profit": pc.divide(pc.cast(b["profit4"], pa.float64()), 10000.0),
+                "n": b["n"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+PROFIT_BY_NATION_YEAR_SQL = """
+SELECT n.n_name, year(l.l_shipdate)::BIGINT AS yr,
+  sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0 AS profit,
+  count(*)::BIGINT AS n
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_type = 'PROMO'
+GROUP BY 1, 2
+"""
+
+
 def doc_length_quantiles(
     sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.95)
 ) -> "ray.data.Dataset":
