@@ -58,7 +58,8 @@ def run_bench() -> dict:
     # warm the OS page cache so we measure compute+shuffle, not first disk read
     import pyarrow.parquet as pq
 
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "lineitem", "supplier", "part",
+              "nation"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
     # warm the Ray worker pool (process spawn + library import) so the first
@@ -92,6 +93,8 @@ def run_bench() -> dict:
         "kg_triples_linked",   # linking-based canonicalization variant
         "dedup_minhash_lsh",
         "ann_multiquery_topk",
+        "forecast_revenue",     # TPC-H Q6-shaped fact scan (largest table)
+        "profit_by_nation_year",  # TPC-H Q9-shaped broadcast-join fact scan
     ]
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
