@@ -346,3 +346,79 @@ def video_frame_sample(ds, n_samples: int = 4, batch_size: int = 16,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# --- multimodal × dedup composition ----------------------------------------
+
+
+def image_neardup_clusters(
+    images: "ray.data.Dataset",
+    max_hamming: int = 3,
+    id_col: str = "image_id",
+    batch_size: int = 64,
+    concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    """Perceptual near-duplicate IMAGE clustering: the multimodal feature
+    stage (decode → 8×8 resize → 64-bit phash) composed with the dedup
+    family's banded Hamming join and distributed connected components —
+    the same 4×16-bit band blocking as SimHash text dedup, so only images
+    sharing a band ever pair, and the shuffle carries (id, phash) rows,
+    never image payloads.  Returns (doc_id → image id, cluster_id)."""
+    import pandas as pd
+
+    from ner_funtool_ray.functions.hashing import hamming64
+    from ner_funtool_ray.stages.dedup import _crc_bucket, clusters_from_pairs_ds
+
+    feats = images.map_batches(
+        ImageFeatures, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    ).select_columns([id_col, "phash"])
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col]).astype(np.int64)
+        ph = np.asarray(batch["phash"]).astype(np.uint64)
+        out_ids = np.repeat(ids, 4)
+        out_ph = np.repeat(ph, 4)
+        bands = np.tile(np.arange(4, dtype=np.uint64), len(ids))
+        keys = [
+            f"{int(b)}:{int((h >> (b * np.uint64(16))) & np.uint64(0xFFFF))}"
+            for b, h in zip(bands, out_ph)
+        ]
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, type=pa.int64()),
+                "phash": pa.array(out_ph),
+                "band_key": pa.array(keys, type=pa.string()),
+                "bucket": pa.array(_crc_bucket(keys, 64)),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
+        a_out, b_out = [], []
+        counts = group["band_key"].value_counts()
+        multi = counts[counts > 1].index
+        if len(multi):
+            for _k, sub in group[group["band_key"].isin(multi)].groupby(
+                "band_key", sort=False
+            ):
+                rows = sub.drop_duplicates(id_col).sort_values(id_col)
+                ids = rows[id_col].to_numpy()
+                hs = rows["phash"].to_numpy()
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        if hamming64(int(hs[i]), int(hs[j])) <= max_hamming:
+                            a_out.append(int(ids[i]))
+                            b_out.append(int(ids[j]))
+        return pa.table(
+            {
+                "a": pa.array(a_out, type=pa.int64()),
+                "b": pa.array(b_out, type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        feats.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return clusters_from_pairs_ds(pairs)

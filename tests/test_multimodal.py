@@ -148,3 +148,28 @@ def test_video_frame_sample_deterministic():
     a = VideoFrameSample(n_samples=5)(tbl)
     b = VideoFrameSample(n_samples=5)(tbl)
     assert a.equals(b)
+
+
+def test_image_neardup_clusters_groups_identical_payloads():
+    import pyarrow as pa
+    import ray.data
+
+    from ner_funtool_ray.stages.multimodal import (
+        image_neardup_clusters,
+        make_fake_image,
+    )
+
+    dup = make_fake_image(64, 48, seed=1)
+    other = make_fake_image(64, 48, seed=9)
+    third = make_fake_image(32, 32, seed=5)
+    tbl = pa.table(
+        {
+            "image_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "payload": pa.array([dup, dup, other, third], type=pa.binary()),
+        }
+    )
+    out = image_neardup_clusters(ray.data.from_arrow(tbl)).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl.get(0) == cl.get(1) == 0  # identical payloads cluster
+    # unrelated images either absent (singletons) or in other clusters
+    assert cl.get(2) != 0 or 2 not in cl
