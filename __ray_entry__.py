@@ -1016,6 +1016,48 @@ def _q_clue_submit(sf_dir: str):
     )
 
 
+def _q_mm_image_features(sf_dir: str):
+    """Multimodal plumbing surfaced to the driver: deterministic seeded
+    image table (no image column exists in the testdata; payload synthesis
+    is seed-fixed so row counts and schema are stable) → decode/feature
+    actor stage → (img_id, width, height, mean_intensity, phash)."""
+    import ray.data
+
+    from ner_funtool_ray.stages.multimodal import (
+        image_features,
+        synthesize_image_table,
+    )
+
+    ds = ray.data.from_arrow(synthesize_image_table(200, seed=42))
+    return image_features(ds).select_columns(
+        ["img_id", "width", "height", "mean_intensity", "phash"]
+    )
+
+
+def _q_mm_image_neardup(sf_dir: str):
+    """phash near-dup clustering over a seeded image table with planted
+    duplicate payloads (every 10th image repeats payload of i-1)."""
+    import pyarrow as pa
+    import ray.data
+
+    from ner_funtool_ray.stages.multimodal import (
+        image_neardup_clusters,
+        synthesize_image_table,
+    )
+
+    tbl = synthesize_image_table(200, seed=42)
+    payloads = tbl["payload"].to_pylist()
+    for i in range(1, 200, 10):  # plant exact dups → phash hamming 0
+        payloads[i] = payloads[i - 1]
+    planted = pa.table(
+        {
+            "image_id": tbl["img_id"],
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+    return image_neardup_clusters(ray.data.from_arrow(planted))
+
+
 def entry() -> Any:
     """Flagship KG pipeline on /root/testdata/sf0.001 → triple Dataset."""
     from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
@@ -1086,6 +1128,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": _q_sample_documents,
         # CLUE submit writer surface over the model path (rows-only)
         "ner_clue_submit": _q_clue_submit,
+        # multimodal plumbing (binary payload columns synthesized
+        # deterministically — no image column in the testdata; rows-only)
+        "mm_image_features": _q_mm_image_features,
+        "mm_image_neardup": _q_mm_image_neardup,
     }
 
 
