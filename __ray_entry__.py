@@ -967,6 +967,12 @@ def _q_profit_by_nation_year(sf_dir: str):
     return profit_by_nation_year(sf_dir)
 
 
+def _q_late_order_priority(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import late_order_priority
+
+    return late_order_priority(sf_dir)
+
+
 def _q_user_sessions(sf_dir: str):
     from ner_funtool_ray.pipelines.relational import user_sessions
 
@@ -1120,6 +1126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": _q_doc_length_quantiles,
         "forecast_revenue": _q_forecast_revenue,
         "profit_by_nation_year": _q_profit_by_nation_year,
+        "late_order_priority": _q_late_order_priority,
         "user_sessions": _q_user_sessions,
         "customers_without_big_orders": _q_customers_without_big_orders,
         "purchase_view_gap": _q_purchase_view_gap,
@@ -1165,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles": _rel.DOC_LENGTH_QUANTILES_SQL,
         "forecast_revenue": _rel.FORECAST_REVENUE_SQL,
         "profit_by_nation_year": _rel.PROFIT_BY_NATION_YEAR_SQL,
+        "late_order_priority": _rel.LATE_ORDER_PRIORITY_SQL,
         "user_sessions": _rel.USER_SESSIONS_SQL,
         "customers_without_big_orders": _rel.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "purchase_view_gap": _rel.PURCHASE_VIEW_GAP_SQL,

@@ -951,6 +951,201 @@ GROUP BY 1, 2
 """
 
 
+def late_order_priority(
+    sf_dir: str, n_buckets: int = 32, broadcast_limit: int = 5_000_000
+) -> "ray.data.Dataset":
+    """TPC-H Q4 shape — fact-to-fact EXISTS semi-join: orders placed in
+    1996Q1 with at least one line shipped more than 90 days after the
+    order date, counted per priority.
+
+    Size-guarded plan: the probe side is only ONE QUARTER of orders, so
+    when the orders table is driver-readable (parquet-metadata row count ≤
+    ``broadcast_limit``) the filtered (orderkey → orderdate, priority)
+    arrays are broadcast once and the lineitem fact table streams against
+    them with searchsorted — the only shuffle carries the distinct LATE
+    orderkeys (≤ quarter size).  Above the limit, both sides hash-bucket
+    by orderkey and each bucket resolves the predicate with a vectorized
+    merge; the lineitem side then pre-aggregates to max(l_shipdate) per
+    order per batch (EXISTS only needs the max).  Identical results."""
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]")
+    hi = np.datetime64("1996-04-01").astype("datetime64[us]")
+    import pyarrow.parquet as pq
+
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders <= broadcast_limit:
+        ot = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+        keep = pc.and_(
+            pc.greater_equal(ot["o_orderdate"], pa.scalar(lo)),
+            pc.less(ot["o_orderdate"], pa.scalar(hi)),
+        )
+        ot = ot.filter(keep)
+        okeys = np.asarray(ot["o_orderkey"]).astype(np.int64)
+        order = np.argsort(okeys)
+        okeys = okeys[order]
+        odates = np.asarray(ot["o_orderdate"]).astype("datetime64[us]")[order]
+        oprio = np.asarray(ot["o_orderpriority"])[order]
+        deadline = (odates + np.timedelta64(90, "D")).astype(np.int64)
+        side = ray.put((okeys, deadline, oprio))
+
+        def late_rows(batch: pa.Table) -> pa.Table:
+            ks, dl, prio = ray.get(side)
+            lk = np.asarray(batch["l_orderkey"]).astype(np.int64)
+            ship = np.asarray(batch["l_shipdate"]).astype("datetime64[us]").astype(np.int64)
+            idx = np.searchsorted(ks, lk)
+            ok = (idx < len(ks))
+            idx2 = np.minimum(idx, len(ks) - 1)
+            hit = ok & (ks[idx2] == lk) & (ship > dl[idx2])
+            lk_hit = lk[hit]
+            uniq, first = np.unique(lk_hit, return_index=True)
+            pr = prio[idx2[hit][first]]
+            return pa.table(
+                {
+                    "orderkey": pa.array(uniq, type=pa.int64()),
+                    "o_orderpriority": pa.array(pr, type=pa.string()),
+                    "bucket": pa.array(uniq % np.int64(n_buckets)),
+                }
+            )
+
+        def bucket_distinct(group: pd.DataFrame) -> pa.Table:
+            d = group.drop_duplicates("orderkey")
+            agg = (
+                d.groupby("o_orderpriority", sort=False)
+                .size()
+                .reset_index(name="n_late_orders")
+            )
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array(
+                        agg["o_orderpriority"], type=pa.string()
+                    ),
+                    "n_late_orders": pa.array(
+                        agg["n_late_orders"].to_numpy(dtype=np.int64)
+                    ),
+                }
+            )
+
+        from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+        late = read_parquet_auto(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        ).map_batches(late_rows, batch_format="pyarrow")
+        per_bucket = late.groupby("bucket").map_groups(
+            bucket_distinct, batch_format="pandas"
+        )
+        out = bucketed_group_sum(
+            per_bucket, ["o_orderpriority"],
+            sum_cols={"n_late_orders": "n_late_orders"},
+            count_col=None, driver_cap=2_000_000,
+        )
+        return out.select_columns(["o_orderpriority", "n_late_orders"])
+
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lines = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+            pc.less(batch["o_orderdate"], pa.scalar(hi)),
+        )
+        hit = batch.filter(keep)
+        ok = np.asarray(hit["o_orderkey"]).astype(np.int64)
+        return pa.table(
+            {
+                "orderkey": pa.array(ok, type=pa.int64()),
+                "ts": hit["o_orderdate"],
+                "priority": hit["o_orderpriority"],
+                "kind": pa.array(np.ones(len(ok), dtype=np.int8)),
+                "bucket": pa.array(ok % np.int64(n_buckets)),
+            }
+        )
+
+    def line_maxima(batch: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "orderkey": np.asarray(batch["l_orderkey"]).astype(np.int64),
+                    "ts": batch["l_shipdate"].to_pandas(),
+                }
+            )
+            .groupby("orderkey", sort=False)["ts"]
+            .max()
+            .reset_index()
+        )
+        ok = df["orderkey"].to_numpy()
+        return pa.table(
+            {
+                "orderkey": pa.array(ok, type=pa.int64()),
+                "ts": pa.Array.from_pandas(df["ts"], type=pa.timestamp("us")),
+                "priority": pa.nulls(len(ok), type=pa.string()),
+                "kind": pa.array(np.zeros(len(ok), dtype=np.int8)),
+                "bucket": pa.array(ok % np.int64(n_buckets)),
+            }
+        )
+
+    def bucket_semi(group: pd.DataFrame) -> pa.Table:
+        o = group[group["kind"] == 1]
+        l = group[group["kind"] == 0]
+        if o.empty:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        lmax = l.groupby("orderkey", sort=False)["ts"].max()
+        m = o.merge(
+            lmax.rename("max_ship").reset_index(), on="orderkey", how="inner"
+        )
+        late = m[m["max_ship"] > m["ts"] + pd.Timedelta(days=90)]
+        agg = (
+            late.groupby("priority", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(agg["priority"], type=pa.string()),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    parts = (
+        orders.map_batches(order_rows, batch_format="pyarrow")
+        .union(lines.map_batches(line_maxima, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(bucket_semi, batch_format="pandas")
+    )
+    out = bucketed_group_sum(
+        parts, ["o_orderpriority"], sum_cols={"n_late_orders": "n"},
+        count_col=None, driver_cap=2_000_000,
+    )
+    return out.select_columns(["o_orderpriority", "n_late_orders"])
+
+
+LATE_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
 def doc_length_quantiles(
     sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.95)
 ) -> "ray.data.Dataset":

@@ -133,3 +133,14 @@ def test_all_triples_local_assembly_matches_distributed():
         .to_pandas().sort_values(key).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(loc, dist)
+
+
+def test_late_order_priority_fallback_matches_oracle():
+    # broadcast_limit=0 forces the bucketed fact-fact semi-join; identical
+    # to the broadcast searchsorted path / the SQL twin
+    from ner_funtool_ray.pipelines.relational import late_order_priority
+
+    got = _normalize(late_order_priority(SF_DIR, broadcast_limit=0).to_pandas())
+    con = _duck(SF_DIR)
+    expect = _normalize(con.sql(ORACLES["late_order_priority"]).df())
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
