@@ -62,10 +62,18 @@ def run_bench() -> dict:
               "nation"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
-    # warm the Ray worker pool (process spawn + library import) so the first
-    # timed query measures the engine, not one-time worker startup
+    # warm the Ray worker pool (process spawn + library import, INCLUDING
+    # this package — the first query otherwise pays per-worker package
+    # import) so the first timed query measures the engine, not one-time
+    # worker startup
+    def _warm(b):
+        import ner_funtool_ray.stages.gazetteer  # noqa: F401
+        import ner_funtool_ray.stages.materialize  # noqa: F401
+
+        return b
+
     ray.data.range(1_000, override_num_blocks=NUM_CPUS).map_batches(
-        lambda b: b, batch_format="pyarrow"
+        _warm, batch_format="pyarrow"
     ).materialize()
 
     # warm the DRIVER-side pandas/numpy kernels used by the size-guarded
