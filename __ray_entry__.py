@@ -152,6 +152,12 @@ SELECT {_FP_EXPR} AS fingerprint, min(doc_id) AS doc_id,
 FROM documents GROUP BY 1
 """
 
+# the dedup OUTPUT corpus: one representative (min doc_id) per fingerprint
+_DEDUP_REPRESENTATIVES_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {_FP_EXPR})
+"""
+
 _VOCAB_COUNT_SQL = """
 SELECT word, count(*)::BIGINT AS cnt
 FROM (SELECT unnest(regexp_extract_all(text, '\\w+')) AS word FROM documents)
@@ -687,6 +693,12 @@ def _q_dedup_exact(sf_dir: str):
     return dedup_exact(sf_dir)
 
 
+def _q_dedup_representatives(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import dedup_representatives
+
+    return dedup_representatives(sf_dir)
+
+
 def _q_vocab_count(sf_dir: str):
     from ner_funtool_ray.pipelines.textops import vocab_count
 
@@ -1081,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
+        "dedup_representatives": _q_dedup_representatives,
         "vocab_count": _q_vocab_count,
         "lang_source_counts": _q_lang_source,
         "topk_cosine": _q_topk_cosine,
@@ -1152,6 +1165,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": _LANGID_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_representatives": _DEDUP_REPRESENTATIVES_SQL,
         "vocab_count": _VOCAB_COUNT_SQL,
         "lang_source_counts": _LANG_SOURCE_SQL,
         "topk_cosine": _TOPK_SQL,

@@ -206,3 +206,64 @@ def winnow_fingerprints(
         fn_kwargs={"k": k, "window": window},
         batch_format="pyarrow",
     )
+
+
+def dedup_representatives(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """The dedup pipeline's OUTPUT corpus: one representative document
+    (min doc_id) per exact content fingerprint — documents → per-batch
+    (fingerprint, min doc_id) partials → fingerprint min-merge → a
+    distributed bucketed SEMI-JOIN back onto documents by doc_id.  The
+    keep-list is corpus-sized at web scale, so it co-locates with the
+    documents by ``doc_id % n_buckets`` instead of broadcasting.  Returns
+    (doc_id, lang, source)."""
+    import numpy as np
+
+    keeps = dedup_exact(sf_dir).select_columns(["doc_id"])
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "lang": pa.nulls(len(ids), type=pa.string()),
+                "source": pa.nulls(len(ids), type=pa.string()),
+                "kind": pa.array(np.zeros(len(ids), dtype=np.int8)),
+                "bucket": pa.array(ids % np.int64(n_buckets)),
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "kind": pa.array(np.ones(len(ids), dtype=np.int8)),
+                "bucket": pa.array(ids % np.int64(n_buckets)),
+            }
+        )
+
+    def bucket_semi(group: pd.DataFrame) -> pa.Table:
+        keep = group.loc[group["kind"] == 0, "doc_id"].to_numpy()
+        docs = group[group["kind"] == 1]
+        import numpy as np
+
+        hit = docs[np.isin(docs["doc_id"].to_numpy(), keep)]
+        return pa.table(
+            {
+                "doc_id": pa.array(hit["doc_id"].to_numpy(), type=pa.int64()),
+                "lang": pa.array(hit["lang"], type=pa.string()),
+                "source": pa.array(hit["source"], type=pa.string()),
+            }
+        )
+
+    docs = _read_documents(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        doc_rows, batch_format="pyarrow"
+    )
+    return (
+        keeps.map_batches(keep_rows, batch_format="pyarrow")
+        .union(docs)
+        .groupby("bucket")
+        .map_groups(bucket_semi, batch_format="pandas")
+    )
