@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import ner_funtool_ray.pipelines.analytic as _ana
 import ner_funtool_ray.pipelines.relational as _rel
 from ner_funtool_ray.config import ALIASES, GAZETTEER
 from ner_funtool_ray.corpus import CORPUS_FROM_DOCUMENTS_SQL
@@ -1021,6 +1022,36 @@ def _q_sample_documents(sf_dir: str):
     return sample_documents(sf_dir)
 
 
+def _q_order_priority_linestatus(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import order_priority_linestatus
+
+    return order_priority_linestatus(sf_dir)
+
+
+def _q_large_volume_customers(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import large_volume_customers
+
+    return large_volume_customers(sf_dir)
+
+
+def _q_customer_order_window(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import customer_order_window
+
+    return customer_order_window(sf_dir)
+
+
+def _q_supplier_distinct_parts(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import supplier_distinct_parts
+
+    return supplier_distinct_parts(sf_dir)
+
+
+def _q_doc_keyword_hits(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import doc_keyword_hits
+
+    return doc_keyword_hits(sf_dir)
+
+
 def _q_clue_submit(sf_dir: str):
     """CLUE submit writer with the in-query integrity self-check: offsets
     in the label JSON are verified against the source sentences (a bad
@@ -1146,6 +1177,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_order_per_customer": _q_top_order_per_customer,
         "event_props_k": _q_event_props_k,
         "sample_documents": _q_sample_documents,
+        # warehouse-analytic coverage (conditional-agg join, HAVING
+        # group+join-back, window functions, COUNT DISTINCT, RE2 regexp)
+        # — oracle-checked, pipelines/analytic.py
+        "order_priority_linestatus": _q_order_priority_linestatus,
+        "large_volume_customers": _q_large_volume_customers,
+        "customer_order_window": _q_customer_order_window,
+        "supplier_distinct_parts": _q_supplier_distinct_parts,
+        "doc_keyword_hits": _q_doc_keyword_hits,
         # CLUE submit writer surface over the model path (rows-only)
         "ner_clue_submit": _q_clue_submit,
         # multimodal plumbing (binary payload columns synthesized
@@ -1193,6 +1232,11 @@ def oracle_sql() -> dict[str, str]:
         "top_order_per_customer": _rel.TOP_ORDER_PER_CUSTOMER_SQL,
         "event_props_k": _rel.EVENT_PROPS_K_SQL,
         "sample_documents": _rel.SAMPLE_DOCUMENTS_SQL,
+        "order_priority_linestatus": _ana.ORDER_PRIORITY_LINESTATUS_SQL,
+        "large_volume_customers": _ana.LARGE_VOLUME_CUSTOMERS_SQL,
+        "customer_order_window": _ana.CUSTOMER_ORDER_WINDOW_SQL,
+        "supplier_distinct_parts": _ana.SUPPLIER_DISTINCT_PARTS_SQL,
+        "doc_keyword_hits": _ana.DOC_KEYWORD_HITS_SQL,
         "kg_linked_mentions": _LINKED_MENTIONS_SQL,
         "kg_triples_linked": _TRIPLES_LINKED_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,

@@ -1,0 +1,617 @@
+"""Warehouse-analytic operators over the TPC-H-shaped tables.
+
+Beyond-reference ops alongside the SURVEY.md §2.5/§2.6/§2.8/§2.9 families
+(the reference's own join surface is broadcast dict lookups,
+`bert_data_utils.py`); these are the remaining warehouse shapes a 100 TB
+corpus pipeline needs:
+
+- conditional aggregate across a fact-fact join (TPC-H Q12 shape),
+- HAVING-filtered group-then-join-back (TPC-H Q18 shape),
+- per-group window functions — row_number / running sum / lag (§2.9
+  streaming-shaped family, same hash-bucket design as ``user_sessions``),
+- grouped COUNT DISTINCT (two-level: per-batch distinct pairs ride the
+  shuffle, never raw fact rows),
+- RE2 regexp extraction over documents (§2.8 scalar family — pyarrow and
+  DuckDB both compile RE2, so the twin is semantics-identical).
+
+Every query has a bit-exact DuckDB twin: money as integer cents, counts as
+int64, window sums cast to BIGINT in SQL (DuckDB's HUGEINT sum would
+otherwise come back as float64 and hash differently).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ner_funtool_ray.sources.io import read_parquet_auto
+from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def order_priority_linestatus(
+    sf_dir: str, n_buckets: int = 32, broadcast_limit: int = 5_000_000
+) -> "ray.data.Dataset":
+    """TPC-H Q12 shape — conditional aggregate over an orders⋈lineitem
+    join: per line status, how many lines belong to high-priority
+    (URGENT/HIGH) vs lower-priority orders.
+
+    Size-guarded plan: at or below ``broadcast_limit`` order rows the
+    (orderkey → is_high) pair is broadcast once as two sorted arrays and
+    the lineitem fact table streams against them with searchsorted — the
+    only shuffle carries one 3-column partial row per (batch, linestatus).
+    Above the limit both sides hash-bucket by orderkey and each bucket
+    joins vectorized; the lineitem side pre-aggregates to (orderkey,
+    linestatus, n) per batch so raw fact rows never shuffle.  Identical
+    results (parity-tested with broadcast_limit=0)."""
+    import pyarrow.parquet as pq
+
+    def final(partials: "ray.data.Dataset") -> "ray.data.Dataset":
+        out = bucketed_group_sum(
+            partials,
+            ["l_linestatus"],
+            sum_cols={
+                "high_line_count": "high_line_count",
+                "low_line_count": "low_line_count",
+            },
+            count_col=None,
+            driver_cap=2_000_000,
+        )
+        return out.select_columns(
+            ["l_linestatus", "high_line_count", "low_line_count"]
+        )
+
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders <= broadcast_limit:
+        ot = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        okeys = np.asarray(ot["o_orderkey"]).astype(np.int64)
+        order = np.argsort(okeys)
+        okeys = okeys[order]
+        high = (
+            np.asarray(pc.is_in(ot["o_orderpriority"], value_set=pa.array(_HIGH_PRIORITIES)))
+            .astype(np.int64)[order]
+        )
+        side = ray.put((okeys, high))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ks, hi = ray.get(side)
+            lk = np.asarray(batch["l_orderkey"]).astype(np.int64)
+            idx = np.searchsorted(ks, lk)
+            ok = idx < len(ks)
+            idx2 = np.minimum(idx, len(ks) - 1)
+            hit = ok & (ks[idx2] == lk)  # inner-join semantics
+            df = pd.DataFrame(
+                {
+                    "ls": np.asarray(batch["l_linestatus"])[hit],
+                    "high": hi[idx2[hit]],
+                }
+            )
+            agg = df.groupby("ls", sort=False)["high"].agg(["sum", "size"])
+            return pa.table(
+                {
+                    "l_linestatus": pa.array(agg.index, type=pa.string()),
+                    "high_line_count": pa.array(
+                        agg["sum"].to_numpy(dtype=np.int64)
+                    ),
+                    "low_line_count": pa.array(
+                        (agg["size"] - agg["sum"]).to_numpy(dtype=np.int64)
+                    ),
+                }
+            )
+
+        lines = read_parquet_auto(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linestatus"],
+        )
+        return final(lines.map_batches(partial, batch_format="pyarrow"))
+
+    # bucketed fallback: both sides shuffle by orderkey hash bucket; the
+    # lineitem side is pre-aggregated per batch so the exchange carries
+    # (orderkey, linestatus) counts, not raw lines
+    def order_rows(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["o_orderkey"]).astype(np.int64)
+        hi = (
+            np.asarray(pc.is_in(batch["o_orderpriority"], value_set=pa.array(_HIGH_PRIORITIES)))
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "orderkey": pa.array(ok),
+                "ls": pa.array([""] * len(ok), type=pa.string()),
+                "n": pa.array(np.zeros(len(ok), dtype=np.int64)),
+                "high": pa.array(hi),
+                "kind": pa.array(np.ones(len(ok), dtype=np.int8)),
+                "bucket": pa.array(ok % np.int64(n_buckets)),
+            }
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "orderkey": np.asarray(batch["l_orderkey"]).astype(np.int64),
+                "ls": np.asarray(batch["l_linestatus"]),
+            }
+        )
+        agg = df.groupby(["orderkey", "ls"], sort=False).size().reset_index(name="n")
+        ok = agg["orderkey"].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "orderkey": pa.array(ok),
+                "ls": pa.array(agg["ls"], type=pa.string()),
+                "n": pa.array(agg["n"].to_numpy(dtype=np.int64)),
+                "high": pa.array(np.zeros(len(ok), dtype=np.int64)),
+                "kind": pa.array(np.zeros(len(ok), dtype=np.int8)),
+                "bucket": pa.array(ok % np.int64(n_buckets)),
+            }
+        )
+
+    def join_bucket(group: pd.DataFrame) -> pa.Table:
+        o = group[group["kind"] == 1]
+        l = group[group["kind"] == 0]
+        hi = l["orderkey"].map(
+            pd.Series(o["high"].to_numpy(), index=o["orderkey"].to_numpy())
+        )
+        keep = hi.notna()  # inner-join semantics
+        df = pd.DataFrame(
+            {"ls": l["ls"][keep], "high": hi[keep].astype(np.int64), "n": l["n"][keep]}
+        )
+        g = df.groupby("ls", sort=False)
+        agg = g.apply(
+            lambda d: pd.Series(
+                {
+                    "high_line_count": int(d.loc[d["high"] == 1, "n"].sum()),
+                    "low_line_count": int(d.loc[d["high"] == 0, "n"].sum()),
+                }
+            ),
+        ).reset_index()
+        return pa.table(
+            {
+                "l_linestatus": pa.array(agg["ls"], type=pa.string()),
+                "high_line_count": pa.array(
+                    agg["high_line_count"].to_numpy(dtype=np.int64)
+                ),
+                "low_line_count": pa.array(
+                    agg["low_line_count"].to_numpy(dtype=np.int64)
+                ),
+            }
+        )
+
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+    lines = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linestatus"]
+    ).map_batches(line_rows, batch_format="pyarrow")
+    partials = orders.union(lines).groupby("bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+    return final(partials)
+
+
+ORDER_PRIORITY_LINESTATUS_SQL = """
+SELECT l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+    AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+    AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+
+def large_volume_customers(
+    sf_dir: str,
+    qty_threshold: float = 250.0,
+    n_buckets: int = 64,
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """TPC-H Q18 shape — HAVING-filtered group then join back: orders whose
+    total line quantity exceeds ``qty_threshold``, joined back to the order
+    header and the customer name.
+
+    Plan: (1) per-order quantity sums via the bucketed partial-sum shuffle
+    (raw lines never shuffle — per-batch partials do); (2) the HAVING
+    filter leaves the OUTPUT-sized hot set, which is materialized and, at
+    or below ``broadcast_limit`` rows, broadcast as sorted arrays so the
+    orders table streams against it; (3) customer names attach the same
+    way (dimension broadcast below the limit, hash-bucket merge above).
+    All three fallbacks are bucketed shuffles keyed by the same hash —
+    parity-tested with broadcast_limit=0.
+
+    ``sum_qty`` stays double to match DuckDB's SUM(DOUBLE); quantities are
+    small integers so partial-sum order cannot change the value."""
+    import pyarrow.parquet as pq
+
+    sums = bucketed_group_sum(
+        read_parquet_auto(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        ),
+        ["l_orderkey"],
+        sum_cols={"sum_qty": "l_quantity"},
+        count_col=None,
+        n_buckets=n_buckets,
+    )
+
+    def having(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["sum_qty"], pa.scalar(qty_threshold)))
+
+    hot = sums.map_batches(having, batch_format="pyarrow").materialize()
+
+    def with_customers(rows: "ray.data.Dataset") -> "ray.data.Dataset":
+        n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+        if n_cust <= broadcast_limit:
+            ct = pq.read_table(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+            )
+            ck = np.asarray(ct["c_custkey"]).astype(np.int64)
+            order = np.argsort(ck)
+            ck = ck[order]
+            cn = np.asarray(ct["c_name"])[order]
+            side = ray.put((ck, cn))
+
+            def attach(batch: pa.Table) -> pa.Table:
+                keys, names = ray.get(side)
+                cust = np.asarray(batch["c_custkey"]).astype(np.int64)
+                idx = np.searchsorted(keys, cust)
+                idx2 = np.minimum(idx, len(keys) - 1)
+                hit = (idx < len(keys)) & (keys[idx2] == cust)
+                out = batch.filter(pa.array(hit))
+                return out.append_column(
+                    "c_name", pa.array(names[idx2[hit]], type=pa.string())
+                )
+
+            return rows.map_batches(attach, batch_format="pyarrow")
+
+        # bucketed merge: hot-order rows are output-sized; customers bucket
+        # by the same custkey hash
+        def cust_rows(batch: pa.Table) -> pa.Table:
+            ck = np.asarray(batch["c_custkey"]).astype(np.int64)
+            return pa.table(
+                {
+                    "c_custkey": pa.array(ck),
+                    "c_name": batch["c_name"],
+                    "kind": pa.array(np.ones(len(ck), dtype=np.int8)),
+                    "bucket": pa.array(ck % np.int64(n_buckets)),
+                }
+            )
+
+        def fact_rows(batch: pa.Table) -> pa.Table:
+            ck = np.asarray(batch["c_custkey"]).astype(np.int64)
+            return batch.append_column(
+                "kind", pa.array(np.zeros(len(ck), dtype=np.int8))
+            ).append_column("bucket", pa.array(ck % np.int64(n_buckets)))
+
+        cust = read_parquet_auto(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        ).map_batches(cust_rows, batch_format="pyarrow")
+        fact = rows.map_batches(fact_rows, batch_format="pyarrow")
+
+        def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+            dim = group[group["kind"] == 1]
+            f = group[group["kind"] == 0].copy()
+            f["c_name"] = f["c_custkey"].map(
+                pd.Series(dim["c_name"].to_numpy(), index=dim["c_custkey"].to_numpy())
+            )
+            f = f[f["c_name"].notna()]
+            return f.drop(columns=["kind", "bucket"])
+
+        # dim side lacks the fact columns; pad for a unionable schema
+        pad_cols = ["o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+
+        def pad(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            batch = batch.append_column(
+                "o_orderkey", pa.array(np.zeros(n, dtype=np.int64))
+            )
+            batch = batch.append_column(
+                "o_orderdate", pa.nulls(n, type=pa.timestamp("us"))
+            )
+            batch = batch.append_column(
+                "o_totalprice", pa.array(np.zeros(n, dtype=np.float64))
+            )
+            return batch.append_column(
+                "sum_qty", pa.array(np.zeros(n, dtype=np.float64))
+            )
+
+        def pad_fact(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "c_name", pa.array([""] * batch.num_rows, type=pa.string())
+            )
+
+        cols = ["c_custkey", "c_name", *pad_cols, "kind", "bucket"]
+        both = (
+            cust.map_batches(pad, batch_format="pyarrow")
+            .select_columns(cols)
+            .union(
+                fact.map_batches(pad_fact, batch_format="pyarrow").select_columns(cols)
+            )
+        )
+        joined = both.groupby("bucket").map_groups(
+            join_bucket, batch_format="pandas"
+        )
+        return joined
+
+    n_hot = hot.count()
+    if n_hot <= broadcast_limit:
+        ht = pa.Table.from_pandas(hot.to_pandas(), preserve_index=False)
+        if ht.num_rows == 0 or n_hot == 0:
+            empty = pa.table(
+                {
+                    "c_custkey": pa.array([], type=pa.int64()),
+                    "c_name": pa.array([], type=pa.string()),
+                    "o_orderkey": pa.array([], type=pa.int64()),
+                    "o_orderdate": pa.array([], type=pa.timestamp("us")),
+                    "o_totalprice": pa.array([], type=pa.float64()),
+                    "sum_qty": pa.array([], type=pa.float64()),
+                }
+            )
+            return ray.data.from_arrow(empty)
+        hk = np.asarray(ht["l_orderkey"]).astype(np.int64)
+        order = np.argsort(hk)
+        hk = hk[order]
+        hq = np.asarray(ht["sum_qty"]).astype(np.float64)[order]
+        side = ray.put((hk, hq))
+
+        def order_hits(batch: pa.Table) -> pa.Table:
+            keys, qty = ray.get(side)
+            ok = np.asarray(batch["o_orderkey"]).astype(np.int64)
+            idx = np.searchsorted(keys, ok)
+            idx2 = np.minimum(idx, len(keys) - 1)
+            hit = (idx < len(keys)) & (keys[idx2] == ok)
+            out = batch.filter(pa.array(hit))
+            return out.append_column(
+                "sum_qty", pa.array(qty[idx2[hit]], type=pa.float64())
+            )
+
+        rows = read_parquet_auto(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        ).map_batches(order_hits, batch_format="pyarrow")
+        rows = rows.rename_columns(
+            {"o_custkey": "c_custkey"}
+        )
+        out = with_customers(rows)
+        return out.select_columns(
+            ["c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+        )
+
+    # hot set above the broadcast limit: bucket-join hot↔orders by orderkey
+    def hot_rows(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["l_orderkey"]).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "c_custkey": pa.array(np.zeros(len(ok), dtype=np.int64)),
+                "o_orderdate": pa.nulls(len(ok), type=pa.timestamp("us")),
+                "o_totalprice": pa.array(np.zeros(len(ok), dtype=np.float64)),
+                "sum_qty": batch["sum_qty"],
+                "kind": pa.array(np.ones(len(ok), dtype=np.int8)),
+                "bucket": pa.array(ok % np.int64(n_buckets)),
+            }
+        )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["o_orderkey"]).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "c_custkey": batch["o_custkey"].cast(pa.int64()),
+                "o_orderdate": batch["o_orderdate"],
+                "o_totalprice": batch["o_totalprice"],
+                "sum_qty": pa.array(np.zeros(len(ok), dtype=np.float64)),
+                "kind": pa.array(np.zeros(len(ok), dtype=np.int8)),
+                "bucket": pa.array(ok % np.int64(n_buckets)),
+            }
+        )
+
+    def join_orders(group: pd.DataFrame) -> pd.DataFrame:
+        h = group[group["kind"] == 1]
+        o = group[group["kind"] == 0].copy()
+        q = o["o_orderkey"].map(
+            pd.Series(h["sum_qty"].to_numpy(), index=h["o_orderkey"].to_numpy())
+        )
+        o = o[q.notna()]
+        o["sum_qty"] = q[q.notna()].astype(np.float64)
+        return o.drop(columns=["kind", "bucket"])
+
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+    rows = (
+        hot.map_batches(hot_rows, batch_format="pyarrow")
+        .union(orders)
+        .groupby("bucket")
+        .map_groups(join_orders, batch_format="pandas")
+    )
+    out = with_customers(rows)
+    return out.select_columns(
+        ["c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_SQL = """
+WITH hot AS (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM hot
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def customer_order_window(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-group window functions (§2.9 streaming-shaped family, same
+    hash-bucket design as ``user_sessions``): for every order, its
+    row_number within the customer (by orderdate, orderkey), the running
+    spend in integer cents, and the gap in days since the customer's
+    previous order (-1 for the first).
+
+    Customers hash-bucket (bounded group count at any customer
+    cardinality); inside a bucket one sort + C-level groupby cumsum/diff
+    computes all three windows vectorized.  Integer outputs → bit-exact
+    vs the SQL twin regardless of either engine's aggregation tree."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch["o_custkey"]).astype(np.int64)
+        return batch.append_column("bucket", pa.array(ck % np.int64(n_buckets)))
+
+    def windows(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        by = g.groupby("o_custkey", sort=False)
+        cents = np.round(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_custkey": g["o_custkey"].to_numpy(),
+                "rn": (by.cumcount() + 1).to_numpy(dtype=np.int64),
+                "running_cents": pd.Series(cents, index=g.index)
+                .groupby(g["o_custkey"], sort=False)
+                .cumsum()
+                .to_numpy(dtype=np.int64),
+                "gap_days": by["o_orderdate"]
+                .diff()
+                .dt.days.fillna(-1)
+                .to_numpy(dtype=np.int64),
+            }
+        )
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(windows, batch_format="pandas")
+    )
+
+
+CUSTOMER_ORDER_WINDOW_SQL = """
+SELECT o_orderkey, o_custkey,
+  row_number() OVER w AS rn,
+  SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS UNBOUNDED PRECEDING)::BIGINT AS running_cents,
+  COALESCE(date_diff('day', lag(o_orderdate) OVER w, o_orderdate), -1)::BIGINT
+    AS gap_days
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def supplier_distinct_parts(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """Grouped COUNT DISTINCT (two-level): distinct parts and total lines
+    per supplier.  Per batch the fact rows collapse to (suppkey, partkey,
+    n) — the shuffle carries distinct pairs, never raw lines; inside a
+    supplier-hash bucket a second dedup + groupby finishes both counts."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_suppkey": np.asarray(batch["l_suppkey"]).astype(np.int64),
+                "l_partkey": np.asarray(batch["l_partkey"]).astype(np.int64),
+            }
+        )
+        agg = (
+            df.groupby(["l_suppkey", "l_partkey"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        agg["bucket"] = (agg["l_suppkey"] % n_buckets).astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.groupby("l_suppkey", sort=False)
+            .agg(n_parts=("l_partkey", "nunique"), n_lines=("n", "sum"))
+            .reset_index()
+        )
+        out["n_parts"] = out["n_parts"].astype(np.int64)
+        out["n_lines"] = out["n_lines"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SUPPLIER_DISTINCT_PARTS_SQL = """
+SELECT l_suppkey, COUNT(DISTINCT l_partkey)::BIGINT AS n_parts,
+  COUNT(*)::BIGINT AS n_lines
+FROM lineitem GROUP BY l_suppkey
+"""
+
+_KEYWORD_PATTERN = r"\b(join|merge|sort)\b"
+
+
+def doc_keyword_hits(sf_dir: str, pattern: str = _KEYWORD_PATTERN) -> "ray.data.Dataset":
+    """Regexp extraction over documents (§2.8 scalar family): per language,
+    total keyword matches, documents with ≥1 match, and document count.
+    ``pyarrow.compute.count_substring_regex`` and DuckDB's regexp functions
+    both compile RE2, so the twin's semantics (``\\b``, alternation) are
+    identical by construction, not by luck."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hits = pc.count_substring_regex(batch["text"], pattern)
+        df = pd.DataFrame(
+            {
+                "lang": np.asarray(batch["lang"]),
+                "h": np.asarray(hits).astype(np.int64),
+            }
+        )
+        agg = (
+            df.assign(hit=(df["h"] > 0).astype(np.int64), one=np.int64(1))
+            .groupby("lang", sort=False)
+            .agg(
+                n_hits=("h", "sum"),
+                n_docs_hit=("hit", "sum"),
+                n_docs=("one", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = bucketed_group_sum(
+        partials,
+        ["lang"],
+        sum_cols={
+            "n_hits": "n_hits",
+            "n_docs_hit": "n_docs_hit",
+            "n_docs": "n_docs",
+        },
+        count_col=None,
+        driver_cap=2_000_000,
+    )
+    return out.select_columns(["lang", "n_hits", "n_docs_hit", "n_docs"])
+
+
+DOC_KEYWORD_HITS_SQL = r"""
+SELECT lang,
+  SUM(len(regexp_extract_all(text, '\b(join|merge|sort)\b')))::BIGINT AS n_hits,
+  SUM(CASE WHEN regexp_matches(text, '\b(join|merge|sort)\b') THEN 1 ELSE 0 END)::BIGINT
+    AS n_docs_hit,
+  COUNT(*)::BIGINT AS n_docs
+FROM documents GROUP BY lang
+"""

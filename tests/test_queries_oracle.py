@@ -144,3 +144,38 @@ def test_late_order_priority_fallback_matches_oracle():
     con = _duck(SF_DIR)
     expect = _normalize(con.sql(ORACLES["late_order_priority"]).df())
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_order_priority_linestatus_fallback_matches_oracle():
+    # broadcast_limit=0 forces the bucketed orderkey join; identical to the
+    # broadcast searchsorted path / the SQL twin
+    from ner_funtool_ray.pipelines.analytic import order_priority_linestatus
+
+    got = _normalize(order_priority_linestatus(SF_DIR, broadcast_limit=0).to_pandas())
+    con = _duck(SF_DIR)
+    expect = _normalize(con.sql(ORACLES["order_priority_linestatus"]).df())
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_large_volume_customers_fallback_matches_oracle():
+    # broadcast_limit=0 forces BOTH bucketed joins (hot->orders by orderkey,
+    # rows->customer by custkey)
+    from ner_funtool_ray.pipelines.analytic import large_volume_customers
+
+    got = _normalize(large_volume_customers(SF_DIR, broadcast_limit=0).to_pandas())
+    con = _duck(SF_DIR)
+    expect = _normalize(con.sql(ORACLES["large_volume_customers"]).df())
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_large_volume_customers_empty_result():
+    # a threshold above every order's quantity sum -> empty result with the
+    # full output schema (empty-Dataset .to_pandas() column-drop trap)
+    from ner_funtool_ray.pipelines.analytic import large_volume_customers
+
+    res = large_volume_customers(SF_DIR, qty_threshold=1e9)
+    assert res.count() == 0
+    assert list(res.schema().names) == [
+        "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+        "o_totalprice", "sum_qty",
+    ]
