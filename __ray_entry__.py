@@ -1052,6 +1052,24 @@ def _q_doc_keyword_hits(sf_dir: str):
     return doc_keyword_hits(sf_dir)
 
 
+def _q_stratified_sample_documents(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import stratified_sample_documents
+
+    return stratified_sample_documents(sf_dir)
+
+
+def _q_events_pivot(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import events_pivot
+
+    return events_pivot(sf_dir)
+
+
+def _q_doc_top_terms(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import doc_top_terms
+
+    return doc_top_terms(sf_dir)
+
+
 def _q_clue_submit(sf_dir: str):
     """CLUE submit writer with the in-query integrity self-check: offsets
     in the label JSON are verified against the source sentences (a bad
@@ -1185,6 +1203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_window": _q_customer_order_window,
         "supplier_distinct_parts": _q_supplier_distinct_parts,
         "doc_keyword_hits": _q_doc_keyword_hits,
+        "stratified_sample_documents": _q_stratified_sample_documents,
+        "events_pivot": _q_events_pivot,
+        "doc_top_terms": _q_doc_top_terms,
         # CLUE submit writer surface over the model path (rows-only)
         "ner_clue_submit": _q_clue_submit,
         # multimodal plumbing (binary payload columns synthesized
@@ -1237,6 +1258,9 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_window": _ana.CUSTOMER_ORDER_WINDOW_SQL,
         "supplier_distinct_parts": _ana.SUPPLIER_DISTINCT_PARTS_SQL,
         "doc_keyword_hits": _ana.DOC_KEYWORD_HITS_SQL,
+        "stratified_sample_documents": _ana.STRATIFIED_SAMPLE_DOCUMENTS_SQL,
+        "events_pivot": _ana.EVENTS_PIVOT_SQL,
+        "doc_top_terms": _ana.DOC_TOP_TERMS_SQL,
         "kg_linked_mentions": _LINKED_MENTIONS_SQL,
         "kg_triples_linked": _TRIPLES_LINKED_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,

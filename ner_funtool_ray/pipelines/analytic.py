@@ -615,3 +615,215 @@ SELECT lang,
   COUNT(*)::BIGINT AS n_docs
 FROM documents GROUP BY lang
 """
+
+
+def stratified_sample_documents(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Deterministic STRATIFIED sampling (per-group quota, the companion to
+    ``sample_documents``' global hash sample): the k documents per language
+    with the smallest md5-derived rank — the same rows on every engine and
+    at every parallelism.  Per-batch local top-k per language shrinks the
+    shuffle to ≤ k·langs rows per batch; a bounded groupby finishes."""
+    from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        u = md5_number_lower_batch([str(d) for d in ids])
+        df = pd.DataFrame(
+            {
+                "lang": np.asarray(batch["lang"]),
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "u": u,
+            }
+        )
+        df = df.sort_values(["lang", "u", "doc_id"]).groupby("lang", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values(["lang", "u", "doc_id"]).groupby("lang", sort=False).head(k)
+        return out[["lang", "doc_id"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+STRATIFIED_SAMPLE_DOCUMENTS_SQL = """
+SELECT lang, doc_id FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) <= 3
+"""
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """Pivot / crosstab: one row per user with a count column per event
+    type.  Per-batch pandas crosstab partials ride the shuffle (one row per
+    (batch, user)), merged by the bounded-bucket group sum."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    out_cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": np.asarray(batch["user_id"]).astype(np.int64),
+                "t": np.asarray(batch["event_type"]),
+            }
+        )
+        ct = pd.crosstab(df["user_id"], df["t"]).reindex(
+            columns=list(_EVENT_TYPES), fill_value=0
+        )
+        ct.columns = out_cols
+        ct = ct.astype(np.int64).reset_index()
+        return pa.Table.from_pandas(ct, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = bucketed_group_sum(
+        partials,
+        ["user_id"],
+        sum_cols={c: c for c in out_cols},
+        count_col=None,
+    )
+    return out.select_columns(["user_id", *out_cols])
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+  SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS n_click,
+  SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS n_error,
+  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+  SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+  SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def doc_top_terms(
+    sf_dir: str, k: int = 3, n_buckets: int = 32
+) -> "ray.data.Dataset":
+    """TF-IDF-shaped feature extraction: each document's top-k terms by
+    term frequency (ties → term asc) annotated with the term's corpus
+    document frequency.  Integer (tf, df) outputs keep the twin bit-exact;
+    a scorer divides tf/df downstream without touching the shuffle.
+
+    Plan: term frequencies and the per-doc top-k are BATCH-LOCAL (documents
+    are rows, so no shuffle); document frequencies are per-batch distinct
+    (term → n_docs) partials summed by the bounded-bucket group sum; the
+    top-k rows then bucket-join df by the same term hash.  Tokenization is
+    the ``\\w+`` recipe shared with ``vocab_count`` (ASCII-word corpora;
+    the SQL twin's RE2 ``\\w`` is ASCII-only while Python/polars ``\\w`` is
+    unicode — identical on this data, documented divergence elsewhere)."""
+    import zlib
+
+    try:
+        import polars as pl
+    except ImportError:
+        pl = None
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def term_pairs(batch: pa.Table) -> pd.DataFrame:
+        if pl is not None:
+            t = pl.DataFrame(
+                {
+                    "doc_id": pl.from_arrow(
+                        batch["doc_id"].combine_chunks().cast(pa.int64())
+                    ),
+                    "term": pl.from_arrow(batch["text"].combine_chunks())
+                    .str.extract_all(r"\w+"),
+                }
+            ).explode("term")
+            tf = (
+                t.group_by(["doc_id", "term"])
+                .len()
+                .rename({"len": "tf"})
+                .to_pandas()
+            )
+        else:
+            from collections import Counter
+
+            from ner_funtool_ray.functions.text import tokenize_words
+
+            rows = []
+            for d, txt in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                for term, n in Counter(tokenize_words(txt or "")).items():
+                    rows.append((d, term, n))
+            tf = pd.DataFrame(rows, columns=["doc_id", "term", "tf"])
+        tf = tf.dropna(subset=["term"])
+        tf["tf"] = tf["tf"].astype(np.int64)
+        return tf
+
+    def local(batch: pa.Table) -> pa.Table:
+        tf = term_pairs(batch)
+        top = (
+            tf.sort_values(["doc_id", "tf", "term"], ascending=[True, False, True])
+            .groupby("doc_id", sort=False)
+            .head(k)
+            .copy()
+        )
+        top["df"] = np.int64(0)
+        top["kind"] = np.int8(0)
+        # per-batch partial document frequency: docs never span batches, so
+        # the distinct (doc, term) pairs in this batch contribute exactly
+        # their doc count to the global df
+        dfp = tf.groupby("term", sort=False).size().reset_index(name="df")
+        dfp["doc_id"] = np.int64(0)
+        dfp["tf"] = np.int64(0)
+        dfp["df"] = dfp["df"].astype(np.int64)
+        dfp["kind"] = np.int8(1)
+        both = pd.concat([top, dfp], ignore_index=True)[
+            ["doc_id", "term", "tf", "df", "kind"]
+        ]
+        both["bucket"] = np.fromiter(
+            (zlib.crc32(s.encode("utf-8")) % n_buckets for s in both["term"]),
+            dtype=np.int64,
+            count=len(both),
+        )
+        return pa.Table.from_pandas(both, preserve_index=False)
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        dfs = (
+            group[group["kind"] == 1]
+            .groupby("term", sort=False)["df"]
+            .sum()
+        )
+        top = group[group["kind"] == 0].copy()
+        top["df"] = top["term"].map(dfs).astype(np.int64)
+        return top[["doc_id", "term", "tf", "df"]]
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
+DOC_TOP_TERMS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM w GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM w GROUP BY term
+),
+top AS (
+  SELECT doc_id, term, tf FROM tf
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) <= 3
+)
+SELECT doc_id, top.term AS term, tf, df FROM top JOIN df USING (term)
+"""

@@ -179,3 +179,22 @@ def test_large_volume_customers_empty_result():
         "c_custkey", "c_name", "o_orderkey", "o_orderdate",
         "o_totalprice", "sum_qty",
     ]
+
+
+def test_doc_top_terms_counter_fallback_matches_polars_path():
+    # the Counter fallback (polars absent) must produce the polars result
+    import ner_funtool_ray.pipelines.analytic as A
+
+    got = _normalize(A.doc_top_terms(SF_DIR).to_pandas())
+    import unittest.mock as mock
+
+    real_import = __builtins__["__import__"] if isinstance(__builtins__, dict) else __builtins__.__import__
+
+    def no_polars(name, *a, **k):
+        if name == "polars":
+            raise ImportError("forced")
+        return real_import(name, *a, **k)
+
+    with mock.patch("builtins.__import__", side_effect=no_polars):
+        fb = _normalize(A.doc_top_terms(SF_DIR).to_pandas())
+    pd.testing.assert_frame_equal(got, fb, check_dtype=False)
