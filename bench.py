@@ -59,7 +59,7 @@ def run_bench() -> dict:
     import pyarrow.parquet as pq
 
     for t in ("documents", "embeddings", "lineitem", "supplier", "part",
-              "nation"):
+              "nation", "orders", "events"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
     # warm the Ray worker pool (process spawn + library import, INCLUDING
@@ -103,6 +103,8 @@ def run_bench() -> dict:
         "ann_multiquery_topk",
         "forecast_revenue",     # TPC-H Q6-shaped fact scan (largest table)
         "profit_by_nation_year",  # TPC-H Q9-shaped broadcast-join fact scan
+        "customer_order_window",  # window functions: full orders shuffle
+        "doc_top_terms",        # TF-IDF-shaped: tokenize + df + term join
     ]
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

@@ -827,3 +827,96 @@ top AS (
 )
 SELECT doc_id, top.term AS term, tf, df FROM top JOIN df USING (term)
 """
+
+
+def click_purchase_attribution(
+    sf_dir: str, window_minutes: int = 30, n_buckets: int = 32
+) -> "ray.data.Dataset":
+    """Interval / RANGE join (all pairs, unlike the as-of
+    ``purchase_view_gap``): every (click, purchase) pair by the same user
+    where the purchase lands in ``[click.ts, click.ts + window)`` —
+    click-attribution shape.
+
+    Users hash-bucket (the only shuffle; carries 3 columns of the two
+    filtered event streams).  Inside a bucket both sides sort once by
+    (user, ts); each user's purchases find their click range with two
+    searchsorted calls and expand vectorized — per-user work is numpy, the
+    Python loop is one iteration per user WITH purchases (session-scale
+    event counts assumed; a hot user degrades to its own O(pairs) output,
+    never a cross product).  Delay is exact integer microseconds so the
+    DuckDB twin (epoch_us difference) is bit-identical — date_diff
+    ('second') counts boundary crossings, not floored deltas, and is
+    deliberately avoided."""
+    win = np.timedelta64(window_minutes * 60 * 1_000_000, "us")
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def filter_bucket(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch["event_type"], value_set=pa.array(["click", "purchase"])
+        )
+        out = batch.filter(keep)
+        uid = np.asarray(out["user_id"]).astype(np.int64)
+        return out.append_column("bucket", pa.array(uid % np.int64(n_buckets)))
+
+    def expand(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        c = g[g["event_type"] == "click"]
+        p = g[g["event_type"] == "purchase"]
+        cols = {"user_id": [], "click_id": [], "purchase_id": [], "delay_us": []}
+        out = []
+        cu = c["user_id"].to_numpy()
+        cts_all = c["ts"].to_numpy()
+        cid_all = c["event_id"].to_numpy()
+        # click segment bounds per user (sorted by user first)
+        for uid, pp in p.groupby("user_id", sort=False):
+            s = np.searchsorted(cu, uid, side="left")
+            e = np.searchsorted(cu, uid, side="right")
+            if s == e:
+                continue
+            cts = cts_all[s:e]
+            pts = pp["ts"].to_numpy()
+            lo = np.searchsorted(cts, pts - win, side="right")
+            hi = np.searchsorted(cts, pts, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            rep_p = np.repeat(np.arange(len(pp)), cnt)
+            idx_c = np.concatenate(
+                [np.arange(l, h) for l, h in zip(lo, hi) if h > l]
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(total, uid, dtype=np.int64),
+                        "click_id": cid_all[s:e][idx_c],
+                        "purchase_id": pp["event_id"].to_numpy()[rep_p],
+                        "delay_us": (
+                            (pts[rep_p] - cts[idx_c]) // np.timedelta64(1, "us")
+                        ).astype(np.int64),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {k: pd.Series([], dtype=np.int64) for k in cols}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        ds.map_batches(filter_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(expand, batch_format="pandas")
+    )
+
+
+CLICK_PURCHASE_ATTRIBUTION_SQL = """
+SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+  (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS delay_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+  AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+"""
