@@ -882,6 +882,33 @@ def _q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(ds, query, k=10, n_centroids=16, n_probe=4)
 
 
+def _q_ann_ivf_index_topk(sf_dir: str):
+    """The IVF SCALE path made concrete: build the partitioned-parquet
+    index (one centroid=<c> directory per coarse cell) under a fresh temp
+    dir, then answer the query by reading ONLY the n_probe probed
+    directories — prune-at-the-read, same rows as ann_ivf_topk (same
+    oracle)."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.sources.io import read_parquet_auto
+    from ner_funtool_ray.stages.similarity import build_ivf_index, query_ivf_index
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrow = tbl.filter(pc.equal(tbl["vec_id"], 0))
+    query = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    ds = read_parquet_auto(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    # fresh dir per call: write_parquet APPENDS into an existing directory
+    out = tempfile.mkdtemp(prefix="ivf_index_")
+    idx = build_ivf_index(ds, out, n_centroids=16, dim=64)
+    return query_ivf_index(idx, query, k=10, n_centroids=16, n_probe=4)
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     from ner_funtool_ray.pipelines.textops import winnow_fingerprints
 
@@ -1182,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_clusters": _q_ngram_clusters,
         "ann_multiquery_topk": _q_ann_multiquery,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_index_topk": _q_ann_ivf_index_topk,
         "winnow_fingerprints": _q_winnow_fingerprints,
         # relational operator coverage (groupby / broadcast join / top-k /
         # tumbling window) — oracle-checked.
@@ -1241,6 +1269,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_embedding": _NEARDUP_EMB_SQL,
         "ann_multiquery_topk": _ANN_MULTIQUERY_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
+        "ann_ivf_index_topk": _ANN_IVF_SQL,
         "dedup_simhash": _SIMHASH_CLUSTERS_SQL,
         "dedup_minhash_lsh": _MINHASH_CLUSTERS_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
