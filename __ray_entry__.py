@@ -1103,6 +1103,12 @@ def _q_click_purchase_attribution(sf_dir: str):
     return click_purchase_attribution(sf_dir)
 
 
+def _q_events_rollup(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import events_rollup
+
+    return events_rollup(sf_dir)
+
+
 def _q_clue_submit(sf_dir: str):
     """CLUE submit writer with the in-query integrity self-check: offsets
     in the label JSON are verified against the source sentences (a bad
@@ -1241,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "doc_top_terms": _q_doc_top_terms,
         "click_purchase_attribution": _q_click_purchase_attribution,
+        "events_rollup": _q_events_rollup,
         # CLUE submit writer surface over the model path (rows-only)
         "ner_clue_submit": _q_clue_submit,
         # multimodal plumbing (binary payload columns synthesized
@@ -1298,6 +1305,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": _ana.EVENTS_PIVOT_SQL,
         "doc_top_terms": _ana.DOC_TOP_TERMS_SQL,
         "click_purchase_attribution": _ana.CLICK_PURCHASE_ATTRIBUTION_SQL,
+        "events_rollup": _ana.EVENTS_ROLLUP_SQL,
         "kg_linked_mentions": _LINKED_MENTIONS_SQL,
         "kg_triples_linked": _TRIPLES_LINKED_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,

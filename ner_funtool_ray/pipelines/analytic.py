@@ -920,3 +920,92 @@ FROM events c JOIN events p
   AND p.event_type = 'purchase'
   AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
 """
+
+
+def events_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """ROLLUP / hierarchical subtotals: value cents and counts per
+    (event_type, day), per event_type, and the grand total — the
+    GROUP BY ROLLUP shape.  Rolled-up positions carry the sentinel 'ALL'
+    (COALESCE in the twin) so the result avoids NULL-vs-NaN hash drift.
+
+    One pass over the fact table produces the finest-level partials; the
+    coarser levels re-aggregate the FINEST-LEVEL RESULT (types × days
+    rows, never the facts), so the extra levels cost nothing at scale."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"), "%Y-%m-%d")
+        cents = np.round(np.asarray(batch["value"]) * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": np.asarray(batch["event_type"]),
+                "day": np.asarray(day),
+                "cents": cents,
+            }
+        )
+        agg = (
+            df.groupby(["event_type", "day"], sort=False)["cents"]
+            .agg(["sum", "size"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(agg["event_type"], type=pa.string()),
+                "day": pa.array(agg["day"], type=pa.string()),
+                "cents": pa.array(agg["sum"].to_numpy(dtype=np.int64)),
+                "n": pa.array(agg["size"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    fine = bucketed_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"],
+        sum_cols={"cents": "cents", "n": "n"},
+        count_col=None,
+        driver_cap=2_000_000,
+    )
+
+    def roll_type(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("day"),
+            "day",
+            pa.array(["ALL"] * batch.num_rows, type=pa.string()),
+        )
+
+    def roll_all(batch: pa.Table) -> pa.Table:
+        t = roll_type(batch)
+        return t.set_column(
+            t.schema.get_field_index("event_type"),
+            "event_type",
+            pa.array(["ALL"] * t.num_rows, type=pa.string()),
+        )
+
+    cols = ["event_type", "day", "cents", "n"]
+    fine = fine.select_columns(cols).materialize()  # types × days rows
+    by_type = bucketed_group_sum(
+        fine.map_batches(roll_type, batch_format="pyarrow"),
+        ["event_type", "day"],
+        sum_cols={"cents": "cents", "n": "n"},
+        count_col=None,
+        driver_cap=2_000_000,
+    ).select_columns(cols)
+    grand = bucketed_group_sum(
+        fine.map_batches(roll_all, batch_format="pyarrow"),
+        ["event_type", "day"],
+        sum_cols={"cents": "cents", "n": "n"},
+        count_col=None,
+        driver_cap=2_000_000,
+    ).select_columns(cols)
+    return fine.union(by_type).union(grand)
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+  COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+  SUM(CAST(round(value*100) AS BIGINT))::BIGINT AS cents,
+  COUNT(*)::BIGINT AS n
+FROM events
+GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+"""
