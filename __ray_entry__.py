@@ -1109,6 +1109,18 @@ def _q_events_rollup(sf_dir: str):
     return events_rollup(sf_dir)
 
 
+def _q_customer_urgent_order_counts(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import customer_urgent_order_counts
+
+    return customer_urgent_order_counts(sf_dir)
+
+
+def _q_nation_top_customers(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import nation_top_customers
+
+    return nation_top_customers(sf_dir)
+
+
 def _q_clue_submit(sf_dir: str):
     """CLUE submit writer with the in-query integrity self-check: offsets
     in the label JSON are verified against the source sentences (a bad
@@ -1248,6 +1260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": _q_doc_top_terms,
         "click_purchase_attribution": _q_click_purchase_attribution,
         "events_rollup": _q_events_rollup,
+        "customer_urgent_order_counts": _q_customer_urgent_order_counts,
+        "nation_top_customers": _q_nation_top_customers,
         # CLUE submit writer surface over the model path (rows-only)
         "ner_clue_submit": _q_clue_submit,
         # multimodal plumbing (binary payload columns synthesized
@@ -1306,6 +1320,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_terms": _ana.DOC_TOP_TERMS_SQL,
         "click_purchase_attribution": _ana.CLICK_PURCHASE_ATTRIBUTION_SQL,
         "events_rollup": _ana.EVENTS_ROLLUP_SQL,
+        "customer_urgent_order_counts": _ana.CUSTOMER_URGENT_ORDER_COUNTS_SQL,
+        "nation_top_customers": _ana.NATION_TOP_CUSTOMERS_SQL,
         "kg_linked_mentions": _LINKED_MENTIONS_SQL,
         "kg_triples_linked": _TRIPLES_LINKED_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,

@@ -1009,3 +1009,141 @@ SELECT COALESCE(event_type, 'ALL') AS event_type,
 FROM events
 GROUP BY ROLLUP(event_type, date_trunc('day', ts))
 """
+
+
+def customer_urgent_order_counts(
+    sf_dir: str, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """LEFT OUTER aggregate join with zero-fill: every customer and their
+    count of 1-URGENT orders — customers with none appear with 0 (203 of
+    1500 at sf0.01, so the outer semantics are exercised by the oracle,
+    not just by unit tests).
+
+    Single scale-safe plan, no broadcast: the shuffle carries per-batch
+    partial counts from the orders side plus the customer rows, both
+    hash-bucketed by custkey; inside a bucket the counts left-merge onto
+    the customers with fillna(0)."""
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    cust = read_parquet_auto(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def order_partials(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+        ck = np.asarray(hit["o_custkey"]).astype(np.int64)
+        uniq, cnt = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "c_custkey": pa.array(uniq),
+                "c_name": pa.array([""] * len(uniq), type=pa.string()),
+                "n_urgent": pa.array(cnt.astype(np.int64)),
+                "kind": pa.array(np.zeros(len(uniq), dtype=np.int8)),
+                "bucket": pa.array(uniq % np.int64(n_buckets)),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch["c_custkey"]).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck),
+                "c_name": batch["c_name"],
+                "n_urgent": pa.array(np.zeros(len(ck), dtype=np.int64)),
+                "kind": pa.array(np.ones(len(ck), dtype=np.int8)),
+                "bucket": pa.array(ck % np.int64(n_buckets)),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            group[group["kind"] == 0].groupby("c_custkey", sort=False)["n_urgent"].sum()
+        )
+        out = group[group["kind"] == 1][["c_custkey", "c_name"]].copy()
+        out["n_urgent"] = (
+            out["c_custkey"].map(counts).fillna(0).astype(np.int64)
+        )
+        return out
+
+    return (
+        orders.map_batches(order_partials, batch_format="pyarrow")
+        .union(cust.map_batches(cust_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+CUSTOMER_URGENT_ORDER_COUNTS_SQL = """
+SELECT c_custkey, c_name, count(o_orderkey)::BIGINT AS n_urgent
+FROM customer LEFT JOIN (
+  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+) o ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def nation_top_customers(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Ordered string aggregation (collect-list / string_agg): per nation,
+    the names of the k richest customers (acctbal DESC, custkey ASC)
+    comma-joined in rank order.  Per-batch local top-k per nationkey
+    bounds the shuffle to k rows per (batch, nation); the 25-row nation
+    dimension is a broadcast closure."""
+    import pyarrow.parquet as pq
+
+    nt = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    names = dict(
+        zip(
+            np.asarray(nt["n_nationkey"]).astype(np.int64).tolist(),
+            np.asarray(nt["n_name"]).tolist(),
+        )
+    )
+    nref = ray.put(names)
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_name", "c_custkey", "c_acctbal"],
+    )
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["c_nationkey", "c_acctbal", "c_custkey"],
+            ascending=[True, False, True],
+        )
+        return df.groupby("c_nationkey", sort=False).head(k)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            best(batch.to_pandas()), preserve_index=False
+        )
+
+    def join_names(group: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(nref)
+        top = best(group)
+        agg = (
+            top.groupby("c_nationkey", sort=False)["c_name"]
+            .agg(",".join)
+            .reset_index(name="top_names")
+        )
+        agg["n_name"] = agg["c_nationkey"].map(lookup)
+        return agg[["n_name", "top_names"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .map_groups(join_names, batch_format="pandas")
+    )
+
+
+NATION_TOP_CUSTOMERS_SQL = """
+WITH top AS (
+  SELECT c_nationkey, c_name, c_custkey,
+    row_number() OVER (
+      PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer)
+SELECT n_name, string_agg(c_name, ',' ORDER BY rn) AS top_names
+FROM top JOIN nation ON n_nationkey = c_nationkey
+WHERE rn <= 3 GROUP BY n_name
+"""
