@@ -451,25 +451,29 @@ JOIN customer ON c_custkey = o_custkey
 """
 
 
-def customer_order_window(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+def customer_order_window(
+    sf_dir: str, n_buckets: int = 32, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
     """Per-group window functions (§2.9 streaming-shaped family, same
     hash-bucket design as ``user_sessions``): for every order, its
     row_number within the customer (by orderdate, orderkey), the running
     spend in integer cents, and the gap in days since the customer's
     previous order (-1 for the first).
 
-    Customers hash-bucket (bounded group count at any customer
-    cardinality); inside a bucket one sort + C-level groupby cumsum/diff
-    computes all three windows vectorized.  Integer outputs → bit-exact
-    vs the SQL twin regardless of either engine's aggregation tree."""
-    ds = read_parquet_auto(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
-    )
+    Size-guarded hybrid (the ``driver_cap`` pattern from
+    ``stages/groupagg.py``): at or below ``driver_cap`` parquet-metadata
+    rows the windows compute in ONE driver-side vectorized pandas pass —
+    every Ray all-to-all carries ~3 s of fixed barrier latency at 32 CPUs,
+    which dominates this output-equals-input query at bench scale
+    (measured 4.2 s shuffled vs ~1 s hybrid at sf0.1).  Above the cap,
+    customers hash-bucket (bounded group count at any customer
+    cardinality) and inside a bucket one sort + C-level groupby
+    cumsum/diff computes all three windows vectorized.  Identical results
+    (parity-tested with driver_cap=0); integer outputs → bit-exact vs the
+    SQL twin regardless of either engine's aggregation tree."""
+    import pyarrow.parquet as pq
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        ck = np.asarray(batch["o_custkey"]).astype(np.int64)
-        return batch.append_column("bucket", pa.array(ck % np.int64(n_buckets)))
+    cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
 
     def windows(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
@@ -492,10 +496,26 @@ def customer_order_window(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset
         )
         return out
 
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders <= driver_cap:
+        df = pq.read_table(f"{sf_dir}/orders.parquet", columns=cols).to_pandas()
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(windows(df), preserve_index=False)
+        )
+
+    ds = read_parquet_auto(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch["o_custkey"]).astype(np.int64)
+        return batch.append_column("bucket", pa.array(ck % np.int64(n_buckets)))
+
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(windows, batch_format="pandas")
+        .map_groups(
+            lambda g: windows(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
     )
 
 
