@@ -103,7 +103,8 @@ def run_bench() -> dict:
         "ann_multiquery_topk",
         "forecast_revenue",     # TPC-H Q6-shaped fact scan (largest table)
         "profit_by_nation_year",  # TPC-H Q9-shaped broadcast-join fact scan
-        "customer_order_window",  # window functions: full orders shuffle
+        "customer_order_window",  # window functions (size-guarded hybrid;
+                                  # driver fast path at bench scale)
         "doc_top_terms",        # TF-IDF-shaped: tokenize + df + term join
     ]
     timings: dict[str, float] = {}

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ner_funtool_ray.sources.io import read_parquet_auto
+from ner_funtool_ray.sources.io import parquet_num_rows, read_parquet_auto
 from ner_funtool_ray.stages.groupagg import bucketed_group_sum
 
 _HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
@@ -67,8 +67,7 @@ def order_priority_linestatus(
             ["l_linestatus", "high_line_count", "low_line_count"]
         )
 
-    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
-    if n_orders <= broadcast_limit:
+    if parquet_num_rows(f"{sf_dir}/orders.parquet") <= broadcast_limit:
         ot = pq.read_table(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_orderpriority"],
@@ -247,7 +246,7 @@ def large_volume_customers(
     hot = sums.map_batches(having, batch_format="pyarrow").materialize()
 
     def with_customers(rows: "ray.data.Dataset") -> "ray.data.Dataset":
-        n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+        n_cust = parquet_num_rows(f"{sf_dir}/customer.parquet")
         if n_cust <= broadcast_limit:
             ct = pq.read_table(
                 f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
@@ -452,7 +451,7 @@ JOIN customer ON c_custkey = o_custkey
 
 
 def customer_order_window(
-    sf_dir: str, n_buckets: int = 32, driver_cap: int = 2_000_000
+    sf_dir: str, n_buckets: int = 32, driver_cap: int | None = 2_000_000
 ) -> "ray.data.Dataset":
     """Per-group window functions (§2.9 streaming-shaped family, same
     hash-bucket design as ``user_sessions``): for every order, its
@@ -469,8 +468,9 @@ def customer_order_window(
     customers hash-bucket (bounded group count at any customer
     cardinality) and inside a bucket one sort + C-level groupby
     cumsum/diff computes all three windows vectorized.  Identical results
-    (parity-tested with driver_cap=0); integer outputs → bit-exact vs the
-    SQL twin regardless of either engine's aggregation tree."""
+    (parity-tested with driver_cap=None, which disables the fast path as
+    in groupagg); integer outputs → bit-exact vs the SQL twin regardless
+    of either engine's aggregation tree."""
     import pyarrow.parquet as pq
 
     cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
@@ -496,12 +496,14 @@ def customer_order_window(
         )
         return out
 
-    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
-    if n_orders <= driver_cap:
-        df = pq.read_table(f"{sf_dir}/orders.parquet", columns=cols).to_pandas()
-        return ray.data.from_arrow(
-            pa.Table.from_pandas(windows(df), preserve_index=False)
-        )
+    if driver_cap is not None:
+        # one handle: metadata probe and (on the fast path) the read
+        pf = pq.ParquetFile(f"{sf_dir}/orders.parquet")
+        if pf.metadata.num_rows <= driver_cap:
+            df = pf.read(columns=cols).to_pandas()
+            return ray.data.from_arrow(
+                pa.Table.from_pandas(windows(df), preserve_index=False)
+            )
 
     ds = read_parquet_auto(f"{sf_dir}/orders.parquet", columns=cols)
 
@@ -509,13 +511,12 @@ def customer_order_window(
         ck = np.asarray(batch["o_custkey"]).astype(np.int64)
         return batch.append_column("bucket", pa.array(ck % np.int64(n_buckets)))
 
+    # windows() projects an explicit column set, so the stray bucket
+    # column never reaches the output
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(
-            lambda g: windows(g.drop(columns=["bucket"])),
-            batch_format="pandas",
-        )
+        .map_groups(windows, batch_format="pandas")
     )
 
 

@@ -24,7 +24,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
-from ner_funtool_ray.sources.io import read_parquet_auto
+from ner_funtool_ray.sources.io import parquet_num_rows, read_parquet_auto
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -153,7 +153,7 @@ def revenue_by_nation(
     nkey2name = dict(
         zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
     )
-    n_customers = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    n_customers = parquet_num_rows(f"{sf_dir}/customer.parquet")
 
     if n_customers <= broadcast_limit:
         cust = pq.read_table(
@@ -541,7 +541,7 @@ def customers_without_big_orders(
     results either way."""
     import pyarrow.parquet as pq
 
-    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    n_orders = parquet_num_rows(f"{sf_dir}/orders.parquet")
 
     if n_orders <= broadcast_limit:
         big = pq.read_table(
@@ -971,7 +971,7 @@ def late_order_priority(
     hi = np.datetime64("1996-04-01").astype("datetime64[us]")
     import pyarrow.parquet as pq
 
-    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    n_orders = parquet_num_rows(f"{sf_dir}/orders.parquet")
     if n_orders <= broadcast_limit:
         ot = pq.read_table(
             f"{sf_dir}/orders.parquet",

@@ -31,6 +31,12 @@ def _total_rows(paths: list[str]) -> int:
     return total
 
 
+def parquet_num_rows(path: str) -> int:
+    """Row count from parquet metadata (no data read) — the probe behind
+    every size-guarded broadcast/driver-merge plan choice."""
+    return _total_rows([path])
+
+
 def read_parquet_auto(
     paths,
     columns=None,

@@ -201,11 +201,11 @@ def test_doc_top_terms_counter_fallback_matches_polars_path():
 
 
 def test_customer_order_window_distributed_matches_oracle():
-    # driver_cap=0 forces the bucketed shuffle plan; identical to the
-    # driver-side fast path / the SQL twin
+    # driver_cap=None disables the driver fast path (groupagg convention),
+    # forcing the bucketed shuffle plan; identical to the SQL twin
     from ner_funtool_ray.pipelines.analytic import customer_order_window
 
-    got = _normalize(customer_order_window(SF_DIR, driver_cap=0).to_pandas())
+    got = _normalize(customer_order_window(SF_DIR, driver_cap=None).to_pandas())
     con = _duck(SF_DIR)
     expect = _normalize(con.sql(ORACLES["customer_order_window"]).df())
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
