@@ -14,6 +14,8 @@ from typing import Any
 
 import ner_funtool_ray.pipelines.analytic as _ana
 import ner_funtool_ray.pipelines.relational as _rel
+import ner_funtool_ray.pipelines.setops as _set
+import ner_funtool_ray.pipelines.stats as _sta
 from ner_funtool_ray.config import ALIASES, GAZETTEER
 from ner_funtool_ray.corpus import CORPUS_FROM_DOCUMENTS_SQL
 from ner_funtool_ray.functions.text import (
@@ -1121,6 +1123,42 @@ def _q_nation_top_customers(sf_dir: str):
     return nation_top_customers(sf_dir)
 
 
+def _q_qty_discount_stats(sf_dir: str):
+    from ner_funtool_ray.pipelines.stats import qty_discount_stats
+
+    return qty_discount_stats(sf_dir)
+
+
+def _q_nation_mode_priority(sf_dir: str):
+    from ner_funtool_ray.pipelines.stats import nation_mode_priority
+
+    return nation_mode_priority(sf_dir)
+
+
+def _q_user_value_moving_sum(sf_dir: str):
+    from ner_funtool_ray.pipelines.stats import user_value_moving_sum
+
+    return user_value_moving_sum(sf_dir)
+
+
+def _q_customers_retained(sf_dir: str):
+    from ner_funtool_ray.pipelines.setops import customers_retained
+
+    return customers_retained(sf_dir)
+
+
+def _q_customers_churned(sf_dir: str):
+    from ner_funtool_ray.pipelines.setops import customers_churned
+
+    return customers_churned(sf_dir)
+
+
+def _q_returned_orders_bloom(sf_dir: str):
+    from ner_funtool_ray.pipelines.setops import returned_orders_bloom
+
+    return returned_orders_bloom(sf_dir)
+
+
 def _q_clue_submit(sf_dir: str):
     """CLUE submit writer with the in-query integrity self-check: offsets
     in the label JSON are verified against the source sentences (a bad
@@ -1262,6 +1300,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "customer_urgent_order_counts": _q_customer_urgent_order_counts,
         "nation_top_customers": _q_nation_top_customers,
+        # statistical aggregates (exact-integer-moment corr/covar, MODE
+        # with deterministic ties, per-key ROWS moving window) and set
+        # operations (INTERSECT/EXCEPT, Bloom-prefiltered exact semi-join)
+        # — oracle-checked, pipelines/stats.py + pipelines/setops.py
+        "qty_discount_stats": _q_qty_discount_stats,
+        "nation_mode_priority": _q_nation_mode_priority,
+        "user_value_moving_sum": _q_user_value_moving_sum,
+        "customers_retained": _q_customers_retained,
+        "customers_churned": _q_customers_churned,
+        "returned_orders_bloom": _q_returned_orders_bloom,
         # CLUE submit writer surface over the model path (rows-only)
         "ner_clue_submit": _q_clue_submit,
         # multimodal plumbing (binary payload columns synthesized
@@ -1322,6 +1370,12 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _ana.EVENTS_ROLLUP_SQL,
         "customer_urgent_order_counts": _ana.CUSTOMER_URGENT_ORDER_COUNTS_SQL,
         "nation_top_customers": _ana.NATION_TOP_CUSTOMERS_SQL,
+        "qty_discount_stats": _sta.QTY_DISCOUNT_STATS_SQL,
+        "nation_mode_priority": _sta.NATION_MODE_PRIORITY_SQL,
+        "user_value_moving_sum": _sta.USER_VALUE_MOVING_SUM_SQL,
+        "customers_retained": _set.CUSTOMERS_RETAINED_SQL,
+        "customers_churned": _set.CUSTOMERS_CHURNED_SQL,
+        "returned_orders_bloom": _set.RETURNED_ORDERS_BLOOM_SQL,
         "kg_linked_mentions": _LINKED_MENTIONS_SQL,
         "kg_triples_linked": _TRIPLES_LINKED_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,

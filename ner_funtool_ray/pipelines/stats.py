@@ -1,0 +1,381 @@
+"""Statistical aggregates the reference's analytics surface lacks but a
+warehouse user expects: grouped Pearson correlation / covariance from
+exact integer moment sums, a MODE (most-frequent-value) aggregate with
+deterministic ties, and a per-key ordered ROWS-window moving sum.
+
+Bit-exact-oracle design note (the repo-wide rule, see BASELINE.md): float
+outputs are computed from EXACT integer sums with the SAME IEEE-double
+expression, in the same operation order, as the SQL twin — so the
+driver's value hash matches bit-for-bit no matter how either engine
+ordered its partial aggregation tree.  All moment sums here stay below
+2^53 at the tested scales (quantity ≤ 50, discount-hundredths ≤ 10,
+value-cents bounded); at larger scale the int64 partials still hold
+(≪ 2^63) and the final int→double conversions stay exact while
+n·Σx² < 2^53 — document-and-chunk beyond that.
+
+Scale shape: every operator is one bounded-bucket shuffle (partial
+aggregation inside ``map_batches`` first), or a size-guarded driver fast
+path below a parquet-metadata row cap (the ~3 s fixed Sort-barrier lesson
+from BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ner_funtool_ray.sources.io import parquet_num_rows, read_parquet_auto
+from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+__all__ = [
+    "qty_discount_stats",
+    "nation_mode_priority",
+    "user_value_moving_sum",
+]
+
+
+# ---------------------------------------------------------------------------
+# grouped Pearson correlation / covariance / stddev from exact integer sums
+
+
+def _finalize_stats(batch: pa.Table) -> pa.Table:
+    """Shared float finalization — one expression, used verbatim on the
+    merged sums, mirroring QTY_DISCOUNT_STATS_SQL term for term."""
+    n = np.asarray(batch["n"]).astype(np.int64)
+    sx = np.asarray(batch["sx"]).astype(np.int64)
+    sy = np.asarray(batch["sy"]).astype(np.int64)
+    sxy = np.asarray(batch["sxy"]).astype(np.int64)
+    sxx = np.asarray(batch["sxx"]).astype(np.int64)
+    syy = np.asarray(batch["syy"]).astype(np.int64)
+    num = (n * sxy - sx * sy).astype(np.float64)
+    dx = np.sqrt((n * sxx - sx * sx).astype(np.float64))
+    dy = np.sqrt((n * syy - sy * sy).astype(np.float64))
+    nd = n.astype(np.float64)
+    return pa.table(
+        {
+            "l_returnflag": batch["l_returnflag"],
+            "n": pa.array(n),
+            "corr_qd": pa.array(num / (dx * dy)),
+            "covar_pop_qd": pa.array(num / (n * n).astype(np.float64)),
+            "stddev_pop_q": pa.array(dx / nd),
+        }
+    )
+
+
+def qty_discount_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per ``l_returnflag``: Pearson correlation, population covariance and
+    population stddev of (quantity, discount-in-hundredths).
+
+    One pass computes the five moment sums (n, Σx, Σy, Σxy, Σx², Σy²) as
+    int64 partials inside ``map_batches``; the shuffle carries ≤ 3 rows per
+    block.  The float statistics are derived once at the end from the
+    exact integer sums (formula identical to the SQL twin), so the result
+    is independent of batch boundaries and aggregation order."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        q = np.round(np.asarray(batch["l_quantity"])).astype(np.int64)
+        d = np.round(np.asarray(batch["l_discount"]) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "sx": pa.array(q),
+                "sy": pa.array(d),
+                "sxy": pa.array(q * d),
+                "sxx": pa.array(q * q),
+                "syy": pa.array(d * d),
+            }
+        )
+
+    sums = bucketed_group_sum(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        keys=["l_returnflag"],
+        sum_cols={c: c for c in ["sx", "sy", "sxy", "sxx", "syy"]},
+        count_col="n",
+    )
+    return sums.map_batches(_finalize_stats, batch_format="pyarrow")
+
+
+QTY_DISCOUNT_STATS_SQL = """
+WITH u AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         count(*)::BIGINT AS n,
+         sum(q)::BIGINT AS sx, sum(d)::BIGINT AS sy,
+         sum(q * d)::BIGINT AS sxy,
+         sum(q * q)::BIGINT AS sxx, sum(d * d)::BIGINT AS syy
+  FROM u GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  (n*sxy - sx*sy)::DOUBLE
+    / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)) AS corr_qd,
+  (n*sxy - sx*sy)::DOUBLE / ((n*n)::DOUBLE) AS covar_pop_qd,
+  sqrt((n*sxx - sx*sx)::DOUBLE) / (n::DOUBLE) AS stddev_pop_q
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# MODE aggregate: most frequent order priority per customer nation
+
+
+def nation_mode_priority(
+    sf_dir: str, n_buckets: int = 16, broadcast_limit: int = 5_000_000
+) -> "ray.data.Dataset":
+    """MODE (most-frequent-value) aggregate with deterministic ties: per
+    customer nation, the most common order priority (ties broken by the
+    lexicographically smallest priority), plus its count.
+
+    Below ``broadcast_limit`` (parquet-metadata row probe) the
+    custkey→nation mapping is built once on the driver and shipped via
+    ``ray.put`` — read by every task, never re-serialized per batch.
+    Above it, the counts partials and the customer dim hash-bucket by
+    custkey and join inside each bucket (no broadcast anywhere).  Both
+    plans end in ONE bucketed shuffle keyed by nation alone, whose merge
+    both sums the partial counts AND picks the mode — the per-nation
+    argmax needs all of that nation's priorities in one place, which
+    bucketing by (nation) guarantees; a ``groupby`` by (nation, priority)
+    would need a second shuffle to pick the winner."""
+    import pyarrow.parquet as pq
+    import zlib
+
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nkey2name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+
+    def pick_mode(group: pd.DataFrame) -> pd.DataFrame:
+        cnt = (
+            group.groupby(["n_name", "o_orderpriority"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        cnt = cnt.sort_values(
+            ["n_name", "cnt", "o_orderpriority"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = cnt.drop_duplicates("n_name", keep="first")
+        return pd.DataFrame(
+            {
+                "n_name": top["n_name"].to_numpy(),
+                "mode_priority": top["o_orderpriority"].to_numpy(),
+                "n_orders": top["cnt"].to_numpy().astype(np.int64),
+            }
+        )
+
+    def bucket_by_nation(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = np.fromiter(
+            (
+                zlib.crc32(s.encode("utf-8")) % n_buckets
+                for s in df["n_name"].astype(str)
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return df
+
+    if parquet_num_rows(f"{sf_dir}/customer.parquet") <= broadcast_limit:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        ckeys = np.asarray(cust["c_custkey"]).astype(np.int64)
+        order_idx = np.argsort(ckeys, kind="stable")
+        names = np.array(
+            [nkey2name[int(k)] for k in np.asarray(cust["c_nationkey"])],
+            dtype=object,
+        )
+        ref = ray.put((ckeys[order_idx], names[order_idx]))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            skeys, snames = ray.get(ref)
+            ck = np.asarray(batch["o_custkey"]).astype(np.int64)
+            pos = np.searchsorted(skeys, ck)
+            df = pd.DataFrame(
+                {
+                    "n_name": snames[pos],
+                    "o_orderpriority": np.asarray(batch["o_orderpriority"]),
+                }
+            )
+            agg = (
+                df.groupby(["n_name", "o_orderpriority"], sort=False)
+                .size()
+                .rename("cnt")
+                .reset_index()
+            )
+            return pa.Table.from_pandas(bucket_by_nation(agg), preserve_index=False)
+
+        parts = orders.map_batches(partial, batch_format="pyarrow")
+        return parts.groupby("bucket").map_groups(pick_mode, batch_format="pandas")
+
+    # distributed fallback: bucketed hash join by custkey, then the same
+    # nation-bucketed mode merge (no driver state, no broadcast)
+    def order_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_custkey": np.asarray(batch["o_custkey"]).astype(np.int64),
+                "o_orderpriority": np.asarray(batch["o_orderpriority"]),
+            }
+        )
+        agg = (
+            df.groupby(["o_custkey", "o_orderpriority"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        agg["kind"] = np.int64(0)
+        agg["c_nationkey"] = np.int64(-1)
+        agg["bucket"] = agg["o_custkey"].to_numpy() % np.int64(n_buckets)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch["c_custkey"]).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_custkey": ck,
+                "o_orderpriority": "",
+                "cnt": np.int64(0),
+                "kind": np.int64(1),
+                "c_nationkey": np.asarray(batch["c_nationkey"]).astype(np.int64),
+                "bucket": ck % np.int64(n_buckets),
+            }
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    o = orders.map_batches(order_partial, batch_format="pyarrow")
+    c = read_parquet_auto(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_partial, batch_format="pyarrow")
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        dim = group[group["kind"] == 1]
+        fact = group[group["kind"] == 0]
+        m = fact.merge(
+            dim[["o_custkey", "c_nationkey"]], on="o_custkey", suffixes=("", "_d")
+        )
+        m["n_name"] = m["c_nationkey_d"].map(
+            lambda k: nkey2name[int(k)]
+        )  # 25-entry dict: closure-captured, trivially serialized
+        agg = (
+            m.groupby(["n_name", "o_orderpriority"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        return bucket_by_nation(agg)
+
+    joined = (
+        o.union(c).groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    )
+    return joined.groupby("bucket").map_groups(pick_mode, batch_format="pandas")
+
+
+NATION_MODE_PRIORITY_SQL = """
+SELECT n_name, o_orderpriority AS mode_priority, cnt AS n_orders FROM (
+  SELECT n_name, o_orderpriority, count(*)::BIGINT AS cnt,
+         row_number() OVER (
+           PARTITION BY n_name ORDER BY count(*) DESC, o_orderpriority
+         ) AS rn
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name, o_orderpriority
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-key ordered ROWS window: 3-row moving sum of event value cents
+
+
+def user_value_moving_sum(
+    sf_dir: str,
+    window_rows: int = 3,
+    n_buckets: int = 32,
+    driver_cap: int | None = 2_000_000,
+) -> "ray.data.Dataset":
+    """Per-user ordered ROWS window (the moving-average shape): for every
+    event, the sum of value cents over that user's last ``window_rows``
+    events ordered by (ts, event_id), plus the actual window length —
+    ``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW``.  Integer outputs →
+    bit-exact vs the SQL twin.
+
+    Same size-guarded hybrid as ``customer_order_window``: below the
+    parquet-metadata row cap one driver pandas pass computes every window
+    (skipping the fixed Sort barrier); above it, users hash-bucket and
+    each bucket runs the identical vectorized kernel (one sort, one
+    cumsum, windows by index arithmetic — no per-row Python)."""
+    import pyarrow.parquet as pq
+
+    cols = ["event_id", "user_id", "ts", "value"]
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        n = len(df)
+        cs = np.concatenate([[np.int64(0)], np.cumsum(cents)])
+        starts = np.r_[0, np.flatnonzero(uid[1:] != uid[:-1]) + 1] if n else np.array([], dtype=np.int64)
+        seg_len = np.diff(np.r_[starts, n])
+        grp_start = np.repeat(starts, seg_len) if n else np.array([], dtype=np.int64)
+        pos = np.arange(n) - grp_start
+        k = np.minimum(pos + 1, window_rows).astype(np.int64)
+        idx = np.arange(1, n + 1)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy().astype(np.int64),
+                "user_id": uid.astype(np.int64),
+                "mov_cents": (cs[idx] - cs[idx - k]).astype(np.int64),
+                "n_win": k,
+            }
+        )
+
+    if driver_cap is not None:
+        pf = pq.ParquetFile(f"{sf_dir}/events.parquet")
+        if pf.metadata.num_rows <= driver_cap:
+            df = pf.read(columns=cols).to_pandas()
+            return ray.data.from_arrow(
+                pa.Table.from_pandas(windows(df), preserve_index=False)
+            )
+
+    ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=cols)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch["user_id"]).astype(np.int64)
+        return batch.append_column("bucket", pa.array(uid % np.int64(n_buckets)))
+
+    # windows() projects an explicit column set, so the bucket column
+    # never reaches the output
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(windows, batch_format="pandas")
+    )
+
+
+USER_VALUE_MOVING_SUM_SQL = """
+SELECT event_id, user_id,
+  CAST(sum(cents) OVER w AS BIGINT) AS mov_cents,
+  CAST(count(*) OVER w AS BIGINT) AS n_win
+FROM (
+  SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+)
+"""
