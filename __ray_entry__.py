@@ -16,6 +16,7 @@ import ner_funtool_ray.pipelines.analytic as _ana
 import ner_funtool_ray.pipelines.relational as _rel
 import ner_funtool_ray.pipelines.setops as _set
 import ner_funtool_ray.pipelines.stats as _sta
+import ner_funtool_ray.stages.hll as _hll
 from ner_funtool_ray.config import ALIASES, GAZETTEER
 from ner_funtool_ray.corpus import CORPUS_FROM_DOCUMENTS_SQL
 from ner_funtool_ray.functions.text import (
@@ -1123,6 +1124,30 @@ def _q_nation_top_customers(sf_dir: str):
     return nation_top_customers(sf_dir)
 
 
+def _q_events_cube(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import events_cube
+
+    return events_cube(sf_dir)
+
+
+def _q_nation_account_counts(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import nation_account_counts
+
+    return nation_account_counts(sf_dir)
+
+
+def _q_supplier_balance_ranks(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import supplier_balance_ranks
+
+    return supplier_balance_ranks(sf_dir)
+
+
+def _q_events_user_hll(sf_dir: str):
+    from ner_funtool_ray.stages.hll import events_user_hll
+
+    return events_user_hll(sf_dir)
+
+
 def _q_qty_discount_stats(sf_dir: str):
     from ner_funtool_ray.pipelines.stats import qty_discount_stats
 
@@ -1304,6 +1329,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with deterministic ties, per-key ROWS moving window) and set
         # operations (INTERSECT/EXCEPT, Bloom-prefiltered exact semi-join)
         # — oracle-checked, pipelines/stats.py + pipelines/setops.py
+        # grouping sets (CUBE), FULL OUTER zero-fill, rank-family windows,
+        # HyperLogLog sketch (exact SQL twin) — oracle-checked
+        "events_cube": _q_events_cube,
+        "nation_account_counts": _q_nation_account_counts,
+        "supplier_balance_ranks": _q_supplier_balance_ranks,
+        "events_user_hll": _q_events_user_hll,
         "qty_discount_stats": _q_qty_discount_stats,
         "nation_mode_priority": _q_nation_mode_priority,
         "user_value_moving_sum": _q_user_value_moving_sum,
@@ -1370,6 +1401,10 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _ana.EVENTS_ROLLUP_SQL,
         "customer_urgent_order_counts": _ana.CUSTOMER_URGENT_ORDER_COUNTS_SQL,
         "nation_top_customers": _ana.NATION_TOP_CUSTOMERS_SQL,
+        "events_cube": _ana.EVENTS_CUBE_SQL,
+        "nation_account_counts": _ana.NATION_ACCOUNT_COUNTS_SQL,
+        "supplier_balance_ranks": _ana.SUPPLIER_BALANCE_RANKS_SQL,
+        "events_user_hll": _hll.EVENTS_USER_HLL_SQL,
         "qty_discount_stats": _sta.QTY_DISCOUNT_STATS_SQL,
         "nation_mode_priority": _sta.NATION_MODE_PRIORITY_SQL,
         "user_value_moving_sum": _sta.USER_VALUE_MOVING_SUM_SQL,

@@ -1168,3 +1168,263 @@ SELECT n_name, string_agg(c_name, ',' ORDER BY rn) AS top_names
 FROM top JOIN nation ON n_nationkey = c_nationkey
 WHERE rn <= 3 GROUP BY n_name
 """
+
+
+def events_cube(sf_dir: str) -> "ray.data.Dataset":
+    """CUBE / full grouping sets over (event_type, iso day-of-week):
+    value cents + counts at all four levels — (type, dow), (type), (dow)
+    and the grand total, with 'ALL' sentinels (same NULL-vs-NaN-safe
+    convention as ``events_rollup``, which covers the ROLLUP subset).
+
+    One pass over the facts builds the finest level; the other three
+    levels re-aggregate the finest RESULT (≤ types × 7 rows).  Day of
+    week is ISO (Mon=1..Sun=7): pyarrow's day_of_week counts Mon=0, so
+    +1 aligns it with DuckDB's isodow — rendered as a string so the
+    sentinel can share the column."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(batch["ts"]), 1)  # ISO: Mon=1..Sun=7
+        cents = np.round(np.asarray(batch["value"]) * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": np.asarray(batch["event_type"]),
+                "dow": np.asarray(dow).astype(str),
+                "cents": cents,
+            }
+        )
+        agg = (
+            df.groupby(["event_type", "dow"], sort=False)["cents"]
+            .agg(["sum", "size"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(agg["event_type"], type=pa.string()),
+                "dow": pa.array(agg["dow"], type=pa.string()),
+                "cents": pa.array(agg["sum"].to_numpy(dtype=np.int64)),
+                "n": pa.array(agg["size"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def _sentinel(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.schema.get_field_index(col),
+                col,
+                pa.array(["ALL"] * batch.num_rows, type=pa.string()),
+            )
+
+        return fn
+
+    def _resum(d: "ray.data.Dataset") -> "ray.data.Dataset":
+        return bucketed_group_sum(
+            d,
+            ["event_type", "dow"],
+            sum_cols={"cents": "cents", "n": "n"},
+            count_col=None,
+            driver_cap=2_000_000,
+        ).select_columns(cols)
+
+    cols = ["event_type", "dow", "cents", "n"]
+    fine = _resum(
+        ds.map_batches(partial, batch_format="pyarrow")
+    ).materialize()  # ≤ types × 7 rows
+    by_type = _resum(fine.map_batches(_sentinel("dow"), batch_format="pyarrow"))
+    by_dow = _resum(
+        fine.map_batches(_sentinel("event_type"), batch_format="pyarrow")
+    )
+    grand = _resum(
+        fine.map_batches(_sentinel("dow"), batch_format="pyarrow").map_batches(
+            _sentinel("event_type"), batch_format="pyarrow"
+        )
+    )
+    return fine.union(by_type).union(by_dow).union(grand)
+
+
+EVENTS_CUBE_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+  COALESCE(isodow(ts)::VARCHAR, 'ALL') AS dow,
+  SUM(CAST(round(value*100) AS BIGINT))::BIGINT AS cents,
+  COUNT(*)::BIGINT AS n
+FROM events
+GROUP BY CUBE(event_type, isodow(ts))
+"""
+
+
+def nation_account_counts(
+    sf_dir: str,
+    cust_min_bal: float = 7500.0,
+    supp_min_bal: float = 2500.0,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """FULL OUTER aggregate join with zero-fill on BOTH sides: per nation,
+    the count of high-balance customers and of high-balance suppliers; a
+    nation appears when EITHER side has rows, with 0 filling the other
+    (at sf0.001 only 10 suppliers exist, so most nations exercise the
+    customer-only direction and some the supplier-only one).
+
+    No join operator runs at all: both sides pre-aggregate to per-batch
+    (nationkey, count) partials tagged with their side, the single
+    bucketed shuffle sums each side's column per nationkey, and the FULL
+    OUTER semantics fall out of the union — a key absent from one side
+    simply contributes 0 to that column.  The 25-row nation dim rides as
+    a plain broadcast dict."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nkey2name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+
+    def side_partial(key_col: str, bal_col: str, out_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            lim = cust_min_bal if out_col == "n_cust" else supp_min_bal
+            hit = batch.filter(pc.greater(batch[bal_col], lim))
+            nk = np.asarray(hit[key_col]).astype(np.int64)
+            keys, counts = np.unique(nk, return_counts=True)
+            other = "n_supp" if out_col == "n_cust" else "n_cust"
+            return pa.table(
+                {
+                    "n_nationkey": pa.array(keys),
+                    out_col: pa.array(counts.astype(np.int64)),
+                    other: pa.array(np.zeros(len(keys), dtype=np.int64)),
+                    "bucket": pa.array(keys % np.int64(n_buckets)),
+                }
+            )
+
+        return fn
+
+    cust = read_parquet_auto(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    ).map_batches(
+        side_partial("c_nationkey", "c_acctbal", "n_cust"), batch_format="pyarrow"
+    )
+    supp = read_parquet_auto(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    ).map_batches(
+        side_partial("s_nationkey", "s_acctbal", "n_supp"), batch_format="pyarrow"
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            group.groupby("n_nationkey", sort=False)[["n_cust", "n_supp"]]
+            .sum()
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "n_name": [nkey2name[int(k)] for k in agg["n_nationkey"]],
+                "n_cust": agg["n_cust"].to_numpy().astype(np.int64),
+                "n_supp": agg["n_supp"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return cust.union(supp).groupby("bucket").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+NATION_ACCOUNT_COUNTS_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nk, count(*)::BIGINT AS n_cust
+  FROM customer WHERE c_acctbal > 7500.0 GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey AS nk, count(*)::BIGINT AS n_supp
+  FROM supplier WHERE s_acctbal > 2500.0 GROUP BY s_nationkey
+)
+SELECT n_name,
+       COALESCE(n_cust, 0)::BIGINT AS n_cust,
+       COALESCE(n_supp, 0)::BIGINT AS n_supp
+FROM c FULL OUTER JOIN s USING (nk)
+JOIN nation ON n_nationkey = nk
+"""
+
+
+def supplier_balance_ranks(
+    sf_dir: str, n_tiles: int = 4, n_buckets: int = 16
+) -> "ray.data.Dataset":
+    """The remaining rank-family windows in one query: per nation,
+    ``dense_rank`` over balance cents (DESC; ties share a rank),
+    ``ntile(4)`` over the total order (cents DESC, suppkey — SQL NTILE's
+    first ``n mod t`` buckets get the extra row), and ``percent_rank``
+    ((rank-1)/(n-1), 0 for single-row partitions) — integer cents plus a
+    two-exact-int division keep every column bit-exact vs the twin.
+
+    Suppliers hash-bucket by nation; inside a bucket one sort + pandas
+    group ranks + index arithmetic compute all three windows with no
+    per-row Python."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nkey2name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        nk = np.asarray(batch["s_nationkey"]).astype(np.int64)
+        return batch.append_column("bucket", pa.array(nk % np.int64(n_buckets)))
+
+    def ranks(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["cents"] = np.round(g["s_acctbal"].to_numpy() * 100).astype(np.int64)
+        g = g.sort_values(
+            ["s_nationkey", "cents", "s_suppkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        grp = g.groupby("s_nationkey", sort=False)
+        drank = grp["cents"].rank(method="dense", ascending=False)
+        rank_min = grp["cents"].rank(method="min", ascending=False)
+        sizes = grp["s_nationkey"].transform("size").to_numpy().astype(np.int64)
+        pos = grp.cumcount().to_numpy().astype(np.int64)
+        k, r = sizes // n_tiles, sizes % n_tiles
+        boundary = r * (k + 1)
+        in_big = pos < boundary
+        # k == 0 only when sizes < n_tiles, and then every pos < boundary
+        tile = np.where(
+            in_big, pos // (k + 1), r + (pos - boundary) // np.maximum(k, 1)
+        ) + 1
+        rm = rank_min.to_numpy().astype(np.int64)
+        prank = np.where(
+            sizes > 1, (rm - 1).astype(np.float64) / (sizes - 1).astype(np.float64), 0.0
+        )
+        return pd.DataFrame(
+            {
+                "s_suppkey": g["s_suppkey"].to_numpy().astype(np.int64),
+                "n_name": [nkey2name[int(x)] for x in g["s_nationkey"]],
+                "cents": g["cents"].to_numpy(),
+                "drank": drank.to_numpy().astype(np.int64),
+                "tile": tile.astype(np.int64),
+                "prank": prank,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(ranks, batch_format="pandas")
+    )
+
+
+SUPPLIER_BALANCE_RANKS_SQL = """
+SELECT s_suppkey, n_name,
+  CAST(round(s_acctbal * 100) AS BIGINT) AS cents,
+  dense_rank() OVER (
+    PARTITION BY s_nationkey ORDER BY round(s_acctbal * 100) DESC
+  )::BIGINT AS drank,
+  ntile(4) OVER (
+    PARTITION BY s_nationkey ORDER BY round(s_acctbal * 100) DESC, s_suppkey
+  )::BIGINT AS tile,
+  percent_rank() OVER (
+    PARTITION BY s_nationkey ORDER BY round(s_acctbal * 100) DESC
+  ) AS prank
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+"""

@@ -139,3 +139,68 @@ def test_moving_sum_window_semantics():
     assert len(m) == len(out) == len(ev)
     assert (m["mov_cents"] == m["mov_cents_ref"]).all()
     assert m["n_win"].max() == 3 and m["n_win"].min() == 1
+
+
+def test_ntile_semantics_match_duckdb_on_uneven_groups():
+    # 7 rows / 4 tiles: NTILE gives sizes 2,2,2,1 — first n%t buckets big
+    import duckdb
+
+    con = duckdb.connect()
+    exp = con.sql(
+        "SELECT v, ntile(4) OVER (ORDER BY v) AS t "
+        "FROM (SELECT unnest(range(7)) AS v)"
+    ).df()
+    n, t = 7, 4
+    pos = np.arange(n)
+    k, r = n // t, n % t
+    boundary = r * (k + 1)
+    tile = (
+        np.where(pos < boundary, pos // (k + 1), r + (pos - boundary) // max(k, 1))
+        + 1
+    )
+    assert (tile == exp.sort_values("v")["t"].to_numpy()).all()
+
+
+def test_hll_accuracy_at_sf001():
+    import duckdb
+
+    from ner_funtool_ray.stages.hll import events_user_hll
+
+    sf = "/root/testdata/sf0.01"
+    got = events_user_hll(sf).to_pandas().set_index("event_type")
+    con = duckdb.connect()
+    exact = con.sql(
+        f"SELECT event_type, count(DISTINCT user_id) AS c "
+        f"FROM '{sf}/events.parquet' GROUP BY event_type"
+    ).df().set_index("event_type")
+    rel = (got["approx_users"] / exact["c"] - 1).abs()
+    # m=16 registers → σ ≈ 1.04/√16 = 26%; generous 2σ bound
+    assert (rel < 0.55).all(), rel
+
+
+def test_hll_rho_and_bitlen_edges():
+    from ner_funtool_ray.stages.hll import hll_rho
+
+    h = np.array(
+        [0, 1, (1 << 60) - 1, 1 << 60, (1 << 64) - 1], dtype=np.uint64
+    )
+    idx, rho = hll_rho(h, 4)
+    assert list(idx) == [0, 0, 0, 1, 15]
+    # w = low 60 bits: 0 → rho 61; 1 → rho 60; 2^60-1 → rho 1
+    assert list(rho) == [61, 60, 1, 61, 1]
+
+
+def test_events_cube_levels_consistent():
+    from ner_funtool_ray.pipelines.analytic import events_cube
+
+    df = events_cube(SF_DIR).to_pandas()
+    fine = df[(df["event_type"] != "ALL") & (df["dow"] != "ALL")]
+    grand = df[(df["event_type"] == "ALL") & (df["dow"] == "ALL")]
+    assert len(grand) == 1
+    assert grand["cents"].iloc[0] == fine["cents"].sum()
+    assert grand["n"].iloc[0] == fine["n"].sum()
+    by_type = df[(df["event_type"] != "ALL") & (df["dow"] == "ALL")]
+    assert by_type["n"].sum() == fine["n"].sum()
+    by_dow = df[(df["event_type"] == "ALL") & (df["dow"] != "ALL")]
+    assert by_dow["n"].sum() == fine["n"].sum()
+    assert set(by_dow["dow"]).issubset({str(i) for i in range(1, 8)})
