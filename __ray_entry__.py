@@ -1166,6 +1166,12 @@ def _q_user_value_moving_sum(sf_dir: str):
     return user_value_moving_sum(sf_dir)
 
 
+def _q_order_price_median(sf_dir: str):
+    from ner_funtool_ray.pipelines.stats import order_price_median_by_priority
+
+    return order_price_median_by_priority(sf_dir)
+
+
 def _q_customers_retained(sf_dir: str):
     from ner_funtool_ray.pipelines.setops import customers_retained
 
@@ -1338,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_discount_stats": _q_qty_discount_stats,
         "nation_mode_priority": _q_nation_mode_priority,
         "user_value_moving_sum": _q_user_value_moving_sum,
+        "order_price_median_by_priority": _q_order_price_median,
         "customers_retained": _q_customers_retained,
         "customers_churned": _q_customers_churned,
         "returned_orders_bloom": _q_returned_orders_bloom,
@@ -1408,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         "qty_discount_stats": _sta.QTY_DISCOUNT_STATS_SQL,
         "nation_mode_priority": _sta.NATION_MODE_PRIORITY_SQL,
         "user_value_moving_sum": _sta.USER_VALUE_MOVING_SUM_SQL,
+        "order_price_median_by_priority": _sta.ORDER_PRICE_MEDIAN_SQL,
         "customers_retained": _set.CUSTOMERS_RETAINED_SQL,
         "customers_churned": _set.CUSTOMERS_CHURNED_SQL,
         "returned_orders_bloom": _set.RETURNED_ORDERS_BLOOM_SQL,

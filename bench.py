@@ -106,6 +106,9 @@ def run_bench() -> dict:
         "customer_order_window",  # window functions (size-guarded hybrid;
                                   # driver fast path at bench scale)
         "doc_top_terms",        # TF-IDF-shaped: tokenize + df + term join
+        "returned_orders_bloom",  # Bloom-prefiltered exact semi-join
+        "order_price_median_by_priority",  # 2-pass histogram refinement
+        "events_user_hll",      # HyperLogLog register sketch
     ]
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

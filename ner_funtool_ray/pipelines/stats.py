@@ -35,6 +35,7 @@ __all__ = [
     "qty_discount_stats",
     "nation_mode_priority",
     "user_value_moving_sum",
+    "order_price_median_by_priority",
 ]
 
 
@@ -94,11 +95,14 @@ def qty_discount_stats(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
+    # partials are ≤ |distinct flags| rows per block — the driver merge
+    # always applies, skipping the fixed Sort barrier (BASELINE.md)
     sums = bucketed_group_sum(
         ds.map_batches(moments, batch_format="pyarrow"),
         keys=["l_returnflag"],
         sum_cols={c: c for c in ["sx", "sy", "sxy", "sxx", "syy"]},
         count_col="n",
+        driver_cap=2_000_000,
     )
     return sums.map_batches(_finalize_stats, batch_format="pyarrow")
 
@@ -378,4 +382,109 @@ WINDOW w AS (
   PARTITION BY user_id ORDER BY ts, event_id
   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
 )
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact grouped median over an UNBOUNDED integer domain (histogram refinement)
+
+
+def order_price_median_by_priority(
+    sf_dir: str, coarse_shift: int = 16
+) -> "ray.data.Dataset":
+    """EXACT median order price (cents) per priority over an unbounded
+    value domain — the complement of ``doc_length_quantiles`` (which
+    relies on a bounded histogram): two aggregate-only passes, no value
+    collection anywhere.
+
+    Pass 1 histograms ``cents >> coarse_shift`` per priority (a shuffle
+    of ≤ groups × 2^(bits-shift) count rows); the cumulative counts
+    locate, for each group, the coarse bin holding the median and the
+    median's rank offset inside it.  Pass 2 histograms EXACT cents but
+    only for rows inside each group's selected bin — by construction at
+    most 2^coarse_shift distinct values per group, so the second shuffle
+    is bounded no matter how large or skewed the data — and the order
+    statistic falls out of the refined cumulative counts.  Both
+    per-group final scans run over sketch-sized histograms on the
+    driver (same convention as ``doc_length_quantiles``).  Median = the
+    lower middle (rank ``(n+1)//2``), an integer — no interpolation, no
+    float drift."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        cents = np.round(np.asarray(batch["o_totalprice"]) * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "pr": np.asarray(batch["o_orderpriority"]),
+                "bin": cents >> coarse_shift,
+            }
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist1 = bucketed_group_sum(
+        ds.map_batches(coarse, batch_format="pyarrow"),
+        keys=["pr", "bin"],
+        count_col="cnt",
+        driver_cap=2_000_000,
+    ).to_pandas()
+
+    targets: dict[str, tuple[int, int]] = {}
+    for pr, sub in hist1.groupby("pr", sort=False):
+        sub = sub.sort_values("bin")
+        cum = sub["cnt"].to_numpy().cumsum()
+        k = (int(cum[-1]) + 1) // 2
+        i = int(np.searchsorted(cum, k))
+        before = int(cum[i - 1]) if i else 0
+        targets[pr] = (int(sub["bin"].to_numpy()[i]), k - before)
+
+    def fine(batch: pa.Table) -> pa.Table:
+        cents = np.round(np.asarray(batch["o_totalprice"]) * 100).astype(np.int64)
+        pr = np.asarray(batch["o_orderpriority"])
+        u, inv = np.unique(pr, return_inverse=True)
+        tbin = np.array([targets[p][0] for p in u], dtype=np.int64)[inv]
+        keep = (cents >> coarse_shift) == tbin
+        df = pd.DataFrame({"pr": pr[keep], "cents": cents[keep]})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist2 = bucketed_group_sum(
+        ds.map_batches(fine, batch_format="pyarrow"),
+        keys=["pr", "cents"],
+        count_col="cnt",
+        driver_cap=2_000_000,
+    ).to_pandas()
+
+    rows = []
+    for pr, sub in hist2.groupby("pr", sort=False):
+        sub = sub.sort_values("cents")
+        cum = sub["cnt"].to_numpy().cumsum()
+        offset = targets[pr][1]
+        j = int(np.searchsorted(cum, offset))
+        rows.append((pr, int(sub["cents"].to_numpy()[j])))
+    rows.sort()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderpriority": pa.array([r[0] for r in rows], type=pa.string()),
+                "median_cents": pa.array(
+                    np.array([r[1] for r in rows], dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+ORDER_PRICE_MEDIAN_SQL = """
+WITH u AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, cents,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM u
+)
+SELECT o_orderpriority, cents AS median_cents
+FROM ranked WHERE rn = (n + 1) // 2
 """

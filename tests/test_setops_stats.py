@@ -204,3 +204,31 @@ def test_events_cube_levels_consistent():
     by_dow = df[(df["event_type"] == "ALL") & (df["dow"] != "ALL")]
     assert by_dow["n"].sum() == fine["n"].sum()
     assert set(by_dow["dow"]).issubset({str(i) for i in range(1, 8)})
+
+
+def test_grouped_median_invariant_to_refinement_granularity():
+    from ner_funtool_ray.pipelines.stats import order_price_median_by_priority
+
+    base = _normalize(order_price_median_by_priority(SF_DIR).to_pandas())
+    for shift in (8, 20):  # much finer / much coarser first pass
+        other = _normalize(
+            order_price_median_by_priority(SF_DIR, coarse_shift=shift).to_pandas()
+        )
+        pd.testing.assert_frame_equal(other, base)
+
+
+def test_grouped_median_is_lower_middle():
+    from ner_funtool_ray.pipelines.stats import order_price_median_by_priority
+
+    got = order_price_median_by_priority(SF_DIR).to_pandas()
+    orders = pd.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    orders["cents"] = np.round(orders["o_totalprice"] * 100).astype(np.int64)
+    for _, row in got.iterrows():
+        vals = np.sort(
+            orders.loc[
+                orders["o_orderpriority"] == row["o_orderpriority"], "cents"
+            ].to_numpy()
+        )
+        assert row["median_cents"] == vals[(len(vals) + 1) // 2 - 1]
