@@ -13,6 +13,7 @@ from collections.abc import Callable
 from typing import Any
 
 import ner_funtool_ray.pipelines.analytic as _ana
+import ner_funtool_ray.pipelines.graph as _graph
 import ner_funtool_ray.pipelines.relational as _rel
 import ner_funtool_ray.pipelines.setops as _set
 import ner_funtool_ray.pipelines.stats as _sta
@@ -1172,6 +1173,36 @@ def _q_order_price_median(sf_dir: str):
     return order_price_median_by_priority(sf_dir)
 
 
+def _q_entity_pagerank(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_pagerank
+
+    return entity_pagerank(sf_dir)
+
+
+def _q_entity_bfs_depth(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_bfs_depth
+
+    return entity_bfs_depth(sf_dir)
+
+
+def _q_entity_triangle_counts(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_triangle_counts
+
+    return entity_triangle_counts(sf_dir)
+
+
+def _q_user_funnel_counts(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import user_funnel_counts
+
+    return user_funnel_counts(sf_dir)
+
+
+def _q_doc_bigram_commonality(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import doc_bigram_commonality
+
+    return doc_bigram_commonality(sf_dir)
+
+
 def _q_customers_retained(sf_dir: str):
     from ner_funtool_ray.pipelines.setops import customers_retained
 
@@ -1345,6 +1376,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_mode_priority": _q_nation_mode_priority,
         "user_value_moving_sum": _q_user_value_moving_sum,
         "order_price_median_by_priority": _q_order_price_median,
+        # KG graph analytics: fixed-point PageRank (unrolled-CTE twin),
+        # sequential-pattern funnel, bigram-LM commonality scoring
+        "entity_pagerank": _q_entity_pagerank,
+        "entity_bfs_depth": _q_entity_bfs_depth,
+        "entity_triangle_counts": _q_entity_triangle_counts,
+        "user_funnel_counts": _q_user_funnel_counts,
+        "doc_bigram_commonality": _q_doc_bigram_commonality,
         "customers_retained": _q_customers_retained,
         "customers_churned": _q_customers_churned,
         "returned_orders_bloom": _q_returned_orders_bloom,
@@ -1416,6 +1454,11 @@ def oracle_sql() -> dict[str, str]:
         "nation_mode_priority": _sta.NATION_MODE_PRIORITY_SQL,
         "user_value_moving_sum": _sta.USER_VALUE_MOVING_SUM_SQL,
         "order_price_median_by_priority": _sta.ORDER_PRICE_MEDIAN_SQL,
+        "entity_pagerank": _graph.make_pagerank_sql(_TRIPLES_SQL),
+        "entity_bfs_depth": _graph.make_bfs_sql(_TRIPLES_SQL),
+        "entity_triangle_counts": _graph.make_triangles_sql(_TRIPLES_SQL),
+        "user_funnel_counts": _rel.USER_FUNNEL_COUNTS_SQL,
+        "doc_bigram_commonality": _ana.DOC_BIGRAM_COMMONALITY_SQL,
         "customers_retained": _set.CUSTOMERS_RETAINED_SQL,
         "customers_churned": _set.CUSTOMERS_CHURNED_SQL,
         "returned_orders_bloom": _set.RETURNED_ORDERS_BLOOM_SQL,

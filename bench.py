@@ -109,6 +109,8 @@ def run_bench() -> dict:
         "returned_orders_bloom",  # Bloom-prefiltered exact semi-join
         "order_price_median_by_priority",  # 2-pass histogram refinement
         "events_user_hll",      # HyperLogLog register sketch
+        "entity_pagerank",      # KG graph centrality (fixed-point)
+        "user_funnel_counts",   # sequential-pattern funnel over events
     ]
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

@@ -1428,3 +1428,147 @@ SELECT s_suppkey, n_name,
   ) AS prank
 FROM supplier JOIN nation ON n_nationkey = s_nationkey
 """
+
+
+def doc_bigram_commonality(
+    sf_dir: str, min_count: int = 30, n_buckets: int = 32
+) -> "ray.data.Dataset":
+    """Bigram language-model commonality scoring — the boilerplate /
+    repetition signal a training-data quality filter uses: per document,
+    how many of its adjacent-token bigram occurrences are "common" in the
+    corpus LM (corpus bigram count >= ``min_count``), plus the total
+    corpus-count mass.  All-integer outputs (n_bigrams, n_common, cb_sum)
+    keep the twin hash-exact where a float avg-log-prob would drift on
+    summation order and libm differences.
+
+    Plan (same skeleton as ``doc_top_terms``): per-batch polars
+    tokenize -> shift-join adjacent tokens into bigrams (docs never span
+    batches, so adjacency is batch-local) -> per-doc bigram tf rows plus
+    per-batch corpus-count partials, both shuffled once by bigram hash;
+    the bucket join attaches global counts and pre-aggregates per
+    (doc, bucket); a second bounded shuffle sums the per-doc partials.
+    The corpus LM is never a driver-side dict (the round-1 lesson) —
+    counts ride the same shuffle as the data."""
+    import zlib
+
+    try:
+        import polars as pl
+    except ImportError:
+        pl = None
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def bigram_tf(batch: pa.Table) -> pd.DataFrame:
+        if pl is not None:
+            t = (
+                pl.DataFrame(
+                    {
+                        "doc_id": pl.from_arrow(
+                            batch["doc_id"].combine_chunks().cast(pa.int64())
+                        ),
+                        "tok": pl.from_arrow(
+                            batch["text"].combine_chunks()
+                        ).str.extract_all(r"\w+"),
+                    }
+                )
+                .explode("tok")
+                .with_columns(
+                    nxt=pl.col("tok").shift(-1),
+                    nxt_doc=pl.col("doc_id").shift(-1),
+                )
+                .filter(
+                    (pl.col("doc_id") == pl.col("nxt_doc"))
+                    & pl.col("tok").is_not_null()
+                    & pl.col("nxt").is_not_null()
+                )
+                .with_columns(bg=pl.col("tok") + " " + pl.col("nxt"))
+            )
+            tf = (
+                t.group_by(["doc_id", "bg"]).len().rename({"len": "tf"}).to_pandas()
+            )
+        else:
+            from collections import Counter
+
+            from ner_funtool_ray.functions.text import tokenize_words
+
+            rows = []
+            for d, txt in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                toks = tokenize_words(txt or "")
+                cnt = Counter(
+                    f"{a} {b}" for a, b in zip(toks, toks[1:])
+                )
+                rows.extend((d, bg, n) for bg, n in cnt.items())
+            tf = pd.DataFrame(rows, columns=["doc_id", "bg", "tf"])
+        tf["tf"] = tf["tf"].astype(np.int64)
+        tf["doc_id"] = tf["doc_id"].astype(np.int64)
+        return tf
+
+    def local(batch: pa.Table) -> pa.Table:
+        tf = bigram_tf(batch)
+        tf["kind"] = np.int8(0)
+        cbp = tf.groupby("bg", sort=False)["tf"].sum().reset_index(name="cb")
+        cbp["doc_id"] = np.int64(0)
+        cbp["tf"] = np.int64(0)
+        cbp["kind"] = np.int8(1)
+        tf["cb"] = np.int64(0)
+        both = pd.concat([tf, cbp], ignore_index=True)[
+            ["doc_id", "bg", "tf", "cb", "kind"]
+        ]
+        both["cb"] = both["cb"].astype(np.int64)
+        both["bucket"] = np.fromiter(
+            (zlib.crc32(s.encode("utf-8")) % n_buckets for s in both["bg"]),
+            dtype=np.int64,
+            count=len(both),
+        )
+        return pa.Table.from_pandas(both, preserve_index=False)
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cb = group[group["kind"] == 1].groupby("bg", sort=False)["cb"].sum()
+        tf = group[group["kind"] == 0]
+        cbv = tf["bg"].map(cb).to_numpy(dtype=np.int64)
+        tfv = tf["tf"].to_numpy(dtype=np.int64)
+        part = pd.DataFrame(
+            {
+                "doc_id": tf["doc_id"].to_numpy(dtype=np.int64),
+                "n_bigrams": tfv,
+                "n_common": np.where(cbv >= min_count, tfv, 0),
+                "cb_sum": tfv * cbv,
+            }
+        )
+        return part.groupby("doc_id", sort=False, as_index=False).sum()
+
+    per_bucket = (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+    return bucketed_group_sum(
+        per_bucket,
+        keys=["doc_id"],
+        sum_cols={c: c for c in ["n_bigrams", "n_common", "cb_sum"]},
+        count_col=None,
+        driver_cap=2_000_000,
+    )
+
+
+DOC_BIGRAM_COMMONALITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+') AS l FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1]))
+           AS bg
+  FROM toks WHERE len(l) >= 2
+),
+cb AS (SELECT bg, count(*)::BIGINT AS cb FROM bg GROUP BY bg)
+SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+       CAST(sum(CASE WHEN c.cb >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       CAST(sum(c.cb) AS BIGINT) AS cb_sum
+FROM bg b JOIN cb c USING (bg)
+GROUP BY b.doc_id
+"""

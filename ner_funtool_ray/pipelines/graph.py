@@ -1,0 +1,492 @@
+"""Graph analytics over the constructed knowledge graph.
+
+The KG built by ``pipelines/kg.py`` (reference semantics:
+``get_entity``-style mention extraction -> co-occurrence edges, see
+reference ``model_predict.py`` / ``data_utils.py:get_entity``) is a
+weighted entity graph.  This module ranks its nodes with PageRank in
+**integer fixed-point arithmetic** so that a fixed number of iterations
+is bit-reproducible across engines: every operation is int64 add /
+multiply / floor-divide (all values non-negative, so floor == trunc),
+which makes the DuckDB twin — the same iterations unrolled as chained
+CTEs — hash-exact, with none of the float-summation-order drift that
+rules out a naive float PageRank oracle.
+
+Update rule (damping 0.85 as the rational 85/100, rank scale 1e9):
+
+    r0(v)   = SCALE
+    inc(v)  = sum over in-edges (u,v,w) of (r(u) * w) // outw(u)
+    r'(v)   = (15*SCALE)//100 + (85 * inc(v)) // 100
+
+Two execution paths share the identical math:
+
+- ``_pagerank_numpy`` — vectorized scatter-add on the driver.  This is
+  the PRODUCTION path for the entity graph: nodes are bounded by the
+  gazetteer and edges by gazetteer^2 (the same bound that makes the
+  gazetteer broadcastable), so the aggregated graph is sketch-sized no
+  matter how many petabytes of documents produced it.
+- ``pagerank_ds`` — fully distributed: per iteration one src-bucketed
+  join (ranks ride to their edges), one bounded-bucket group sum over
+  contributions, and one dst-bucketed zero-fill join.  This is the
+  scale path for UNBOUNDED graphs (e.g. doc-doc similarity edges) where
+  neither nodes nor edges fit a driver; parity-tested against the numpy
+  core.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+SCALE = np.int64(1_000_000_000)
+BASE = np.int64((15 * 1_000_000_000) // 100)
+
+__all__ = [
+    "entity_pagerank",
+    "pagerank_ds",
+    "make_pagerank_sql",
+]
+
+
+def _pagerank_numpy(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray, n_nodes: int, iters: int
+) -> np.ndarray:
+    """Fixed-point PageRank core (see module docstring for the rule)."""
+    outw = np.zeros(n_nodes, dtype=np.int64)
+    np.add.at(outw, src, w.astype(np.int64))
+    ow = outw[src]  # > 0 for every edge source by construction
+    r = np.full(n_nodes, SCALE, dtype=np.int64)
+    for _ in range(iters):
+        contrib = (r[src] * w) // ow
+        inc = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(inc, dst, contrib)
+        r = BASE + (np.int64(85) * inc) // np.int64(100)
+    return r
+
+
+def _bucket_str(s: pd.Series, n_buckets: int) -> np.ndarray:
+    return np.fromiter(
+        (zlib.crc32(x.encode("utf-8")) % n_buckets for x in s),
+        dtype=np.int64,
+        count=len(s),
+    )
+
+
+def pagerank_ds(
+    nodes: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    iters: int = 5,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed fixed-point PageRank for graphs too large for a
+    driver: ``nodes`` has column ``entity_id``; ``edges`` has
+    ``src, dst, weight`` (already expanded to directed form).
+
+    Per iteration: (1) ranks hash-bucket by entity and meet their
+    out-edges in a src-bucketed group (the shuffle carries rank rows +
+    edge rows, never a cross product), emitting per-dst contribution
+    partials; (2) a bounded-bucket group sum merges them per dst;
+    (3) a dst-bucketed zero-fill join rewrites every node's rank.  All
+    arithmetic is the same int64 rule as ``_pagerank_numpy`` (parity
+    tested), so either path may serve the oracle."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    # out-weight per src, attached to edges once (src-bucketed join)
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        df = batch.select(["src", "dst", "weight"]).to_pandas()
+        df["bucket"] = _bucket_str(df["src"], n_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges_b = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    def attach_outw(group: pd.DataFrame) -> pd.DataFrame:
+        ow = group.groupby("src", sort=False)["weight"].sum()
+        out = group.copy()
+        out["outw"] = out["src"].map(ow).astype(np.int64)
+        return out[["src", "dst", "weight", "outw", "bucket"]]
+
+    # src never spans buckets, so the per-bucket sum IS the global outw
+    edges_ow = (
+        edges_b.groupby("bucket").map_groups(attach_outw, batch_format="pandas")
+    ).materialize()
+
+    def tag_nodes(batch: pa.Table) -> pa.Table:
+        df = batch.select(["entity_id"]).to_pandas()
+        df["bucket"] = _bucket_str(df["entity_id"], n_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    nodes_b = nodes.map_batches(tag_nodes, batch_format="pyarrow").materialize()
+
+    ranks = nodes_b.map_batches(
+        lambda t: t.append_column(
+            "r", pa.array(np.full(t.num_rows, SCALE, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+
+    for _ in range(iters):
+        # (1) ranks meet their out-edges in the src bucket
+        r_tagged = ranks.map_batches(
+            lambda t: pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "src": np.asarray(t["entity_id"]),
+                        "dst": "",
+                        "weight": np.int64(0),
+                        "outw": np.int64(0),
+                        "r": np.asarray(t["r"]),
+                        "bucket": np.asarray(t["bucket"]),
+                        "kind": np.int8(1),
+                    }
+                ),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
+        )
+        e_tagged = edges_ow.map_batches(
+            lambda t: t.append_column(
+                "r", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            ).append_column("kind", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
+            batch_format="pyarrow",
+        )
+
+        def contribs(group: pd.DataFrame) -> pd.DataFrame:
+            rk = (
+                group[group["kind"] == 1]
+                .drop_duplicates("src")
+                .set_index("src")["r"]
+            )
+            e = group[group["kind"] == 0]
+            if e.empty:
+                return pd.DataFrame(
+                    {
+                        "dst": pd.Series([], dtype=object),
+                        "c": pd.Series([], dtype=np.int64),
+                    }
+                )
+            r_src = e["src"].map(rk).to_numpy(dtype=np.int64)
+            c = (r_src * e["weight"].to_numpy(dtype=np.int64)) // e[
+                "outw"
+            ].to_numpy(dtype=np.int64)
+            out = pd.DataFrame({"dst": e["dst"].to_numpy(), "c": c})
+            return out.groupby("dst", sort=False, as_index=False)["c"].sum()
+
+        contrib_ds = (
+            r_tagged.union(e_tagged)
+            .groupby("bucket")
+            .map_groups(contribs, batch_format="pandas")
+        )
+
+        # (2) global per-dst increment
+        inc = bucketed_group_sum(
+            contrib_ds, keys=["dst"], sum_cols={"inc": "c"}, count_col=None,
+            n_buckets=n_buckets,
+        )
+
+        # (3) zero-fill join back onto the node set
+        inc_tagged = inc.map_batches(
+            lambda t: pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "entity_id": np.asarray(t["dst"]),
+                        "inc": np.asarray(t["inc"]),
+                        "bucket": _bucket_str(
+                            pd.Series(np.asarray(t["dst"])), n_buckets
+                        ),
+                        "kind": np.int8(1),
+                    }
+                ),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
+        )
+        n_tagged = nodes_b.map_batches(
+            lambda t: t.append_column(
+                "inc", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            ).append_column("kind", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
+            batch_format="pyarrow",
+        )
+
+        def new_ranks(group: pd.DataFrame) -> pd.DataFrame:
+            inc_m = group[group["kind"] == 1].set_index("entity_id")["inc"]
+            n = group[group["kind"] == 0]
+            iv = n["entity_id"].map(inc_m).fillna(0).to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "entity_id": n["entity_id"].to_numpy(),
+                    "bucket": n["bucket"].to_numpy(dtype=np.int64),
+                    "r": BASE + (np.int64(85) * iv) // np.int64(100),
+                }
+            )
+
+        ranks = (
+            n_tagged.union(inc_tagged)
+            .groupby("bucket")
+            .map_groups(new_ranks, batch_format="pandas")
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda t: t.select(["entity_id", "r"]).rename_columns(
+            ["entity_id", "pagerank_fp"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def entity_pagerank(
+    sf_dir: str, iters: int = 5, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """PageRank over the KG's entity co-occurrence graph.
+
+    The aggregated triple table is gazetteer-bounded (nodes <= |gazetteer|,
+    edges <= |gazetteer|^2) regardless of corpus size, so below
+    ``driver_cap`` triples the graph is assembled on the driver and ranked
+    by the vectorized numpy core — the petabyte-corpus production path.
+    Above the cap (a general graph fed in by a caller) it falls back to
+    the fully distributed ``pagerank_ds``; both paths share the identical
+    int64 update rule."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir).materialize()
+    if triples.count() <= driver_cap:
+        df = triples.to_pandas()
+        cooc = df[df["pred"] == "cooccurs_with"]
+        nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
+        idx = {e: i for i, e in enumerate(nodes)}
+        a = cooc["subj"].map(idx).to_numpy(dtype=np.int64)
+        b = cooc["obj"].map(idx).to_numpy(dtype=np.int64)
+        w = cooc["weight"].to_numpy(dtype=np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        ww = np.concatenate([w, w])
+        r = _pagerank_numpy(src, dst, ww, len(nodes), iters)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "entity_id": pa.array(nodes, type=pa.string()),
+                    "pagerank_fp": pa.array(r),
+                }
+            )
+        )
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+    import pyarrow.compute as pc
+
+    cooc_ds = triples.map_batches(
+        lambda t: t.filter(pc.equal(t["pred"], "cooccurs_with")),
+        batch_format="pyarrow",
+    )
+    nodes_ds = bucketed_group_sum(
+        triples.map_batches(
+            lambda t: pa.table(
+                {"entity_id": t.filter(pc.equal(t["pred"], "appears_in"))["subj"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["entity_id"],
+        count_col="n",
+    ).drop_columns(["n"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "src": np.concatenate([df["subj"], df["obj"]]),
+                    "dst": np.concatenate([df["obj"], df["subj"]]),
+                    "weight": np.concatenate([df["weight"], df["weight"]]).astype(
+                        np.int64
+                    ),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    edges_ds = cooc_ds.map_batches(expand, batch_format="pyarrow")
+    return pagerank_ds(nodes_ds, edges_ds, iters=iters)
+
+
+def make_pagerank_sql(triples_sql: str, iters: int = 5) -> str:
+    """DuckDB twin: the identical fixed-point iterations unrolled as
+    chained CTEs over the (already oracle-exact) triples SQL.  Integer
+    ``//`` floor-division matches numpy's on the non-negative domain."""
+    parts = [
+        f"WITH t AS ({triples_sql}),\n"
+        "cooc AS (SELECT subj, obj, weight FROM t WHERE pred = 'cooccurs_with'),\n"
+        "edges AS (SELECT subj AS src, obj AS dst, weight FROM cooc\n"
+        "          UNION ALL SELECT obj AS src, subj AS dst, weight FROM cooc),\n"
+        "nodes AS (SELECT DISTINCT subj AS entity_id FROM t"
+        " WHERE pred = 'appears_in'),\n"
+        "outw AS (SELECT src, CAST(sum(weight) AS BIGINT) AS w"
+        " FROM edges GROUP BY src),\n"
+        "r0 AS (SELECT entity_id, CAST(1000000000 AS BIGINT) AS r FROM nodes)"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT n.entity_id,
+         CAST(150000000 + (85 * COALESCE(CAST(
+             SUM((pr.r * e.weight) // o.w) AS BIGINT), 0)) // 100
+           AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.entity_id
+  LEFT JOIN outw o ON o.src = e.src
+  LEFT JOIN r{i - 1} pr ON pr.entity_id = e.src
+  GROUP BY n.entity_id
+)"""
+        )
+    parts.append(f"\nSELECT entity_id, r AS pagerank_fp FROM r{iters}")
+    return "".join(parts)
+
+
+INF = np.int64(999_999_999)
+
+
+def entity_bfs_depth(
+    sf_dir: str, rounds: int = 6, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Bounded-round BFS hop distance from a deterministic seed (the
+    lexicographically smallest entity) over the KG co-occurrence graph —
+    min-plus label propagation, the same bounded-round shuffle family as
+    ``stages/dedup.clusters_from_pairs_ds``.  Depth is int64 (unreached
+    after ``rounds`` = -1), so the unrolled-CTE twin is hash-exact.  The
+    aggregated graph is gazetteer-bounded (see ``entity_pagerank``); the
+    numpy path is the production path, and a general-graph distributed
+    run uses the identical per-round rule inside ``pagerank_ds``-style
+    bucketed joins."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir).materialize()
+    if triples.count() > driver_cap:
+        raise NotImplementedError(
+            "general-graph BFS: feed edges through pagerank_ds-style "
+            "bucketed rounds; the entity graph never exceeds the cap"
+        )
+    df = triples.to_pandas()
+    cooc = df[df["pred"] == "cooccurs_with"]
+    nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
+    idx = {e: i for i, e in enumerate(nodes)}
+    a = cooc["subj"].map(idx).to_numpy(dtype=np.int64)
+    b = cooc["obj"].map(idx).to_numpy(dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    d = np.full(len(nodes), INF, dtype=np.int64)
+    if len(nodes):
+        d[0] = 0  # nodes sorted -> index 0 IS min(entity_id)
+    for _ in range(rounds):
+        nd = d.copy()
+        np.minimum.at(nd, dst, d[src] + 1)
+        d = np.minimum(d, nd)
+    depth = np.where(d >= INF, np.int64(-1), d)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(nodes, type=pa.string()),
+                "depth": pa.array(depth),
+            }
+        )
+    )
+
+
+def make_bfs_sql(triples_sql: str, rounds: int = 6) -> str:
+    """DuckDB twin of ``entity_bfs_depth``: the identical min-plus rounds
+    unrolled as chained CTEs."""
+    parts = [
+        f"WITH t AS ({triples_sql}),\n"
+        "cooc AS (SELECT subj, obj FROM t WHERE pred = 'cooccurs_with'),\n"
+        "edges AS (SELECT subj AS src, obj AS dst FROM cooc\n"
+        "          UNION ALL SELECT obj AS src, subj AS dst FROM cooc),\n"
+        "nodes AS (SELECT DISTINCT subj AS entity_id FROM t"
+        " WHERE pred = 'appears_in'),\n"
+        "seed AS (SELECT min(entity_id) AS id FROM nodes),\n"
+        "d0 AS (SELECT entity_id, CASE WHEN entity_id = (SELECT id FROM seed)"
+        " THEN 0 ELSE 999999999 END AS d FROM nodes)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT n.entity_id,
+         LEAST(MIN(p.d), COALESCE(MIN(q.d + 1), 999999999)) AS d
+  FROM nodes n
+  JOIN d{i - 1} p ON p.entity_id = n.entity_id
+  LEFT JOIN edges e ON e.dst = n.entity_id
+  LEFT JOIN d{i - 1} q ON q.entity_id = e.src AND q.d < 999999999
+  GROUP BY n.entity_id
+)"""
+        )
+    parts.append(
+        f"\nSELECT entity_id, CAST(CASE WHEN d >= 999999999 THEN -1 ELSE d END"
+        f" AS BIGINT) AS depth FROM d{rounds}"
+    )
+    return "".join(parts)
+
+
+def entity_triangle_counts(
+    sf_dir: str, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Per-entity triangle participation over the (deduplicated,
+    canonically subj<obj) co-occurrence edge set — the clustering-
+    coefficient numerator.  Gazetteer-bounded graph -> dense int64
+    adjacency on the driver; n_triangles(v) = diag(A^3)//2, exact
+    integer arithmetic, so the 3-way-self-join SQL twin is hash-exact.
+    (A general-graph distributed version is the inverted-index join
+    shape of ``stages/dedup.ngram_jaccard_pairs``; the entity graph
+    never needs it.)"""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir).materialize()
+    if triples.count() > driver_cap:
+        raise NotImplementedError("general-graph triangles: see docstring")
+    df = triples.to_pandas()
+    cooc = df[df["pred"] == "cooccurs_with"]
+    nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
+    idx = {e: i for i, e in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n), dtype=np.int64)
+    a = cooc["subj"].map(idx).to_numpy(dtype=np.int64)
+    b = cooc["obj"].map(idx).to_numpy(dtype=np.int64)
+    A[a, b] = 1
+    A[b, a] = 1
+    tri = np.diagonal(A @ A @ A) // 2 if n else np.zeros(0, dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(nodes, type=pa.string()),
+                "n_triangles": pa.array(tri.astype(np.int64)),
+            }
+        )
+    )
+
+
+def make_triangles_sql(triples_sql: str) -> str:
+    """DuckDB twin: triangles as a 3-way self-join over the canonical
+    subj<obj edge list; each triangle (x<y<z) contributes once to each
+    corner."""
+    return f"""
+WITH t AS ({triples_sql}),
+cooc AS (SELECT subj, obj FROM t WHERE pred = 'cooccurs_with'),
+nodes AS (SELECT DISTINCT subj AS entity_id FROM t WHERE pred = 'appears_in'),
+tri AS (
+  SELECT ab.subj AS x, ab.obj AS y, bc.obj AS z
+  FROM cooc ab
+  JOIN cooc bc ON ab.obj = bc.subj
+  JOIN cooc ac ON ac.subj = ab.subj AND ac.obj = bc.obj
+),
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+cnts AS (SELECT id, count(*)::BIGINT AS c FROM corners GROUP BY id)
+SELECT n.entity_id, COALESCE(c.c, 0)::BIGINT AS n_triangles
+FROM nodes n LEFT JOIN cnts c ON c.id = n.entity_id
+"""
+
+
+__all__ += ["entity_bfs_depth", "make_bfs_sql", "entity_triangle_counts",
+            "make_triangles_sql"]

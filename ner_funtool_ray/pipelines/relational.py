@@ -1364,3 +1364,94 @@ SELECT event_type,
        count(*)::BIGINT AS n
 FROM x GROUP BY 1, 2
 """
+
+
+def user_funnel_counts(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """Sequential-pattern funnel (SURVEY §2.9 streaming-shaped): how many
+    users progressed view -> click -> purchase in strict timestamp order
+    — stage 2 counts users with a click strictly after their FIRST view,
+    stage 3 users with a purchase strictly after that first qualifying
+    click.  The chained-min formulation (t1 = min view ts; t2 = min click
+    ts > t1; t3 = min purchase ts > t2) makes the result order-exact and
+    integer-only.
+
+    Ray shape: one pass filters the three event types and hash-buckets
+    users (the only shuffle, 3 columns); each bucket computes all of its
+    users' stages vectorized (three groupby-mins and two filtering merges
+    in pandas) and emits 3 partial count rows, so the final merge is
+    bucket-count × 3 rows — driver-trivial at any corpus size."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def filter_bucket(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch["event_type"],
+            value_set=pa.array(["view", "click", "purchase"]),
+        )
+        out = batch.filter(keep)
+        uid = np.asarray(out["user_id"]).astype(np.int64)
+        return out.append_column("bucket", pa.array(uid % np.int64(n_buckets)))
+
+    def stages(group: pd.DataFrame) -> pd.DataFrame:
+        v1 = (
+            group[group["event_type"] == "view"]
+            .groupby("user_id", sort=False)["ts"]
+            .min()
+            .rename("t1")
+        )
+        c = group[group["event_type"] == "click"].merge(
+            v1, left_on="user_id", right_index=True
+        )
+        c2 = (
+            c[c["ts"] > c["t1"]]
+            .groupby("user_id", sort=False)["ts"]
+            .min()
+            .rename("t2")
+        )
+        p = group[group["event_type"] == "purchase"].merge(
+            c2, left_on="user_id", right_index=True
+        )
+        p3 = p[p["ts"] > p["t2"]].groupby("user_id", sort=False)["ts"].min()
+        return pd.DataFrame(
+            {
+                "stage": ["view", "click", "purchase"],
+                "n_users": np.array([len(v1), len(c2), len(p3)], dtype=np.int64),
+            }
+        )
+
+    partials = (
+        ds.map_batches(filter_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(stages, batch_format="pandas")
+    )
+    return bucketed_group_sum(
+        partials,
+        keys=["stage"],
+        sum_cols={"n_users": "n_users"},
+        count_col=None,
+        driver_cap=2_000_000,
+    )
+
+
+USER_FUNNEL_COUNTS_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT 'view' AS stage, count(*)::BIGINT AS n_users FROM v
+UNION ALL SELECT 'click', count(*)::BIGINT FROM c
+UNION ALL SELECT 'purchase', count(*)::BIGINT FROM p
+"""
