@@ -1203,6 +1203,18 @@ def _q_doc_bigram_commonality(sf_dir: str):
     return doc_bigram_commonality(sf_dir)
 
 
+def _q_events_gapfill(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import events_gapfill
+
+    return events_gapfill(sf_dir)
+
+
+def _q_orders_above_customer_avg(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import orders_above_customer_avg
+
+    return orders_above_customer_avg(sf_dir)
+
+
 def _q_customers_retained(sf_dir: str):
     from ner_funtool_ray.pipelines.setops import customers_retained
 
@@ -1383,6 +1395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_triangle_counts": _q_entity_triangle_counts,
         "user_funnel_counts": _q_user_funnel_counts,
         "doc_bigram_commonality": _q_doc_bigram_commonality,
+        "events_gapfill": _q_events_gapfill,
+        "orders_above_customer_avg": _q_orders_above_customer_avg,
         "customers_retained": _q_customers_retained,
         "customers_churned": _q_customers_churned,
         "returned_orders_bloom": _q_returned_orders_bloom,
@@ -1459,6 +1473,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_triangle_counts": _graph.make_triangles_sql(_TRIPLES_SQL),
         "user_funnel_counts": _rel.USER_FUNNEL_COUNTS_SQL,
         "doc_bigram_commonality": _ana.DOC_BIGRAM_COMMONALITY_SQL,
+        "events_gapfill": _rel.EVENTS_GAPFILL_SQL,
+        "orders_above_customer_avg": _rel.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "customers_retained": _set.CUSTOMERS_RETAINED_SQL,
         "customers_churned": _set.CUSTOMERS_CHURNED_SQL,
         "returned_orders_bloom": _set.RETURNED_ORDERS_BLOOM_SQL,

@@ -1455,3 +1455,152 @@ SELECT 'view' AS stage, count(*)::BIGINT AS n_users FROM v
 UNION ALL SELECT 'click', count(*)::BIGINT FROM c
 UNION ALL SELECT 'purchase', count(*)::BIGINT FROM p
 """
+
+
+def events_gapfill(sf_dir: str, window_minutes: int = 15) -> "ray.data.Dataset":
+    """Time-series resample with GAP FILL: events per (event_type,
+    fixed window) over the corpus's full time span, with explicit ZERO
+    rows for empty windows — the property ``events_hourly`` lacks and
+    downstream charting/anomaly jobs need.
+
+    Shape: one bounded aggregation (type × occupied-slot counts plus a
+    per-batch min/max slot partial ride the same shuffle), then the dense
+    grid is generated FROM THE SPAN — (span/window) × types rows, a
+    time-bounded sketch no matter the corpus size — and left-joined on
+    the driver against the bin counts (which are <= grid-sized by
+    construction).  No stage touches raw events twice."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    slot_us = np.int64(window_minutes * 60 * 1_000_000)
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def slots(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"]).astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "slot": pa.array(us // slot_us),
+            }
+        )
+
+    bins = bucketed_group_sum(
+        ds.map_batches(slots, batch_format="pyarrow"),
+        keys=["event_type", "slot"],
+        count_col="n",
+        driver_cap=2_000_000,
+    ).to_pandas()  # <= types x occupied slots: time-bounded, driver-safe
+
+    lo, hi = int(bins["slot"].min()), int(bins["slot"].max())
+    types = np.sort(bins["event_type"].unique())
+    all_slots = np.arange(lo, hi + 1, dtype=np.int64)
+    grid = pd.MultiIndex.from_product(
+        [types, all_slots], names=["event_type", "slot"]
+    )
+    filled = (
+        bins.set_index(["event_type", "slot"])
+        .reindex(grid, fill_value=0)
+        .reset_index()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(filled["event_type"], type=pa.string()),
+                "window_start": pa.array(
+                    (filled["slot"].to_numpy() * slot_us).astype(
+                        "datetime64[us]"
+                    )
+                ),
+                "n": pa.array(filled["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 900000000 AS slot FROM events
+),
+b AS (SELECT event_type, slot, count(*)::BIGINT AS n FROM e GROUP BY 1, 2),
+span AS (SELECT min(slot) AS lo, max(slot) AS hi FROM e),
+grid AS (
+  SELECT t.event_type, g.slot
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT lo FROM span),
+                                  (SELECT hi FROM span))) AS slot
+  ) g
+)
+SELECT grid.event_type,
+       make_timestamp(grid.slot * 900000000) AS window_start,
+       COALESCE(b.n, 0)::BIGINT AS n
+FROM grid LEFT JOIN b ON b.event_type = grid.event_type AND b.slot = grid.slot
+"""
+
+
+def orders_above_customer_avg(
+    sf_dir: str, n_buckets: int = 32
+) -> "ray.data.Dataset":
+    """Correlated-scalar-subquery shape: per customer, how many of their
+    orders cost MORE than their own average order price.  The comparison
+    is cross-multiplied into pure integers (cents * n_orders > sum_cents)
+    so no division — and therefore no float rounding — exists on either
+    engine.
+
+    One shuffle: (custkey, cents) hash-buckets; each bucket computes its
+    customers' sums/counts and the vectorized comparison locally (a
+    customer never spans buckets)."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch["o_custkey"]).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": pa.array(ck),
+                "cents": _cents(batch["o_totalprice"]),
+                "bucket": pa.array(ck % np.int64(n_buckets)),
+            }
+        )
+
+    def above(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("o_custkey", sort=False)["cents"]
+        s = g.transform("sum").to_numpy(dtype=np.int64)
+        n = g.transform("size").to_numpy(dtype=np.int64)
+        hit = (group["cents"].to_numpy(dtype=np.int64) * n > s).astype(np.int64)
+        out = pd.DataFrame(
+            {"o_custkey": group["o_custkey"], "hit": hit, "one": np.int64(1)}
+        )
+        agg = out.groupby("o_custkey", sort=False, as_index=False).sum()
+        return pd.DataFrame(
+            {
+                "o_custkey": agg["o_custkey"].to_numpy(dtype=np.int64),
+                "n_above": agg["hit"].to_numpy(dtype=np.int64),
+                "n_orders": agg["one"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(above, batch_format="pandas")
+    )
+
+
+ORDERS_ABOVE_CUSTOMER_AVG_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+a AS (
+  SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS s, count(*)::BIGINT AS n
+  FROM o GROUP BY o_custkey
+)
+SELECT o.o_custkey,
+       CAST(sum(CASE WHEN o.cents * a.n > a.s THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above,
+       a.n AS n_orders
+FROM o JOIN a USING (o_custkey) GROUP BY o.o_custkey, a.n
+"""
