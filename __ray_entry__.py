@@ -1203,6 +1203,12 @@ def _q_doc_bigram_commonality(sf_dir: str):
     return doc_bigram_commonality(sf_dir)
 
 
+def _q_doc_repetition(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import doc_repetition
+
+    return doc_repetition(sf_dir)
+
+
 def _q_events_gapfill(sf_dir: str):
     from ner_funtool_ray.pipelines.relational import events_gapfill
 
@@ -1395,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_triangle_counts": _q_entity_triangle_counts,
         "user_funnel_counts": _q_user_funnel_counts,
         "doc_bigram_commonality": _q_doc_bigram_commonality,
+        "doc_repetition": _q_doc_repetition,
         "events_gapfill": _q_events_gapfill,
         "orders_above_customer_avg": _q_orders_above_customer_avg,
         "customers_retained": _q_customers_retained,
@@ -1473,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_triangle_counts": _graph.make_triangles_sql(_TRIPLES_SQL),
         "user_funnel_counts": _rel.USER_FUNNEL_COUNTS_SQL,
         "doc_bigram_commonality": _ana.DOC_BIGRAM_COMMONALITY_SQL,
+        "doc_repetition": _ana.DOC_REPETITION_SQL,
         "events_gapfill": _rel.EVENTS_GAPFILL_SQL,
         "orders_above_customer_avg": _rel.ORDERS_ABOVE_CUSTOMER_AVG_SQL,
         "customers_retained": _set.CUSTOMERS_RETAINED_SQL,

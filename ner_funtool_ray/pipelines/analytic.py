@@ -1430,6 +1430,56 @@ FROM supplier JOIN nation ON n_nationkey = s_nationkey
 """
 
 
+def _doc_bigram_tf(batch: pa.Table) -> pd.DataFrame:
+    """Per-doc adjacent-token bigram term frequencies for one batch
+    (polars shift-join; Counter fallback parity-tested).  Docs never span
+    batches, so adjacency is batch-local."""
+    try:
+        import polars as pl
+    except ImportError:
+        pl = None
+
+    if pl is not None:
+        t = (
+            pl.DataFrame(
+                {
+                    "doc_id": pl.from_arrow(
+                        batch["doc_id"].combine_chunks().cast(pa.int64())
+                    ),
+                    "tok": pl.from_arrow(
+                        batch["text"].combine_chunks()
+                    ).str.extract_all(r"\w+"),
+                }
+            )
+            .explode("tok")
+            .with_columns(
+                nxt=pl.col("tok").shift(-1),
+                nxt_doc=pl.col("doc_id").shift(-1),
+            )
+            .filter(
+                (pl.col("doc_id") == pl.col("nxt_doc"))
+                & pl.col("tok").is_not_null()
+                & pl.col("nxt").is_not_null()
+            )
+            .with_columns(bg=pl.col("tok") + " " + pl.col("nxt"))
+        )
+        tf = t.group_by(["doc_id", "bg"]).len().rename({"len": "tf"}).to_pandas()
+    else:
+        from collections import Counter
+
+        from ner_funtool_ray.functions.text import tokenize_words
+
+        rows = []
+        for d, txt in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = tokenize_words(txt or "")
+            cnt = Counter(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+            rows.extend((d, bg, n) for bg, n in cnt.items())
+        tf = pd.DataFrame(rows, columns=["doc_id", "bg", "tf"])
+    tf["tf"] = tf["tf"].astype(np.int64)
+    tf["doc_id"] = tf["doc_id"].astype(np.int64)
+    return tf
+
+
 def doc_bigram_commonality(
     sf_dir: str, min_count: int = 30, n_buckets: int = 32
 ) -> "ray.data.Dataset":
@@ -1451,64 +1501,12 @@ def doc_bigram_commonality(
     counts ride the same shuffle as the data."""
     import zlib
 
-    try:
-        import polars as pl
-    except ImportError:
-        pl = None
-
     ds = read_parquet_auto(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
-    def bigram_tf(batch: pa.Table) -> pd.DataFrame:
-        if pl is not None:
-            t = (
-                pl.DataFrame(
-                    {
-                        "doc_id": pl.from_arrow(
-                            batch["doc_id"].combine_chunks().cast(pa.int64())
-                        ),
-                        "tok": pl.from_arrow(
-                            batch["text"].combine_chunks()
-                        ).str.extract_all(r"\w+"),
-                    }
-                )
-                .explode("tok")
-                .with_columns(
-                    nxt=pl.col("tok").shift(-1),
-                    nxt_doc=pl.col("doc_id").shift(-1),
-                )
-                .filter(
-                    (pl.col("doc_id") == pl.col("nxt_doc"))
-                    & pl.col("tok").is_not_null()
-                    & pl.col("nxt").is_not_null()
-                )
-                .with_columns(bg=pl.col("tok") + " " + pl.col("nxt"))
-            )
-            tf = (
-                t.group_by(["doc_id", "bg"]).len().rename({"len": "tf"}).to_pandas()
-            )
-        else:
-            from collections import Counter
-
-            from ner_funtool_ray.functions.text import tokenize_words
-
-            rows = []
-            for d, txt in zip(
-                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-            ):
-                toks = tokenize_words(txt or "")
-                cnt = Counter(
-                    f"{a} {b}" for a, b in zip(toks, toks[1:])
-                )
-                rows.extend((d, bg, n) for bg, n in cnt.items())
-            tf = pd.DataFrame(rows, columns=["doc_id", "bg", "tf"])
-        tf["tf"] = tf["tf"].astype(np.int64)
-        tf["doc_id"] = tf["doc_id"].astype(np.int64)
-        return tf
-
     def local(batch: pa.Table) -> pa.Table:
-        tf = bigram_tf(batch)
+        tf = _doc_bigram_tf(batch)
         tf["kind"] = np.int8(0)
         cbp = tf.groupby("bg", sort=False)["tf"].sum().reset_index(name="cb")
         cbp["doc_id"] = np.int64(0)
@@ -1571,4 +1569,56 @@ SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
        CAST(sum(c.cb) AS BIGINT) AS cb_sum
 FROM bg b JOIN cb c USING (bg)
 GROUP BY b.doc_id
+"""
+
+
+def doc_repetition(sf_dir: str) -> "ray.data.Dataset":
+    """Within-document repetition signal (the Gopher-style
+    duplicate-n-gram quality filter): per document, total adjacent-token
+    bigram occurrences, distinct bigrams, and the most-repeated bigram's
+    count.  1 - n_distinct/n_bigrams is the duplicate fraction; the
+    integer numerators are emitted so the twin is hash-exact and the
+    caller divides downstream.
+
+    Entirely batch-local — documents are rows, so this is a pure
+    ``map_batches`` with NO shuffle at any corpus size."""
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def local(batch: pa.Table) -> pa.Table:
+        tf = _doc_bigram_tf(batch)
+        agg = tf.groupby("doc_id", sort=False)["tf"].agg(
+            ["sum", "size", "max"]
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(agg.index.to_numpy(dtype=np.int64)),
+                "n_bigrams": pa.array(agg["sum"].to_numpy(dtype=np.int64)),
+                "n_distinct_bigrams": pa.array(
+                    agg["size"].to_numpy(dtype=np.int64)
+                ),
+                "max_bigram_tf": pa.array(agg["max"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return ds.map_batches(local, batch_format="pyarrow")
+
+
+DOC_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+') AS l FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1]))
+           AS bg
+  FROM toks WHERE len(l) >= 2
+),
+tf AS (SELECT doc_id, bg, count(*)::BIGINT AS tf FROM bg GROUP BY doc_id, bg)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       count(*)::BIGINT AS n_distinct_bigrams,
+       CAST(max(tf) AS BIGINT) AS max_bigram_tf
+FROM tf GROUP BY doc_id
 """
