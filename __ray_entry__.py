@@ -17,6 +17,7 @@ import ner_funtool_ray.pipelines.graph as _graph
 import ner_funtool_ray.pipelines.relational as _rel
 import ner_funtool_ray.pipelines.setops as _set
 import ner_funtool_ray.pipelines.stats as _sta
+import ner_funtool_ray.stages.editdist as _ed
 import ner_funtool_ray.stages.hll as _hll
 from ner_funtool_ray.config import ALIASES, GAZETTEER
 from ner_funtool_ray.corpus import CORPUS_FROM_DOCUMENTS_SQL
@@ -1239,6 +1240,12 @@ def _q_returned_orders_bloom(sf_dir: str):
     return returned_orders_bloom(sf_dir)
 
 
+def _q_dedup_editdistance(sf_dir: str):
+    from ner_funtool_ray.stages.editdist import dedup_editdistance
+
+    return dedup_editdistance(sf_dir)
+
+
 def _q_clue_submit(sf_dir: str):
     """CLUE submit writer with the in-query integrity self-check: offsets
     in the label JSON are verified against the source sentences (a bad
@@ -1339,6 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and brute-force cosine have direct twins, and connected
         # components are checked via recursive CTE.
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_editdistance": _q_dedup_editdistance,
         "dedup_simhash": _q_dedup_simhash,
         "neardup_embedding": _q_neardup_embedding,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1438,6 +1446,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_index_topk": _ANN_IVF_SQL,
         "dedup_simhash": _SIMHASH_CLUSTERS_SQL,
         "dedup_minhash_lsh": _MINHASH_CLUSTERS_SQL,
+        "dedup_editdistance": _ed.DEDUP_EDITDISTANCE_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
         "pricing_summary": _rel.PRICING_SUMMARY_SQL,
         "revenue_by_nation": _rel.REVENUE_BY_NATION_SQL,
