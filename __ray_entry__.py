@@ -17,6 +17,9 @@ import ner_funtool_ray.pipelines.graph as _graph
 import ner_funtool_ray.pipelines.relational as _rel
 import ner_funtool_ray.pipelines.setops as _set
 import ner_funtool_ray.pipelines.stats as _sta
+import ner_funtool_ray.pipelines.quality as _qual
+import ner_funtool_ray.pipelines.sequence as _seq
+import ner_funtool_ray.stages.countmin as _cm
 import ner_funtool_ray.stages.editdist as _ed
 import ner_funtool_ray.stages.hll as _hll
 from ner_funtool_ray.config import ALIASES, GAZETTEER
@@ -1240,6 +1243,30 @@ def _q_returned_orders_bloom(sf_dir: str):
     return returned_orders_bloom(sf_dir)
 
 
+def _q_events_user_countmin(sf_dir: str):
+    from ner_funtool_ray.stages.countmin import events_user_countmin
+
+    return events_user_countmin(sf_dir)
+
+
+def _q_event_transitions(sf_dir: str):
+    from ner_funtool_ray.pipelines.sequence import event_transitions
+
+    return event_transitions(sf_dir)
+
+
+def _q_fk_integrity_counts(sf_dir: str):
+    from ner_funtool_ray.pipelines.quality import fk_integrity_counts
+
+    return fk_integrity_counts(sf_dir)
+
+
+def _q_order_price_histogram(sf_dir: str):
+    from ner_funtool_ray.pipelines.stats import order_price_histogram
+
+    return order_price_histogram(sf_dir)
+
+
 def _q_dedup_editdistance(sf_dir: str):
     from ner_funtool_ray.stages.editdist import dedup_editdistance
 
@@ -1398,6 +1425,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_account_counts": _q_nation_account_counts,
         "supplier_balance_ranks": _q_supplier_balance_ranks,
         "events_user_hll": _q_events_user_hll,
+        "events_user_countmin": _q_events_user_countmin,
+        "event_transitions": _q_event_transitions,
+        "fk_integrity_counts": _q_fk_integrity_counts,
+        "order_price_histogram": _q_order_price_histogram,
         "qty_discount_stats": _q_qty_discount_stats,
         "nation_mode_priority": _q_nation_mode_priority,
         "user_value_moving_sum": _q_user_value_moving_sum,
@@ -1480,6 +1511,10 @@ def oracle_sql() -> dict[str, str]:
         "nation_account_counts": _ana.NATION_ACCOUNT_COUNTS_SQL,
         "supplier_balance_ranks": _ana.SUPPLIER_BALANCE_RANKS_SQL,
         "events_user_hll": _hll.EVENTS_USER_HLL_SQL,
+        "events_user_countmin": _cm.EVENTS_USER_COUNTMIN_SQL,
+        "event_transitions": _seq.EVENT_TRANSITIONS_SQL,
+        "fk_integrity_counts": _qual.FK_INTEGRITY_SQL,
+        "order_price_histogram": _sta.ORDER_PRICE_HISTOGRAM_SQL,
         "qty_discount_stats": _sta.QTY_DISCOUNT_STATS_SQL,
         "nation_mode_priority": _sta.NATION_MODE_PRIORITY_SQL,
         "user_value_moving_sum": _sta.USER_VALUE_MOVING_SUM_SQL,
