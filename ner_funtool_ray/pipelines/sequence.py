@@ -1,0 +1,88 @@
+"""Event-sequence mining over the events stream.
+
+First-class sequence operators the training-data/analytics engine needs
+beyond windows and funnels (``relational.py``): per-user ordered event
+chains, reduced to transition statistics.  The Ray shape for all of them
+is the one the funnel/session queries established: hash-bucket users
+(bounded group count — NEVER one Ray group per user), order inside the
+bucket with a vectorized sort, and shuffle only pre-aggregated partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ner_funtool_ray.sources.io import read_parquet_auto
+from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+
+def event_transitions(
+    sf_dir: str,
+    n_buckets: int = 32,
+    driver_cap: int | None = 200_000,
+) -> "ray.data.Dataset":
+    """First-order Markov transition counts between consecutive events of
+    the same user → ``(from_type, to_type, n)``.
+
+    Order within a user is ``(ts, event_id)`` — the repo's deterministic
+    tie-break for equal timestamps.  Each user bucket emits at most
+    ``|event types|²`` partial rows, so the final merge is tiny no matter
+    the stream size."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket",
+            pa.array((batch["user_id"].to_numpy() % n_buckets).astype(np.int64)),
+        )
+
+    def transitions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same_user = g["user_id"].to_numpy()[:-1] == g["user_id"].to_numpy()[1:]
+        et = g["event_type"].to_numpy()
+        pairs = pd.DataFrame(
+            {"from_type": et[:-1][same_user], "to_type": et[1:][same_user]}
+        )
+        out = (
+            pairs.groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(transitions, batch_format="pandas")
+    )
+    return bucketed_group_sum(
+        partials,
+        keys=["from_type", "to_type"],
+        sum_cols={"n": "n"},
+        count_col=None,
+        driver_cap=driver_cap,
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY from_type, to_type
+"""

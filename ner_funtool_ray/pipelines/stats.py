@@ -36,6 +36,7 @@ __all__ = [
     "nation_mode_priority",
     "user_value_moving_sum",
     "order_price_median_by_priority",
+    "order_price_histogram",
 ]
 
 
@@ -487,4 +488,51 @@ WITH u AS (
 )
 SELECT o_orderpriority, cents AS median_cents
 FROM ranked WHERE rn = (n + 1) // 2
+"""
+
+
+def order_price_histogram(
+    sf_dir: str,
+    bin_width: float = 25_000.0,
+    n_bins: int = 24,
+    driver_cap: int | None = 200_000,
+) -> "ray.data.Dataset":
+    """Equi-width histogram of order totals → ``(bin, n)``, zero-filled to
+    exactly ``n_bins`` rows (last bin absorbs overflow).  Per-batch
+    ``np.bincount`` partials mean the shuffle carries ≤ n_bins ints per
+    block regardless of table size.  Bin edges are computed with the SAME
+    IEEE-double division on both engines, so placement is bit-identical."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy()
+        bins = np.minimum(
+            np.floor(price / bin_width).astype(np.int64), n_bins - 1
+        )
+        counts = np.bincount(bins, minlength=n_bins)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(n_bins, dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    ds = read_parquet_auto(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    return bucketed_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["bin"],
+        sum_cols={"n": "n"},
+        count_col=None,
+        driver_cap=driver_cap,
+    )
+
+
+ORDER_PRICE_HISTOGRAM_SQL = """
+WITH binned AS (
+  SELECT least(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 23) AS bin
+  FROM orders
+)
+SELECT g.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM (SELECT unnest(range(24)) AS bin) g
+LEFT JOIN (SELECT bin, count(*) AS n FROM binned GROUP BY bin) c
+  ON g.bin = c.bin
 """
