@@ -17,6 +17,7 @@ import ner_funtool_ray.pipelines.graph as _graph
 import ner_funtool_ray.pipelines.relational as _rel
 import ner_funtool_ray.pipelines.setops as _set
 import ner_funtool_ray.pipelines.stats as _sta
+import ner_funtool_ray.pipelines.embedding as _emb
 import ner_funtool_ray.pipelines.quality as _qual
 import ner_funtool_ray.pipelines.sequence as _seq
 import ner_funtool_ray.stages.countmin as _cm
@@ -1243,6 +1244,36 @@ def _q_returned_orders_bloom(sf_dir: str):
     return returned_orders_bloom(sf_dir)
 
 
+def _q_entity_cooccurrence_lift(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_cooccurrence_lift
+
+    return entity_cooccurrence_lift(sf_dir)
+
+
+def _q_entity_two_hop_counts(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_two_hop_counts
+
+    return entity_two_hop_counts(sf_dir)
+
+
+def _q_label_centroids(sf_dir: str):
+    from ner_funtool_ray.pipelines.embedding import label_centroids
+
+    return label_centroids(sf_dir)
+
+
+def _q_kmeans_assign(sf_dir: str):
+    from ner_funtool_ray.pipelines.embedding import kmeans_assign
+
+    return kmeans_assign(sf_dir)
+
+
+def _q_user_last_event(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import user_last_event
+
+    return user_last_event(sf_dir)
+
+
 def _q_events_user_countmin(sf_dir: str):
     from ner_funtool_ray.stages.countmin import events_user_countmin
 
@@ -1436,6 +1467,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG graph analytics: fixed-point PageRank (unrolled-CTE twin),
         # sequential-pattern funnel, bigram-LM commonality scoring
         "entity_pagerank": _q_entity_pagerank,
+        "entity_cooccurrence_lift": _q_entity_cooccurrence_lift,
+        "entity_two_hop_counts": _q_entity_two_hop_counts,
+        "label_centroids": _q_label_centroids,
+        "kmeans_assign": _q_kmeans_assign,
+        "user_last_event": _q_user_last_event,
         "entity_bfs_depth": _q_entity_bfs_depth,
         "entity_triangle_counts": _q_entity_triangle_counts,
         "user_funnel_counts": _q_user_funnel_counts,
@@ -1520,6 +1556,11 @@ def oracle_sql() -> dict[str, str]:
         "user_value_moving_sum": _sta.USER_VALUE_MOVING_SUM_SQL,
         "order_price_median_by_priority": _sta.ORDER_PRICE_MEDIAN_SQL,
         "entity_pagerank": _graph.make_pagerank_sql(_TRIPLES_SQL),
+        "entity_cooccurrence_lift": _graph.make_lift_sql(_TRIPLES_SQL),
+        "entity_two_hop_counts": _graph.make_two_hop_sql(_TRIPLES_SQL),
+        "label_centroids": _emb.LABEL_CENTROIDS_SQL,
+        "kmeans_assign": _emb.KMEANS_ASSIGN_SQL,
+        "user_last_event": _rel.USER_LAST_EVENT_SQL,
         "entity_bfs_depth": _graph.make_bfs_sql(_TRIPLES_SQL),
         "entity_triangle_counts": _graph.make_triangles_sql(_TRIPLES_SQL),
         "user_funnel_counts": _rel.USER_FUNNEL_COUNTS_SQL,

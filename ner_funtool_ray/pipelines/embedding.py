@@ -1,0 +1,154 @@
+"""Embedding-column analytics: per-label centroids and a k-means
+assignment step.
+
+Float averages are NOT cross-engine reproducible (partial-aggregation
+trees sum in different orders), so both operators follow the repo-wide
+bit-exact-oracle rule by quantizing each component to integer fixed point
+FIRST — ``q = floor(x·2^20)`` computed with the identical IEEE-double
+expression on both engines — and doing ALL arithmetic in exact integers:
+centroids are (count, Σq) pairs, distances are integer squared-L2.  The
+consumer divides at the edge if it wants floats.
+
+Scale shape: per-batch partials bound every shuffle (centroid partials
+are ≤ labels × dim rows per block; assignments never shuffle at all —
+the k centroid vectors are ``ray.put`` once and each batch runs one
+integer matmul).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ner_funtool_ray.sources.io import read_parquet_auto
+from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+_FP = 1 << 20  # fixed-point scale; |x| < 1 keeps q within ±2^20
+_DIM = 64
+
+
+def _quantized(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(len(batch), -1)
+    return np.floor(mat * float(_FP)).astype(np.int64)
+
+
+def label_centroids(
+    sf_dir: str, driver_cap: int | None = 200_000
+) -> "ray.data.Dataset":
+    """Per-label centroid in exact integer form → ``(label, dim, n,
+    sum_fp)`` long format (dim is 1-based to match SQL list subscripts).
+    The centroid component is ``sum_fp / (n · 2^20)`` — left to the
+    consumer so the stored result stays integer-exact and mergeable."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantized(batch)
+        labels = batch["label"].to_numpy().astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        dim = np.arange(1, q.shape[1] + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, q.shape[1])),
+                "dim": pa.array(np.tile(dim, len(uniq))),
+                "n": pa.array(np.repeat(counts, q.shape[1])),
+                "sum_fp": pa.array(sums.ravel()),
+            }
+        )
+
+    return bucketed_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["label", "dim"],
+        sum_cols={"n": "n", "sum_fp": "sum_fp"},
+        count_col=None,
+        driver_cap=driver_cap,
+    )
+
+
+LABEL_CENTROIDS_SQL = f"""
+WITH q AS (
+  SELECT label, i.i AS dim,
+         CAST(floor(CAST(embedding[i.i] AS DOUBLE) * {float(_FP)}) AS BIGINT) AS qx
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+)
+SELECT CAST(label AS BIGINT) AS label, dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(qx) AS BIGINT) AS sum_fp
+FROM q GROUP BY label, dim
+"""
+
+
+def kmeans_assign(sf_dir: str, k: int = 8) -> "ray.data.Dataset":
+    """One k-means assignment step → ``(vec_id, centroid_id, dist2)``.
+
+    Centroid init is deterministic — the ``k`` lowest vec_ids (so the SQL
+    twin can name the same centroids).  Distances are integer squared-L2
+    over the fixed-point components; ties go to the lowest centroid id on
+    both engines (numpy argmin-first == SQL ``ORDER BY dist2, cid``).
+    The centroid block is ``ray.put`` once; assignment is embarrassingly
+    parallel — no shuffle at any scale."""
+    path = f"{sf_dir}/embeddings.parquet"
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    head = head.filter(pc.less(head["vec_id"], k)).sort_by("vec_id")
+    if head.num_rows != k:
+        raise ValueError(f"expected vec_ids 0..{k-1} for centroid init")
+    cent = _quantized(head)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        q = _quantized(batch)
+        d2 = (
+            (q * q).sum(axis=1, dtype=np.int64)[:, None]
+            - 2 * (q @ c.T)
+            + (c * c).sum(axis=1, dtype=np.int64)[None, :]
+        )
+        best = np.argmin(d2, axis=1)  # first min == lowest centroid id
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "centroid_id": pa.array(best.astype(np.int64)),
+                "dist2": pa.array(d2[np.arange(len(best)), best]),
+            }
+        )
+
+    ds = read_parquet_auto(path, columns=["vec_id", "embedding"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+KMEANS_ASSIGN_SQL = f"""
+WITH q AS (
+  SELECT vec_id, i.i AS dim,
+         CAST(floor(CAST(embedding[i.i] AS DOUBLE) * {float(_FP)}) AS BIGINT) AS qx
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+),
+c AS (SELECT vec_id AS cid, dim, qx AS qc FROM q WHERE vec_id < 8),
+d AS (
+  SELECT q.vec_id, c.cid,
+         CAST(sum((q.qx - c.qc) * (q.qx - c.qc)) AS BIGINT) AS dist2
+  FROM q JOIN c ON q.dim = c.dim
+  GROUP BY q.vec_id, c.cid
+),
+r AS (
+  SELECT vec_id, cid, dist2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+  FROM d
+)
+SELECT vec_id, cid AS centroid_id, dist2 FROM r WHERE rn = 1
+"""

@@ -490,3 +490,312 @@ FROM nodes n LEFT JOIN cnts c ON c.id = n.entity_id
 
 __all__ += ["entity_bfs_depth", "make_bfs_sql", "entity_triangle_counts",
             "make_triangles_sql"]
+
+
+def _cooc_driver_frame(sf_dir: str, driver_cap: int):
+    """Shared assembly for the sketch-sized-graph driver paths: the
+    aggregated triple table (gazetteer-bounded regardless of corpus
+    size), or None when it exceeds the cap and callers must take the
+    distributed plan."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir).materialize()
+    if triples.count() > driver_cap:
+        return triples, None
+    return triples, triples.to_pandas()
+
+
+def entity_cooccurrence_lift(
+    sf_dir: str, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Association strength of each co-occurrence edge: ``lift_ppm =
+    floor(w(a,b) · W · 1e6 / (m(a) · m(b)))`` where ``m`` is the entity's
+    total incident weight and ``W`` the graph's total edge weight — the
+    integer-exact stand-in for PMI (no transcendental log, so the DuckDB
+    twin is hash-exact via HUGEINT arithmetic; the driver path uses
+    arbitrary-precision Python ints for the same reason).
+
+    Driver path below the cap (the aggregated graph is sketch-sized, see
+    ``entity_pagerank``); above it, marginals ride a bounded-bucket group
+    sum and attach to edges through two bucketed joins — parity-tested."""
+    triples, df = _cooc_driver_frame(sf_dir, driver_cap)
+    if df is not None:
+        cooc = df[df["pred"] == "cooccurs_with"]
+        w = cooc["weight"].astype(object)  # Python ints: no int64 overflow
+        tw = int(cooc["weight"].sum())
+        marg: dict[str, int] = {}
+        for ent, ww in zip(
+            pd.concat([cooc["subj"], cooc["obj"]]),
+            pd.concat([cooc["weight"], cooc["weight"]]),
+        ):
+            marg[ent] = marg.get(ent, 0) + int(ww)
+        lift = [
+            (int(wi) * tw * 1_000_000) // (marg[a] * marg[b])
+            for a, b, wi in zip(cooc["subj"], cooc["obj"], w)
+        ]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array(cooc["subj"], type=pa.string()),
+                    "obj": pa.array(cooc["obj"], type=pa.string()),
+                    "weight": pa.array(
+                        cooc["weight"].to_numpy(np.int64), type=pa.int64()
+                    ),
+                    "lift_ppm": pa.array(
+                        np.fromiter(lift, dtype=np.int64, count=len(lift))
+                    ),
+                }
+            )
+        )
+
+    import pyarrow.compute as pc
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    cooc_ds = triples.map_batches(
+        lambda t: t.filter(pc.equal(t["pred"], "cooccurs_with")).select(
+            ["subj", "obj", "weight"]
+        ),
+        batch_format="pyarrow",
+    )
+    tw = int(cooc_ds.sum("weight"))
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity": pa.concat_arrays(
+                    [
+                        t["subj"].combine_chunks().cast(pa.string()),
+                        t["obj"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "w": pa.concat_arrays(
+                    [t["weight"].combine_chunks()] * 2
+                ).cast(pa.int64()),
+            }
+        )
+
+    marginals = bucketed_group_sum(
+        cooc_ds.map_batches(endpoints, batch_format="pyarrow"),
+        keys=["entity"],
+        sum_cols={"mw": "w"},
+        count_col=None,
+    )
+
+    n_buckets = 64
+
+    def _attach(side: str):
+        # edges meet the marginal of `side` in that entity's hash bucket
+        def tag_edges(t: pa.Table) -> pa.Table:
+            df_ = t.to_pandas()
+            df_["bucket"] = _bucket_str(df_[side], n_buckets)
+            df_["is_marg"] = np.int8(0)
+            return pa.Table.from_pandas(df_, preserve_index=False)
+
+        def tag_marg(t: pa.Table) -> pa.Table:
+            df_ = t.to_pandas()
+            df_["bucket"] = _bucket_str(df_["entity"], n_buckets)
+            df_["is_marg"] = np.int8(1)
+            return pa.Table.from_pandas(df_, preserve_index=False)
+
+        out_col = f"m_{side}"
+
+        def join(group: pd.DataFrame) -> pd.DataFrame:
+            m = group[group["is_marg"] == 1]
+            e = group[group["is_marg"] == 0].drop(
+                columns=["entity", "mw", "is_marg", "bucket"], errors="ignore"
+            )
+            if e.empty:
+                e[out_col] = pd.Series([], dtype="int64")
+                return e
+            lut = dict(zip(m["entity"], m["mw"]))
+            e = e.copy()
+            e[out_col] = e[side].map(lut).astype("int64")
+            return e
+
+        return tag_edges, tag_marg, join
+
+    edges = cooc_ds
+    for side in ("subj", "obj"):
+        tag_edges, tag_marg, join = _attach(side)
+        edges = (
+            edges.map_batches(tag_edges, batch_format="pyarrow")
+            .union(marginals.map_batches(tag_marg, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(join, batch_format="pandas")
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df_ = t.to_pandas()
+        lift = [
+            (int(w) * tw * 1_000_000) // (int(ma) * int(mb))
+            for w, ma, mb in zip(df_["weight"], df_["m_subj"], df_["m_obj"])
+        ]
+        return pa.table(
+            {
+                "subj": pa.array(df_["subj"], type=pa.string()),
+                "obj": pa.array(df_["obj"], type=pa.string()),
+                "weight": pa.array(df_["weight"].to_numpy(np.int64)),
+                "lift_ppm": pa.array(
+                    np.fromiter(lift, dtype=np.int64, count=len(lift))
+                ),
+            }
+        )
+
+    return edges.map_batches(finalize, batch_format="pyarrow")
+
+
+def make_lift_sql(triples_sql: str) -> str:
+    return f"""
+WITH t AS ({triples_sql}),
+cooc AS (SELECT subj, obj, weight FROM t WHERE pred = 'cooccurs_with'),
+tot AS (SELECT CAST(sum(weight) AS HUGEINT) AS tw FROM cooc),
+m AS (
+  SELECT entity, CAST(sum(w) AS HUGEINT) AS mw FROM (
+    SELECT subj AS entity, weight AS w FROM cooc
+    UNION ALL SELECT obj AS entity, weight AS w FROM cooc
+  ) GROUP BY entity
+)
+SELECT c.subj, c.obj, CAST(c.weight AS BIGINT) AS weight,
+       CAST((CAST(c.weight AS HUGEINT) * tot.tw * 1000000)
+            // (ma.mw * mb.mw) AS BIGINT) AS lift_ppm
+FROM cooc c
+CROSS JOIN tot
+JOIN m ma ON ma.entity = c.subj
+JOIN m mb ON mb.entity = c.obj
+"""
+
+
+def entity_two_hop_counts(
+    sf_dir: str, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Size of each entity's 2-hop neighborhood: distinct entities ``c ≠ a``
+    reachable by a path ``a–b–c`` over the undirected co-occurrence graph
+    (1-hop neighbors count when they close such a path), zero-filled over
+    all nodes.
+
+    Driver path: one boolean matmul on the sketch-sized aggregated graph.
+    Distributed path: middle-node bucket expansion → pair dedup → count,
+    all bounded-bucket shuffles — parity-tested against the matmul."""
+    triples, df = _cooc_driver_frame(sf_dir, driver_cap)
+    if df is not None:
+        cooc = df[df["pred"] == "cooccurs_with"]
+        nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
+        idx = {e: i for i, e in enumerate(nodes)}
+        n = len(nodes)
+        a = cooc["subj"].map(idx).to_numpy(dtype=np.int64)
+        b = cooc["obj"].map(idx).to_numpy(dtype=np.int64)
+        A = np.zeros((n, n), dtype=bool)
+        A[a, b] = True
+        A[b, a] = True
+        R = (A.astype(np.int32) @ A.astype(np.int32)) > 0
+        np.fill_diagonal(R, False)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "entity_id": pa.array(nodes, type=pa.string()),
+                    "two_hop": pa.array(R.sum(axis=1).astype(np.int64)),
+                }
+            )
+        )
+
+    import pyarrow.compute as pc
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    n_buckets = 64
+
+    def und_edges(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.equal(t["pred"], "cooccurs_with"))
+        df_ = tt.to_pandas()
+        out = pd.DataFrame(
+            {
+                "mid": np.concatenate([df_["obj"], df_["subj"]]),
+                "end": np.concatenate([df_["subj"], df_["obj"]]),
+            }
+        )
+        out["bucket"] = _bucket_str(out["mid"], n_buckets)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def expand_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in group.groupby("mid", sort=False):
+            ends = g["end"].unique()
+            i, j = np.meshgrid(
+                np.arange(len(ends)), np.arange(len(ends)), indexing="ij"
+            )
+            keep = i.ravel() != j.ravel()
+            outs.append(
+                pd.DataFrame(
+                    {"entity": ends[i.ravel()[keep]], "nbr": ends[j.ravel()[keep]]}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"entity": pd.Series([], dtype=object),
+                 "nbr": pd.Series([], dtype=object)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = (
+        triples.map_batches(und_edges, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(expand_pairs, batch_format="pandas")
+    )
+    distinct = bucketed_group_sum(pairs, keys=["entity", "nbr"], count_col="n")
+    counts = bucketed_group_sum(
+        distinct.drop_columns(["n"]), keys=["entity"], count_col="two_hop"
+    )
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.equal(t["pred"], "appears_in"))
+        df_ = pd.DataFrame({"entity": tt["subj"].to_pandas().unique()})
+        df_["two_hop"] = np.int64(0)
+        df_["is_node"] = np.int8(1)
+        df_["bucket"] = _bucket_str(df_["entity"], n_buckets)
+        return pa.Table.from_pandas(df_, preserve_index=False)
+
+    def tag_counts(t: pa.Table) -> pa.Table:
+        df_ = t.to_pandas()
+        df_["is_node"] = np.int8(0)
+        df_["bucket"] = _bucket_str(df_["entity"], n_buckets)
+        return pa.Table.from_pandas(df_, preserve_index=False)
+
+    def zero_fill(group: pd.DataFrame) -> pd.DataFrame:
+        nodes_ = group.loc[group["is_node"] == 1, ["entity"]].drop_duplicates()
+        cnts = group[group["is_node"] == 0]
+        lut = dict(zip(cnts["entity"], cnts["two_hop"]))
+        nodes_ = nodes_.copy()
+        nodes_["two_hop"] = (
+            nodes_["entity"].map(lut).fillna(0).astype("int64")
+        )
+        return nodes_.rename(columns={"entity": "entity_id"})
+
+    return (
+        triples.map_batches(node_rows, batch_format="pyarrow")
+        .union(counts.map_batches(tag_counts, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(zero_fill, batch_format="pandas")
+    )
+
+
+def make_two_hop_sql(triples_sql: str) -> str:
+    return f"""
+WITH t AS ({triples_sql}),
+cooc AS (SELECT subj, obj FROM t WHERE pred = 'cooccurs_with'),
+edges AS (SELECT subj AS src, obj AS dst FROM cooc
+          UNION ALL SELECT obj AS src, subj AS dst FROM cooc),
+nodes AS (SELECT DISTINCT subj AS entity_id FROM t WHERE pred = 'appears_in'),
+two AS (
+  SELECT e1.src AS a, count(DISTINCT e2.dst) AS c
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  WHERE e2.dst <> e1.src
+  GROUP BY e1.src
+)
+SELECT n.entity_id, CAST(COALESCE(two.c, 0) AS BIGINT) AS two_hop
+FROM nodes n LEFT JOIN two ON two.a = n.entity_id
+"""
+
+
+__all__ += ["entity_cooccurrence_lift", "make_lift_sql",
+            "entity_two_hop_counts", "make_two_hop_sql"]

@@ -1604,3 +1604,53 @@ SELECT o.o_custkey,
        a.n AS n_orders
 FROM o JOIN a USING (o_custkey) GROUP BY o.o_custkey, a.n
 """
+
+
+def user_last_event(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """Latest-record compaction (the CDC/upsert primitive): each user's
+    most recent event — order ``(ts, event_id)`` descending, the repo's
+    deterministic tie-break — keeping its type and value.  Per-batch
+    partial top-1 per user, then a bounded hash-bucket merge: the shuffle
+    carries one row per user per block, never the stream."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        return df.groupby("user_id", sort=False).head(1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = best(batch.to_pandas())
+        df["bucket"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = best(group.drop(columns=["bucket"]))
+        return out.rename(
+            columns={"event_type": "last_type", "value": "last_value"}
+        )[["user_id", "ts", "last_type", "last_value"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+USER_LAST_EVENT_SQL = """
+WITH r AS (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, ts, event_type AS last_type, value AS last_value
+FROM r WHERE rn = 1
+"""
