@@ -18,6 +18,7 @@ import ner_funtool_ray.pipelines.relational as _rel
 import ner_funtool_ray.pipelines.setops as _set
 import ner_funtool_ray.pipelines.stats as _sta
 import ner_funtool_ray.pipelines.embedding as _emb
+import ner_funtool_ray.pipelines.mining as _min
 import ner_funtool_ray.pipelines.quality as _qual
 import ner_funtool_ray.pipelines.sequence as _seq
 import ner_funtool_ray.stages.countmin as _cm
@@ -1244,6 +1245,30 @@ def _q_returned_orders_bloom(sf_dir: str):
     return returned_orders_bloom(sf_dir)
 
 
+def _q_basket_part_pairs(sf_dir: str):
+    from ner_funtool_ray.pipelines.mining import basket_part_pairs
+
+    return basket_part_pairs(sf_dir)
+
+
+def _q_cohort_retention(sf_dir: str):
+    from ner_funtool_ray.pipelines.mining import cohort_retention
+
+    return cohort_retention(sf_dir)
+
+
+def _q_running_revenue(sf_dir: str):
+    from ner_funtool_ray.pipelines.mining import running_revenue
+
+    return running_revenue(sf_dir)
+
+
+def _q_orders_pareto(sf_dir: str):
+    from ner_funtool_ray.pipelines.mining import orders_pareto
+
+    return orders_pareto(sf_dir)
+
+
 def _q_entity_cooccurrence_lift(sf_dir: str):
     from ner_funtool_ray.pipelines.graph import entity_cooccurrence_lift
 
@@ -1482,6 +1507,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_retained": _q_customers_retained,
         "customers_churned": _q_customers_churned,
         "returned_orders_bloom": _q_returned_orders_bloom,
+        # mining family: basket pairs, cohort retention, global scan, skyline
+        "basket_part_pairs": _q_basket_part_pairs,
+        "cohort_retention": _q_cohort_retention,
+        "running_revenue": _q_running_revenue,
+        "orders_pareto": _q_orders_pareto,
         # CLUE submit writer surface over the model path (rows-only)
         "ner_clue_submit": _q_clue_submit,
         # multimodal plumbing (binary payload columns synthesized
@@ -1571,6 +1601,10 @@ def oracle_sql() -> dict[str, str]:
         "customers_retained": _set.CUSTOMERS_RETAINED_SQL,
         "customers_churned": _set.CUSTOMERS_CHURNED_SQL,
         "returned_orders_bloom": _set.RETURNED_ORDERS_BLOOM_SQL,
+        "basket_part_pairs": _min.BASKET_PART_PAIRS_SQL,
+        "cohort_retention": _min.COHORT_RETENTION_SQL,
+        "running_revenue": _min.RUNNING_REVENUE_SQL,
+        "orders_pareto": _min.ORDERS_PARETO_SQL,
         "kg_linked_mentions": _LINKED_MENTIONS_SQL,
         "kg_triples_linked": _TRIPLES_LINKED_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,

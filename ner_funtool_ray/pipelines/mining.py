@@ -1,0 +1,418 @@
+"""Data-mining operators over the warehouse tables: market-basket pair
+mining, cohort retention, a GLOBAL cumulative sum (the distributed scan
+primitive), and a skyline (pareto-front) query.
+
+These fill the remaining "wide analytics" shapes the engine lacked:
+
+- ``basket_part_pairs`` — frequent co-purchased part pairs.  Baskets are
+  bounded (a TPC-H order holds ≤7 lines), so the per-order pair expansion
+  is a bounded k² blow-up done vectorized inside each orderkey bucket; the
+  pair counts ride a bounded-bucket group sum.  Nothing ever touches the
+  driver.
+- ``cohort_retention`` — the classic weekly cohort × week-offset
+  distinct-user retention matrix.  Users hash-bucket once; because each
+  user lives in exactly one bucket, per-bucket cell counts are disjoint
+  and summing them IS the exact distinct-user count (no count-distinct
+  shuffle).
+- ``running_revenue`` — cumulative revenue over the GLOBAL order of
+  ``(o_orderdate, o_orderkey)``.  Every other window in this repo is
+  per-user/per-customer (hash-partitionable); a global running sum needs
+  the distributed-scan shape instead: range-partition by day (bounds from
+  parquet row-group statistics — no data scan), local sorted cumsum per
+  partition, plus one tiny per-partition-totals exchange (≤ n_partitions
+  rows) whose exclusive prefix sums become each partition's offset.
+- ``orders_pareto`` — skyline over (price, date): orders no other order
+  dominates on both axes.  Local pareto per block, then pareto-of-union:
+  the front of a union is contained in the union of fronts, so survivors
+  shrink geometrically and the final merge sees a front-sized input.
+
+All money is integer cents (``_cents`` half-away-from-zero, matching
+DuckDB ``round``), all calendar math integer microseconds/days/weeks, so
+every DuckDB twin is hash-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ner_funtool_ray.pipelines.relational import _cents
+from ner_funtool_ray.sources.io import read_parquet_auto
+from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+_DAY_US = 86_400_000_000
+_WEEK_US = 7 * _DAY_US
+_I64_MAX = np.iinfo(np.int64).max
+
+
+def _ts_us(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+
+
+def _pairs_within_groups(
+    group_codes: np.ndarray, values: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """All strict pairs (a < b) within each run of equal ``group_codes``.
+    Requires rows sorted by (group, value) with (group, value) distinct.
+    Same factorized expansion as the KG triple assembly
+    (stages/materialize.py:_assemble_triples_local), extracted for reuse;
+    cost is Σk² over group sizes k — callers must bound k."""
+    starts, ks = np.unique(group_codes, return_index=True, return_counts=True)[1:]
+    k_per_el = np.repeat(ks, ks)
+    left = np.repeat(np.arange(len(group_codes), dtype=np.int64), k_per_el)
+    el_block_start = np.concatenate([[0], np.cumsum(k_per_el[:-1])]).astype(
+        np.int64
+    )
+    within = np.arange(len(left), dtype=np.int64) - np.repeat(
+        el_block_start, k_per_el
+    )
+    right = np.repeat(np.repeat(starts, ks), k_per_el) + within
+    mask = right > left  # value-sorted blocks ⇒ values[right] > values[left]
+    return values[left[mask]], values[right[mask]]
+
+
+def basket_part_pairs(
+    sf_dir: str,
+    min_support: int = 1,
+    n_buckets: int = 64,
+    max_sq_sum: int = 200_000_000,
+) -> "ray.data.Dataset":
+    """Part pairs co-purchased in the same order, with the number of
+    distinct orders containing both (support), kept at ``min_support``+.
+
+    Shape: per-batch distinct (order, part) slims the stream, orderkey
+    buckets co-locate each basket, the vectorized k² expansion runs per
+    bucket (guarded by ``max_sq_sum`` — baskets are ≤7 parts by
+    construction, so Σk² ≈ 50·orders/bucket), and pair counts merge in a
+    bounded-bucket group sum.  Support is exact because a basket emits
+    each pair at most once."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        df["bucket"] = (df["l_orderkey"].to_numpy() % n_buckets).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def expand(group: pd.DataFrame) -> pd.DataFrame:
+        df = group.drop(columns=["bucket"]).drop_duplicates()
+        df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        codes = df["l_orderkey"].to_numpy(dtype=np.int64)
+        ks = np.unique(codes, return_counts=True)[1]
+        sq = int((ks.astype(np.int64) ** 2).sum())
+        if sq > max_sq_sum:
+            raise ValueError(
+                f"basket expansion Σk²={sq} exceeds guard {max_sq_sum}; "
+                "re-bucket or cap basket size"
+            )
+        a, b = _pairs_within_groups(codes, df["l_partkey"].to_numpy(np.int64))
+        out = (
+            pd.DataFrame({"part_a": a, "part_b": b})
+            .groupby(["part_a", "part_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return out
+
+    counts = bucketed_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(expand, batch_format="pandas"),
+        keys=["part_a", "part_b"],
+        sum_cols={"n_orders": "n"},
+        count_col=None,
+    )
+    if min_support <= 1:
+        return counts
+    import pyarrow.compute as pc
+
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_orders"], min_support)),
+        batch_format="pyarrow",
+    )
+
+
+def make_basket_sql(min_support: int = 1) -> str:
+    return f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {min_support}
+"""
+
+
+BASKET_PART_PAIRS_SQL = make_basket_sql(1)
+
+
+def cohort_retention(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """Weekly cohort retention: users grouped by first-active week
+    (cohort), counted in every later week they were active, as
+    ``(cohort_week, week_offset, n_users)``.
+
+    Distinct-user counting without a distinct shuffle: (user, week) pairs
+    dedupe per batch, users hash-bucket, and each bucket's cell counts are
+    over disjoint user sets — their sum is the exact global count."""
+    ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        week = _ts_us(batch["ts"]) // _WEEK_US
+        df = pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(), "week": week}
+        ).drop_duplicates()
+        df["bucket"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def cells(group: pd.DataFrame) -> pd.DataFrame:
+        df = group.drop(columns=["bucket"]).drop_duplicates()
+        cohort = df.groupby("user_id", sort=False)["week"].transform("min")
+        out = pd.DataFrame(
+            {"cohort_week": cohort, "week_offset": df["week"] - cohort}
+        )
+        return (
+            out.groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    return bucketed_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cells, batch_format="pandas"),
+        keys=["cohort_week", "week_offset"],
+        sum_cols={"n_users": "n"},
+        count_col=None,
+    )
+
+
+COHORT_RETENTION_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events
+),
+c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(uw.week - c.cohort_week AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def _orderdate_day_bounds(path: str) -> tuple[int, int]:
+    """(min, max) o_orderdate as epoch days from parquet row-group
+    statistics — metadata only, no data scan.  Falls back to a pruned
+    single-column aggregate pass when stats are absent."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    idx = f.schema_arrow.get_field_index("o_orderdate")
+    lo, hi = None, None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            lo = None
+            break
+        mn = np.datetime64(st.min, "us").astype(np.int64)
+        mx = np.datetime64(st.max, "us").astype(np.int64)
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    if lo is not None:
+        return int(lo // _DAY_US), int(hi // _DAY_US)
+    ds = read_parquet_auto(path, columns=["o_orderdate"])
+    agg = ds.map_batches(
+        lambda t: pa.table({"d": pa.array(_ts_us(t["o_orderdate"]) // _DAY_US)}),
+        batch_format="pyarrow",
+    )
+    return int(agg.min("d")), int(agg.max("d"))
+
+
+def running_revenue(sf_dir: str, n_partitions: int = 32) -> "ray.data.Dataset":
+    """Global running revenue: for every order, the cumulative sum of
+    order-price cents over ALL orders at-or-before it in
+    ``(o_orderdate, o_orderkey)`` order — the distributed-scan primitive.
+
+    Plan: day-range partitions (bounds from parquet stats, zero scan) make
+    the partition id ORDER-CONSISTENT with the sort key, so the scan
+    decomposes into (a) per-partition totals — a ≤``n_partitions``-row
+    exchange whose exclusive prefix sums are the partition offsets — and
+    (b) one sorted local cumsum per partition plus its offset.  The only
+    driver-side data is the totals vector."""
+    path = f"{sf_dir}/orders.parquet"
+    lo_day, hi_day = _orderdate_day_bounds(path)
+    width = max(1, -(-(hi_day - lo_day + 1) // n_partitions))
+
+    ds = read_parquet_auto(
+        path, columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch["o_orderdate"])
+        return pa.table(
+            {
+                "part": pa.array((ts // _DAY_US - lo_day) // width),
+                "ts_us": pa.array(ts),
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    totals = (
+        bucketed_group_sum(
+            keyed_ds.map_batches(
+                lambda t: t.select(["part", "cents"]), batch_format="pyarrow"
+            ),
+            keys=["part"],
+            sum_cols={"s": "cents"},
+            count_col=None,
+            n_buckets=8,
+        )
+        .to_pandas()  # ≤ n_partitions rows — the scan's tiny reduce
+        .sort_values("part")
+    )
+    offs = dict(
+        zip(
+            totals["part"].to_numpy(),
+            np.concatenate([[0], np.cumsum(totals["s"].to_numpy())[:-1]]),
+        )
+    )
+
+    def local_scan(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts_us", "o_orderkey"], kind="mergesort")
+        run = np.cumsum(g["cents"].to_numpy(dtype=np.int64)) + int(
+            offs[int(g["part"].iloc[0])]
+        )
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"].to_numpy(), "running_cents": run}
+        )
+
+    return keyed_ds.groupby("part").map_groups(local_scan, batch_format="pandas")
+
+
+RUNNING_REVENUE_SQL = """
+SELECT o_orderkey,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING)::BIGINT AS running_cents
+FROM orders
+"""
+
+
+def _skyline_mask(price: np.ndarray, day: np.ndarray) -> np.ndarray:
+    """True for non-dominated points: no other point has price ≤ AND day ≤
+    with one strict.  Vectorized: price-sort, then a point is dominated iff
+    some strictly-cheaper point has day ≤ its own (prefix min over earlier
+    price groups) or a same-price point has day strictly less (group's
+    first day)."""
+    order = np.lexsort((day, price))
+    p, d = price[order], day[order]
+    new_group = np.concatenate([[True], p[1:] != p[:-1]])
+    group_id = np.cumsum(new_group) - 1
+    group_first_d = d[new_group]  # min day within group (day-sorted)
+    cummin = np.minimum.accumulate(group_first_d)
+    prev_min = np.concatenate([[_I64_MAX], cummin[:-1]])[group_id]
+    dominated = (prev_min <= d) | (group_first_d[group_id] < d)
+    mask = np.zeros(len(price), dtype=bool)
+    mask[order[~dominated]] = True
+    return mask
+
+
+def orders_pareto(
+    sf_dir: str, driver_cap: int = 5_000_000, max_rounds: int = 3
+) -> "ray.data.Dataset":
+    """Skyline of orders on (price cents ↓, order day ↓): every order no
+    other order beats on both axes — ``(o_orderkey, price_c, day)``.
+
+    Local pareto per block (each block's front, typically O(log block)),
+    then pareto-of-union: the global front is a subset of the union of
+    local fronts, so survivors shrink geometrically; extra local rounds
+    run only if the union still exceeds ``driver_cap``, and the final
+    front-sized merge is one driver pass."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def local(batch: pa.Table) -> pa.Table:
+        price = _cents(batch["o_totalprice"]).to_numpy()
+        day = _ts_us(batch["o_orderdate"]) // _DAY_US
+        m = _skyline_mask(price, day)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    batch["o_orderkey"].to_numpy()[m].astype(np.int64)
+                ),
+                "price_c": pa.array(price[m]),
+                "day": pa.array(day[m]),
+            }
+        )
+
+    surv = ds.map_batches(local, batch_format="pyarrow").materialize()
+    rounds = 0
+    while surv.count() > driver_cap:
+        if rounds >= max_rounds:
+            raise ValueError(
+                f"pareto front still > {driver_cap} after {max_rounds} "
+                "local rounds — raise driver_cap"
+            )
+        surv = (
+            surv.repartition(max(1, surv.num_blocks() // 8))
+            .map_batches(local_merge, batch_format="pyarrow")
+            .materialize()
+        )
+        rounds += 1
+    df = surv.to_pandas()
+    m = _skyline_mask(
+        df["price_c"].to_numpy(np.int64), df["day"].to_numpy(np.int64)
+    )
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df[m].reset_index(drop=True), preserve_index=False)
+    )
+
+
+def local_merge(batch: pa.Table) -> pa.Table:
+    m = _skyline_mask(
+        batch["price_c"].to_numpy().astype(np.int64),
+        batch["day"].to_numpy().astype(np.int64),
+    )
+    return batch.filter(pa.array(m))
+
+
+ORDERS_PARETO_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         epoch_us(o_orderdate) // {_DAY_US} AS day
+  FROM orders
+)
+SELECT a.o_orderkey, a.price_c, CAST(a.day AS BIGINT) AS day
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.price_c <= a.price_c AND b.day <= a.day
+    AND (b.price_c < a.price_c OR b.day < a.day)
+)
+"""
+
+
+__all__ = [
+    "basket_part_pairs",
+    "make_basket_sql",
+    "BASKET_PART_PAIRS_SQL",
+    "cohort_retention",
+    "COHORT_RETENTION_SQL",
+    "running_revenue",
+    "RUNNING_REVENUE_SQL",
+    "orders_pareto",
+    "ORDERS_PARETO_SQL",
+]
