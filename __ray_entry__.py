@@ -19,6 +19,7 @@ import ner_funtool_ray.pipelines.setops as _set
 import ner_funtool_ray.pipelines.stats as _sta
 import ner_funtool_ray.pipelines.embedding as _emb
 import ner_funtool_ray.pipelines.mining as _min
+import ner_funtool_ray.stages.textindex as _ti
 import ner_funtool_ray.pipelines.quality as _qual
 import ner_funtool_ray.pipelines.sequence as _seq
 import ner_funtool_ray.stages.countmin as _cm
@@ -919,6 +920,23 @@ def _q_ann_ivf_index_topk(sf_dir: str):
     return query_ivf_index(idx, query, k=10, n_centroids=16, n_probe=4)
 
 
+_TEXT_SEARCH_TERMS = ["query", "window", "scan"]
+
+
+def _q_text_index_search(sf_dir: str):
+    """Keyword search over the sharded inverted index: build the
+    ``shard=<s>`` posting directories under a fresh temp dir (no-shuffle
+    build — docs never span batches), then answer a 3-term AND query
+    reading only those terms' shards."""
+    import tempfile
+
+    from ner_funtool_ray.stages.textindex import build_text_index, query_text_index
+
+    out = tempfile.mkdtemp(prefix="text_index_")
+    idx = build_text_index(sf_dir, out)
+    return query_text_index(idx, _TEXT_SEARCH_TERMS, mode="and")
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     from ner_funtool_ray.pipelines.textops import winnow_fingerprints
 
@@ -1437,6 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_multiquery_topk": _q_ann_multiquery,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_index_topk": _q_ann_ivf_index_topk,
+        "text_index_search": _q_text_index_search,
         "winnow_fingerprints": _q_winnow_fingerprints,
         # relational operator coverage (groupby / broadcast join / top-k /
         # tumbling window) — oracle-checked.
@@ -1601,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_retained": _set.CUSTOMERS_RETAINED_SQL,
         "customers_churned": _set.CUSTOMERS_CHURNED_SQL,
         "returned_orders_bloom": _set.RETURNED_ORDERS_BLOOM_SQL,
+        "text_index_search": _ti.make_text_search_sql(_TEXT_SEARCH_TERMS, "and"),
         "basket_part_pairs": _min.BASKET_PART_PAIRS_SQL,
         "cohort_retention": _min.COHORT_RETENTION_SQL,
         "running_revenue": _min.RUNNING_REVENUE_SQL,

@@ -55,6 +55,14 @@ def test_skyline_mask_matches_bruteforce():
         assert got[i] == (not dominated), i
 
 
+def test_basket_distributed_matches_driver(ray_session):
+    from ner_funtool_ray.pipelines.mining import basket_part_pairs
+
+    fast = _norm(basket_part_pairs(SF_DIR))
+    dist = _norm(basket_part_pairs(SF_DIR, driver_cap=None))
+    pd.testing.assert_frame_equal(fast, dist)
+
+
 def test_basket_min_support_filters(ray_session):
     from ner_funtool_ray.pipelines.mining import basket_part_pairs
 
