@@ -20,6 +20,7 @@ import ner_funtool_ray.pipelines.stats as _sta
 import ner_funtool_ray.pipelines.embedding as _emb
 import ner_funtool_ray.pipelines.mining as _min
 import ner_funtool_ray.stages.textindex as _ti
+import ner_funtool_ray.stages.sentdedup as _sd
 import ner_funtool_ray.pipelines.quality as _qual
 import ner_funtool_ray.pipelines.sequence as _seq
 import ner_funtool_ray.stages.countmin as _cm
@@ -1287,6 +1288,24 @@ def _q_orders_pareto(sf_dir: str):
     return orders_pareto(sf_dir)
 
 
+def _q_daily_active_users(sf_dir: str):
+    from ner_funtool_ray.pipelines.mining import daily_active_users
+
+    return daily_active_users(sf_dir)
+
+
+def _q_dedup_sentences(sf_dir: str):
+    from ner_funtool_ray.stages.sentdedup import dedup_sentences
+
+    return dedup_sentences(sf_dir)
+
+
+def _q_doc_dup_ngram_coverage(sf_dir: str):
+    from ner_funtool_ray.stages.sentdedup import doc_dup_ngram_coverage
+
+    return doc_dup_ngram_coverage(sf_dir)
+
+
 def _q_entity_cooccurrence_lift(sf_dir: str):
     from ner_funtool_ray.pipelines.graph import entity_cooccurrence_lift
 
@@ -1531,6 +1550,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "running_revenue": _q_running_revenue,
         "orders_pareto": _q_orders_pareto,
+        "daily_active_users": _q_daily_active_users,
+        "dedup_sentences": _q_dedup_sentences,
+        "doc_dup_ngram_coverage": _q_doc_dup_ngram_coverage,
         # CLUE submit writer surface over the model path (rows-only)
         "ner_clue_submit": _q_clue_submit,
         # multimodal plumbing (binary payload columns synthesized
@@ -1625,6 +1647,9 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _min.COHORT_RETENTION_SQL,
         "running_revenue": _min.RUNNING_REVENUE_SQL,
         "orders_pareto": _min.ORDERS_PARETO_SQL,
+        "daily_active_users": _min.DAILY_ACTIVE_USERS_SQL,
+        "dedup_sentences": _sd.DEDUP_SENTENCES_SQL,
+        "doc_dup_ngram_coverage": _sd.DOC_DUP_NGRAM_SQL,
         "kg_linked_mentions": _LINKED_MENTIONS_SQL,
         "kg_triples_linked": _TRIPLES_LINKED_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,

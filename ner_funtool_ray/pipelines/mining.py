@@ -337,6 +337,82 @@ FROM orders
 """
 
 
+def daily_active_users(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """Daily activity roll-up — ``(day, active_users, new_users,
+    cum_users)``: distinct users active each day, users whose FIRST
+    activity is that day, and the cumulative unique-user count (a
+    count-distinct-over-window without any distinct shuffle).
+
+    Users hash-bucket once; per-bucket user sets are disjoint, so both
+    the active-per-day and first-day cell counts sum exactly.  The final
+    cumulative pass runs on the driver because the day axis is
+    calendar-bounded (≤ tens of thousands of rows at decades of data) —
+    by construction, not a size guess."""
+    ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "d": _ts_us(batch["ts"]) // _DAY_US,
+            }
+        ).drop_duplicates()
+        df["bucket"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def day_cells(group: pd.DataFrame) -> pd.DataFrame:
+        ud = group.drop(columns=["bucket"]).drop_duplicates()
+        act = (
+            ud.groupby("d", sort=False)
+            .size()
+            .rename_axis("day")
+            .reset_index(name="active")
+        )
+        first = ud.groupby("user_id", sort=False)["d"].min()
+        new = (
+            first.value_counts().rename_axis("day").reset_index(name="new")
+        )
+        return act.merge(new, on="day", how="left").fillna({"new": 0})
+
+    days = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(day_cells, batch_format="pandas")
+        .to_pandas()  # calendar-sized by construction
+        .groupby("day", sort=True)[["active", "new"]]
+        .sum()
+        .reset_index()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(days["day"].to_numpy(np.int64)),
+                "active_users": pa.array(days["active"].to_numpy(np.int64)),
+                "new_users": pa.array(days["new"].to_numpy(np.int64)),
+                "cum_users": pa.array(
+                    np.cumsum(days["new"].to_numpy(np.int64))
+                ),
+            }
+        )
+    )
+
+
+DAILY_ACTIVE_USERS_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS d FROM events
+),
+f AS (SELECT user_id, min(d) AS fd FROM ud GROUP BY user_id),
+act AS (SELECT d, count(*) AS active_users FROM ud GROUP BY d),
+n AS (SELECT fd AS d, count(*) AS new_users FROM f GROUP BY fd)
+SELECT CAST(act.d AS BIGINT) AS day,
+       CAST(active_users AS BIGINT) AS active_users,
+       CAST(COALESCE(new_users, 0) AS BIGINT) AS new_users,
+       SUM(COALESCE(new_users, 0)) OVER (
+         ORDER BY act.d ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+FROM act LEFT JOIN n ON n.d = act.d
+"""
+
+
 def _skyline_mask(price: np.ndarray, day: np.ndarray) -> np.ndarray:
     """True for non-dominated points: no other point has price ≤ AND day ≤
     with one strict.  Vectorized: price-sort, then a point is dominated iff
@@ -442,6 +518,8 @@ __all__ = [
     "COHORT_RETENTION_SQL",
     "running_revenue",
     "RUNNING_REVENUE_SQL",
+    "daily_active_users",
+    "DAILY_ACTIVE_USERS_SQL",
     "orders_pareto",
     "ORDERS_PARETO_SQL",
 ]
