@@ -21,6 +21,7 @@ import ner_funtool_ray.pipelines.embedding as _emb
 import ner_funtool_ray.pipelines.mining as _min
 import ner_funtool_ray.stages.textindex as _ti
 import ner_funtool_ray.stages.sentdedup as _sd
+import ner_funtool_ray.pipelines.distribution as _dist
 import ner_funtool_ray.pipelines.quality as _qual
 import ner_funtool_ray.pipelines.sequence as _seq
 import ner_funtool_ray.stages.countmin as _cm
@@ -1318,6 +1319,30 @@ def _q_entity_two_hop_counts(sf_dir: str):
     return entity_two_hop_counts(sf_dir)
 
 
+def _q_entity_degree_histogram(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_degree_histogram
+
+    return entity_degree_histogram(sf_dir)
+
+
+def _q_customer_order_histogram(sf_dir: str):
+    from ner_funtool_ray.pipelines.distribution import customer_order_histogram
+
+    return customer_order_histogram(sf_dir)
+
+
+def _q_important_parts(sf_dir: str):
+    from ner_funtool_ray.pipelines.distribution import important_parts
+
+    return important_parts(sf_dir)
+
+
+def _q_event_anomaly_cells(sf_dir: str):
+    from ner_funtool_ray.pipelines.distribution import event_anomaly_cells
+
+    return event_anomaly_cells(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     from ner_funtool_ray.pipelines.embedding import label_centroids
 
@@ -1532,6 +1557,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_pagerank": _q_entity_pagerank,
         "entity_cooccurrence_lift": _q_entity_cooccurrence_lift,
         "entity_two_hop_counts": _q_entity_two_hop_counts,
+        "entity_degree_histogram": _q_entity_degree_histogram,
+        "customer_order_histogram": _q_customer_order_histogram,
+        "important_parts": _q_important_parts,
+        "event_anomaly_cells": _q_event_anomaly_cells,
         "label_centroids": _q_label_centroids,
         "kmeans_assign": _q_kmeans_assign,
         "user_last_event": _q_user_last_event,
@@ -1629,6 +1658,12 @@ def oracle_sql() -> dict[str, str]:
         "entity_pagerank": _graph.make_pagerank_sql(_TRIPLES_SQL),
         "entity_cooccurrence_lift": _graph.make_lift_sql(_TRIPLES_SQL),
         "entity_two_hop_counts": _graph.make_two_hop_sql(_TRIPLES_SQL),
+        "entity_degree_histogram": _graph.make_degree_histogram_sql(
+            _TRIPLES_SQL
+        ),
+        "customer_order_histogram": _dist.CUSTOMER_ORDER_HISTOGRAM_SQL,
+        "important_parts": _dist.IMPORTANT_PARTS_SQL,
+        "event_anomaly_cells": _dist.EVENT_ANOMALY_CELLS_SQL,
         "label_centroids": _emb.LABEL_CENTROIDS_SQL,
         "kmeans_assign": _emb.KMEANS_ASSIGN_SQL,
         "user_last_event": _rel.USER_LAST_EVENT_SQL,

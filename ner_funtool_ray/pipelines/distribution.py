@@ -1,0 +1,302 @@
+"""Distribution-shaped analytics: count-of-counts histograms, share-of-
+total filters against a global scalar, and exact integer anomaly flags.
+
+Three shapes the warehouse family didn't cover yet:
+
+- ``customer_order_histogram`` — TPC-H Q13: a two-level aggregate where
+  the OUTPUT of one grouped count becomes the KEY of the next (the
+  "custdist" distribution), including the zero bin that only a LEFT
+  join would surface.
+- ``important_parts`` — TPC-H Q11 shape: keep groups whose share of a
+  GLOBAL total exceeds a threshold.  The global scalar broadcasts (one
+  int), and the comparison cross-multiplies so both engines stay in
+  exact integer arithmetic end to end.
+- ``event_anomaly_cells`` — per-group z-score outlier flagging done
+  entirely in integers: ``c > mean + 2·std`` over a group's cells is
+  algebraically ``(c·n − S) > 0  AND  (c·n − S)² > 4·(n·S2 − S²)``
+  with ``n, S, S2`` the count / sum / sum-of-squares — no sqrt, no
+  float, so the DuckDB twin (HUGEINT) is hash-exact.
+
+All heavy passes are per-batch partial aggregates followed by one
+bounded exchange; every "second level" operates on data whose size is
+bounded by a DOMAIN (distinct order-counts per customer, part catalog,
+event-type × calendar-day cells), not by the corpus — the same
+by-construction argument `daily_active_users` documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ner_funtool_ray.pipelines.mining import _ts_us
+from ner_funtool_ray.pipelines.relational import _cents
+from ner_funtool_ray.sources.io import parquet_num_rows, read_parquet_auto
+from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+_DAY_US = 86_400_000_000
+
+
+def customer_order_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q13 count-of-counts → ``(c_count, custdist)``: how many
+    customers placed exactly ``c_count`` orders, INCLUDING the zero bin.
+
+    Plan: per-batch partial counts per ``o_custkey`` → one int-key
+    bucketed exchange → exact per-customer counts; the histogram over
+    those counts has a domain bounded by the max orders-per-customer
+    (tens), so per-batch histogram partials merge on the driver.  The
+    zero bin never touches the customer TABLE's rows — its size is
+    ``|customer| − |customers with ≥1 order|`` with ``|customer|`` read
+    from parquet metadata (customers are unique by key).  A zero bin of
+    size 0 is omitted (mirrored in the SQL twin's WHERE)."""
+    orders = read_parquet_auto(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    per_cust = bucketed_group_sum(orders, keys=["o_custkey"], count_col="c_count")
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        vc = (
+            pd.Series(batch["c_count"].to_numpy())
+            .value_counts()
+            .rename_axis("c_count")
+            .reset_index(name="custdist")
+        )
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()  # domain-bounded: distinct c_count values per block
+        .groupby("c_count", sort=True)["custdist"]
+        .sum()
+        .reset_index()
+    )
+    n_customers = parquet_num_rows(f"{sf_dir}/customer.parquet")
+    zero = n_customers - int(hist["custdist"].sum())
+    if zero > 0:
+        hist = pd.concat(
+            [pd.DataFrame({"c_count": [0], "custdist": [zero]}), hist],
+            ignore_index=True,
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "c_count": pa.array(hist["c_count"].to_numpy(np.int64)),
+                "custdist": pa.array(hist["custdist"].to_numpy(np.int64)),
+            }
+        )
+    )
+
+
+CUSTOMER_ORDER_HISTOGRAM_SQL = """
+WITH o AS (SELECT o_custkey, count(*) AS c_count FROM orders GROUP BY o_custkey),
+h AS (SELECT c_count, count(*) AS custdist FROM o GROUP BY c_count),
+z AS (
+  SELECT 0 AS c_count,
+         (SELECT count(*) FROM customer) - (SELECT sum(custdist) FROM h)
+           AS custdist
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(custdist AS BIGINT) AS custdist FROM h
+UNION ALL
+SELECT CAST(c_count AS BIGINT), CAST(custdist AS BIGINT)
+FROM z WHERE custdist > 0
+"""
+
+
+def important_parts(
+    sf_dir: str, boost_num: int = 5, boost_den: int = 4
+) -> "ray.data.Dataset":
+    """TPC-H Q11 shape → ``(l_partkey, part_cents, share_ppm)``: parts
+    whose revenue share exceeds ``boost_num/boost_den`` (default 1.25×)
+    of the AVERAGE per-part share — relative to the catalog, so the
+    filter stays meaningful at every scale (an absolute share threshold
+    goes vacuous as the part catalog grows: measured 0 rows at sf0.01
+    with a fixed 1/1000 cut).
+
+    One partial-then-bucketed exchange builds exact per-part cents (the
+    result is part-CATALOG-sized, so materializing it is bounded by the
+    catalog, not the corpus); the global total and part count are one
+    aggregate over that materialized table, broadcast as two ints.  The
+    share test ``part·P·den > tot·num`` is applied as
+    ``part ≥ tot·num // (P·den) + 1`` (integer-equivalent: for integer a,
+    a·q > r  ⇔  a ≥ floor(r/q)+1) so the per-batch filter stays in int64
+    while DuckDB cross-multiplies in HUGEINT."""
+    li = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "cents": _cents(batch["l_extendedprice"]),
+            }
+        )
+
+    per_part = bucketed_group_sum(
+        li.map_batches(to_cents, batch_format="pyarrow"),
+        keys=["l_partkey"],
+        sum_cols={"part_cents": "cents"},
+        count_col=None,
+    ).materialize()
+    tot = int(per_part.sum("part_cents"))
+    n_parts = per_part.count()
+    thresh = (tot * boost_num) // (n_parts * boost_den) + 1
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "l_partkey": pa.array([], type=pa.int64()),
+                    "part_cents": pa.array([], type=pa.int64()),
+                    "share_ppm": pa.array([], type=pa.int64()),
+                }
+            )
+        pc_ = batch["part_cents"].to_numpy()
+        mask = pc_ >= thresh
+        cents = pc_[mask]
+        share = [
+            (int(c) * 1_000_000) // tot for c in cents
+        ]  # python ints: no overflow at any scale
+        return pa.table(
+            {
+                "l_partkey": pa.array(
+                    batch["l_partkey"].to_numpy()[mask].astype(np.int64)
+                ),
+                "part_cents": pa.array(cents.astype(np.int64)),
+                "share_ppm": pa.array(np.fromiter(share, dtype=np.int64)),
+            }
+        )
+
+    return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+IMPORTANT_PARTS_SQL = """
+WITH p AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS part_cents
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT CAST(sum(part_cents) AS HUGEINT) AS tot,
+             CAST(count(*) AS HUGEINT) AS np FROM p)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(part_cents AS BIGINT) AS part_cents,
+       CAST(CAST(part_cents AS HUGEINT) * 1000000 // tot AS BIGINT)
+         AS share_ppm
+FROM p, t
+WHERE CAST(part_cents AS HUGEINT) * np * 4 > tot * 5
+"""
+
+
+def event_anomaly_cells(sf_dir: str) -> "ray.data.Dataset":
+    """Per-type daily-count outliers → ``(event_type, day, cnt)``: cells
+    whose count exceeds that event type's mean + 2·std over its active
+    days — flagged with EXACT integer algebra (see module docstring), so
+    the SQL twin matches bit for bit.
+
+    Cell counts ride one bucketed exchange; the per-type moments
+    ``(n, S, S2)`` are a second partial aggregate whose output is
+    event-type-VOCABULARY-sized, merged on the driver and broadcast.  The
+    final flag pass squares ``c·n − S`` in Python ints (cell-level work,
+    bounded by type×calendar cells, and only on the ``c·n > S`` half)."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "day": _ts_us(batch["ts"]) // _DAY_US,
+            }
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cells = bucketed_group_sum(
+        ds.map_batches(cell_partial, batch_format="pyarrow"),
+        keys=["event_type", "day"],
+        count_col="cnt",
+    ).materialize()
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "cnt": batch["cnt"].to_numpy(),
+            }
+        )
+        df["c2"] = df["cnt"] * df["cnt"]
+        df["one"] = np.int64(1)
+        g = (
+            df.groupby("event_type", sort=False)
+            .agg(n=("one", "sum"), s=("cnt", "sum"), s2=("c2", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (
+        cells.map_batches(moment_partial, batch_format="pyarrow")
+        .to_pandas()  # type-vocabulary-sized by construction
+        .groupby("event_type", sort=False)[["n", "s", "s2"]]
+        .sum()
+    )
+    lut = {
+        t: (int(r["n"]), int(r["s"]), int(r["s2"]))
+        for t, r in stats.iterrows()
+    }
+    lut_ref = ray.put(lut)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        st = ray.get(lut_ref)
+        types = batch["event_type"].to_pylist()
+        days = batch["day"].to_numpy()
+        cnts = batch["cnt"].to_numpy()
+        keep_t, keep_d, keep_c = [], [], []
+        for t, d, c in zip(types, days, cnts):
+            n, s, s2 = st[t]
+            lhs = int(c) * n - s
+            if lhs > 0 and lhs * lhs > 4 * (n * s2 - s * s):
+                keep_t.append(t)
+                keep_d.append(int(d))
+                keep_c.append(int(c))
+        return pa.table(
+            {
+                "event_type": pa.array(keep_t, type=pa.string()),
+                "day": pa.array(keep_d, type=pa.int64()),
+                "cnt": pa.array(keep_c, type=pa.int64()),
+            }
+        )
+
+    return cells.map_batches(flag, batch_format="pyarrow")
+
+
+EVENT_ANOMALY_CELLS_SQL = f"""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day, count(*) AS cnt
+  FROM events GROUP BY event_type, day
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(cnt) AS HUGEINT) AS s,
+         CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS s2
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type, CAST(day AS BIGINT) AS day, CAST(cnt AS BIGINT) AS cnt
+FROM c JOIN s USING (event_type)
+WHERE (CAST(cnt AS HUGEINT) * n - s) > 0
+  AND (CAST(cnt AS HUGEINT) * n - s) * (CAST(cnt AS HUGEINT) * n - s)
+        > 4 * (n * s2 - s * s)
+"""
+
+
+__all__ = [
+    "customer_order_histogram",
+    "CUSTOMER_ORDER_HISTOGRAM_SQL",
+    "important_parts",
+    "IMPORTANT_PARTS_SQL",
+    "event_anomaly_cells",
+    "EVENT_ANOMALY_CELLS_SQL",
+]

@@ -799,3 +799,108 @@ FROM nodes n LEFT JOIN two ON two.a = n.entity_id
 
 __all__ += ["entity_cooccurrence_lift", "make_lift_sql",
             "entity_two_hop_counts", "make_two_hop_sql"]
+
+
+def entity_degree_histogram(
+    sf_dir: str, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Degree distribution of the co-occurrence graph → ``(degree,
+    n_entities)``: for each entity the number of incident co-occurrence
+    edges, then the count-of-counts over those degrees — the standard
+    first look at a graph's shape (scale-free tail vs clique blob).
+
+    Driver path below the cap (aggregated graph is sketch-sized, see
+    ``entity_pagerank``): two pandas value_counts.  Distributed path:
+    endpoints explode → bounded-bucket per-entity count → per-batch
+    histogram partials merged on the driver (the histogram domain is
+    bounded by the max degree, not the graph) — parity-tested."""
+    triples, df = _cooc_driver_frame(sf_dir, driver_cap)
+    if df is not None:
+        cooc = df[df["pred"] == "cooccurs_with"]
+        deg = pd.concat([cooc["subj"], cooc["obj"]]).value_counts()
+        hist = deg.value_counts().sort_index()
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "degree": pa.array(
+                        hist.index.to_numpy(np.int64), type=pa.int64()
+                    ),
+                    "n_entities": pa.array(
+                        hist.to_numpy(np.int64), type=pa.int64()
+                    ),
+                }
+            )
+        )
+
+    import pyarrow.compute as pc
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    cooc_ds = triples.map_batches(
+        lambda t: t.filter(pc.equal(t["pred"], "cooccurs_with")).select(
+            ["subj", "obj"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity": pa.concat_arrays(
+                    [
+                        t["subj"].combine_chunks().cast(pa.string()),
+                        t["obj"].combine_chunks().cast(pa.string()),
+                    ]
+                )
+            }
+        )
+
+    degrees = bucketed_group_sum(
+        cooc_ds.map_batches(endpoints, batch_format="pyarrow"),
+        keys=["entity"],
+        count_col="degree",
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vc = (
+            pd.Series(t["degree"].to_numpy())
+            .value_counts()
+            .rename_axis("degree")
+            .reset_index(name="n_entities")
+        )
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    hist = (
+        degrees.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()  # max-degree-bounded by construction
+        .groupby("degree", sort=True)["n_entities"]
+        .sum()
+        .reset_index()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "degree": pa.array(hist["degree"].to_numpy(np.int64)),
+                "n_entities": pa.array(hist["n_entities"].to_numpy(np.int64)),
+            }
+        )
+    )
+
+
+def make_degree_histogram_sql(triples_sql: str) -> str:
+    return f"""
+WITH t AS ({triples_sql}),
+cooc AS (SELECT subj, obj FROM t WHERE pred = 'cooccurs_with'),
+d AS (
+  SELECT entity, count(*) AS degree FROM (
+    SELECT subj AS entity FROM cooc
+    UNION ALL SELECT obj AS entity FROM cooc
+  ) GROUP BY entity
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_entities
+FROM d GROUP BY degree
+"""
+
+
+__all__ += ["entity_degree_histogram", "make_degree_histogram_sql"]
