@@ -22,6 +22,7 @@ import ner_funtool_ray.pipelines.mining as _min
 import ner_funtool_ray.stages.textindex as _ti
 import ner_funtool_ray.stages.sentdedup as _sd
 import ner_funtool_ray.pipelines.distribution as _dist
+import ner_funtool_ray.pipelines.curation as _cur
 import ner_funtool_ray.pipelines.quality as _qual
 import ner_funtool_ray.pipelines.sequence as _seq
 import ner_funtool_ray.stages.countmin as _cm
@@ -1343,6 +1344,24 @@ def _q_event_anomaly_cells(sf_dir: str):
     return event_anomaly_cells(sf_dir)
 
 
+def _q_minhash_dedup_corpus(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import minhash_dedup_corpus
+
+    return minhash_dedup_corpus(sf_dir)
+
+
+def _q_benchmark_contamination(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import benchmark_contamination
+
+    return benchmark_contamination(sf_dir)
+
+
+def _q_quality_filter(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import quality_filter
+
+    return quality_filter(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     from ner_funtool_ray.pipelines.embedding import label_centroids
 
@@ -1561,6 +1580,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_histogram": _q_customer_order_histogram,
         "important_parts": _q_important_parts,
         "event_anomaly_cells": _q_event_anomaly_cells,
+        "minhash_dedup_corpus": _q_minhash_dedup_corpus,
+        "benchmark_contamination": _q_benchmark_contamination,
+        "quality_filter": _q_quality_filter,
         "label_centroids": _q_label_centroids,
         "kmeans_assign": _q_kmeans_assign,
         "user_last_event": _q_user_last_event,
@@ -1664,6 +1686,11 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_histogram": _dist.CUSTOMER_ORDER_HISTOGRAM_SQL,
         "important_parts": _dist.IMPORTANT_PARTS_SQL,
         "event_anomaly_cells": _dist.EVENT_ANOMALY_CELLS_SQL,
+        "minhash_dedup_corpus": _cur.make_minhash_dedup_sql(
+            _MINHASH_CLUSTERS_SQL
+        ),
+        "benchmark_contamination": _cur.make_contamination_sql(),
+        "quality_filter": _cur.QUALITY_FILTER_SQL,
         "label_centroids": _emb.LABEL_CENTROIDS_SQL,
         "kmeans_assign": _emb.KMEANS_ASSIGN_SQL,
         "user_last_event": _rel.USER_LAST_EVENT_SQL,

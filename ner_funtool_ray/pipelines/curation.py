@@ -1,0 +1,338 @@
+"""Corpus curation — the APPLY side of the training-data pipeline.
+
+The dedup/quality family elsewhere in this repo DETECTS (pairs, clusters,
+scores); these operators produce the curated corpus a training run would
+actually consume:
+
+- ``minhash_dedup_corpus`` — the dedup apply step: drop every non-canonical
+  member of a MinHash-LSH near-dup cluster, keep the canonical
+  representative (min doc_id) and all untouched docs.
+- ``benchmark_contamination`` — decontamination: flag corpus documents
+  sharing word n-grams with a (small, fixed) benchmark set, the standard
+  eval-leakage scrub before LM training.  The benchmark side broadcasts —
+  it is benchmark-sized by DEFINITION (eval suites don't grow with the
+  corpus) — and the corpus side streams.
+- ``quality_filter`` — Gopher-style rule filter emitting a per-document
+  violation BITMASK (length, type-token ratio, single-word dominance,
+  stopword absence), all in exact integer arithmetic (every ratio test is
+  cross-multiplied) so the DuckDB twin is hash-exact.
+
+Word/gram tokenization uses the explicit ASCII class ``[0-9a-z_]+`` over
+lowercased text on BOTH engines — Python's ``\\w`` is unicode-aware while
+DuckDB's RE2 ``\\w`` is ASCII, and this corpus-invariant choice removes
+that divergence (same trick as ``doc_keyword_hits``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ner_funtool_ray.sources.io import read_parquet_auto
+
+_WORD_RE = re.compile(r"[0-9a-z_]+")
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+
+# --- dedup apply ------------------------------------------------------------
+
+
+def minhash_dedup_corpus(
+    sf_dir: str,
+    threshold: float = 0.8,
+    broadcast_limit: int = 5_000_000,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Deduplicated corpus → ``(doc_id, had_dups)``: every document except
+    non-canonical near-dup cluster members; ``had_dups`` = 1 on the kept
+    representative of each cluster (so downstream can weight it).
+
+    The cluster table (near-dup docs only) is materialized by the
+    clustering step anyway; at or below ``broadcast_limit`` rows its two
+    id sets broadcast as sorted int64 arrays (vectorized ``np.isin``, no
+    shuffle over the corpus).  Above the limit the plan is the bucketed
+    shuffle anti-join ``customers_without_big_orders`` uses: cluster rows
+    and doc ids co-locate by ``doc_id % n_buckets`` and each bucket
+    filters vectorized — duplicates CAN be corpus-proportional in a web
+    crawl, so unlike the benchmark side this never assumes small."""
+    docs = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ner_funtool_ray.stages.dedup import minhash_lsh_clusters
+
+    clusters = minhash_lsh_clusters(docs, threshold=threshold).materialize()
+    ids = docs.select_columns(["doc_id"])
+
+    if clusters.count() <= broadcast_limit:
+        cl = clusters.to_pandas()
+        drop = np.unique(
+            cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"].to_numpy(np.int64)
+        )
+        reps = np.unique(cl["cluster_id"].to_numpy(np.int64))
+        drop_ref, reps_ref = ray.put(drop), ray.put(reps)
+
+        def apply(batch: pa.Table) -> pa.Table:
+            d = np.asarray(batch["doc_id"]).astype(np.int64)
+            keep = ~np.isin(d, ray.get(drop_ref))
+            kept = d[keep]
+            return pa.table(
+                {
+                    "doc_id": pa.array(kept),
+                    "had_dups": pa.array(
+                        np.isin(kept, ray.get(reps_ref)).astype(np.int64)
+                    ),
+                }
+            )
+
+        return ids.map_batches(apply, batch_format="pyarrow")
+
+    # corpus-proportional duplicate volume: bucketed shuffle anti-join
+    def tag_cluster(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"]).astype(np.int64)
+        c = np.asarray(batch["cluster_id"]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "kind": pa.array(
+                    np.where(d == c, np.int8(2), np.int8(0))
+                ),  # 2=rep marker, 0=drop marker
+                "bucket": pa.array(d % np.int64(n_buckets)),
+            }
+        )
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "kind": pa.array(np.ones(len(d), dtype=np.int8)),
+                "bucket": pa.array(d % np.int64(n_buckets)),
+            }
+        )
+
+    def bucket_apply(group: pd.DataFrame) -> pa.Table:
+        drop = group.loc[group["kind"] == 0, "doc_id"].to_numpy(np.int64)
+        reps = group.loc[group["kind"] == 2, "doc_id"].to_numpy(np.int64)
+        d = group.loc[group["kind"] == 1, "doc_id"].to_numpy(np.int64)
+        kept = d[~np.isin(d, drop)]
+        return pa.table(
+            {
+                "doc_id": pa.array(kept),
+                "had_dups": pa.array(np.isin(kept, reps).astype(np.int64)),
+            }
+        )
+
+    return (
+        clusters.map_batches(tag_cluster, batch_format="pyarrow")
+        .union(ids.map_batches(tag_doc, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(bucket_apply, batch_format="pandas")
+    )
+
+
+def make_minhash_dedup_sql(clusters_sql: str) -> str:
+    return f"""
+WITH cl AS ({clusters_sql})
+SELECT d.doc_id,
+       CAST(CASE WHEN d.doc_id IN (SELECT cluster_id FROM cl)
+            THEN 1 ELSE 0 END AS BIGINT) AS had_dups
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+"""
+
+
+# --- decontamination --------------------------------------------------------
+
+
+def _grams(tokens: list[str], n: int) -> list[str]:
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def benchmark_contamination(
+    sf_dir: str,
+    n: int = 4,
+    bench_pct: int = 2,
+    broadcast_limit: int = 20_000_000,
+) -> "ray.data.Dataset":
+    """Eval-leakage scan → ``(doc_id, n_shared)``: for every NON-benchmark
+    document, the number of distinct word ``n``-grams it shares with the
+    benchmark set (here: the deterministic md5 ``doc_id % 100 <
+    bench_pct`` sample standing in for a fixed eval suite); only
+    contaminated docs (``n_shared > 0``) are emitted.
+
+    The benchmark gram set is built on the driver and broadcast once —
+    benchmark-sized by definition, with a loud guard, never a corpus-side
+    shuffle; the corpus streams through one map_batches."""
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
+
+    bench_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )  # benchmark extraction reads the id column + sampled texts once;
+    # a production benchmark is its own (small) file — this md5 sample
+    # stands in so both engines can reproduce the selection
+    ids = [str(d) for d in bench_tbl["doc_id"].to_pylist()]
+    u = md5_number_lower_batch(ids)
+    sel = u % np.uint64(100) < np.uint64(bench_pct)
+    bench = bench_tbl.filter(pa.array(sel))
+    bench_ids = set(bench["doc_id"].to_pylist())
+    bench_grams: set[str] = set()
+    for txt in bench["text"].to_pylist():
+        bench_grams.update(_grams(_WORD_RE.findall((txt or "").lower()), n))
+    if len(bench_grams) > broadcast_limit:
+        raise ValueError(
+            f"{len(bench_grams)} benchmark grams exceed broadcast_limit="
+            f"{broadcast_limit}; a benchmark set should be fixed-size"
+        )
+    grams_ref = ray.put(bench_grams)
+    bench_ids_ref = ray.put(bench_ids)
+
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bg = ray.get(grams_ref)
+        bid = ray.get(bench_ids_ref)
+        out_d, out_n = [], []
+        for d, txt in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if d in bid:
+                continue
+            shared = {
+                g
+                for g in _grams(_WORD_RE.findall((txt or "").lower()), n)
+                if g in bg
+            }
+            if shared:
+                out_d.append(d)
+                out_n.append(len(shared))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "n_shared": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def make_contamination_sql(n: int = 4, bench_pct: int = 2) -> str:
+    joined = " || ' ' || ".join(f"l[i + {j}]" for j in range(n))
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS l,
+         md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < {bench_pct} AS is_b
+  FROM documents
+),
+g AS (
+  SELECT doc_id, is_b,
+         unnest(list_transform(range(1, len(l) - {n - 2}),
+                               i -> {joined})) AS gram
+  FROM t
+),
+bg AS (SELECT DISTINCT gram FROM g WHERE is_b)
+SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared
+FROM g JOIN bg USING (gram)
+WHERE NOT is_b
+GROUP BY doc_id
+"""
+
+
+# --- quality rules ----------------------------------------------------------
+
+_MIN_WORDS, _MAX_WORDS = 20, 1000
+
+
+def quality_filter(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style rule filter → ``(doc_id, n_words, flags, keep)``.
+
+    ``flags`` bitmask (0 = clean): 1 word count outside
+    [{_MIN_WORDS}, {_MAX_WORDS}]; 2 type-token ratio < 1/2 (repetitive
+    vocabulary); 4 most-frequent word > 1/5 of the doc (single-word
+    dominance); 8 no stopword present (non-prose).  Every ratio test is
+    cross-multiplied into integers — no division on either engine.
+
+    Pure map_batches — no shuffle; per-doc work is bounded by doc length
+    and the counters are C-level (np.unique on the token array)."""
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    stop = frozenset(_STOPWORDS)
+
+    def score(batch: pa.Table) -> pa.Table:
+        out_id, out_n, out_f = [], [], []
+        for d, txt in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = _WORD_RE.findall((txt or "").lower())
+            n = len(toks)
+            if n:
+                uniq, cnt = np.unique(np.array(toks, dtype=object), return_counts=True)
+                nd, mx = len(uniq), int(cnt.max())
+                has_stop = any(w in stop for w in uniq)
+            else:
+                nd, mx, has_stop = 0, 0, False
+            flags = 0
+            if n < _MIN_WORDS or n > _MAX_WORDS:
+                flags |= 1
+            if nd * 2 < n:
+                flags |= 2
+            if mx * 5 > n:
+                flags |= 4
+            if not has_stop:
+                flags |= 8
+            out_id.append(d)
+            out_n.append(n)
+            out_f.append(flags)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "n_words": pa.array(out_n, type=pa.int64()),
+                "flags": pa.array(out_f, type=pa.int64()),
+                "keep": pa.array(
+                    [np.int64(1) if f == 0 else np.int64(0) for f in out_f]
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+QUALITY_FILTER_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS l
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(l) AS n, len(list_distinct(l)) AS nd,
+         len(list_filter(l, x -> x IN {_STOPWORDS!r})) AS ns
+  FROM w
+),
+dom AS (
+  SELECT doc_id, COALESCE(max(c), 0) AS mx FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(l) AS word FROM w)
+    GROUP BY doc_id, word
+  ) GROUP BY doc_id
+),
+f AS (
+  SELECT b.doc_id, b.n,
+         (CASE WHEN b.n < {_MIN_WORDS} OR b.n > {_MAX_WORDS} THEN 1 ELSE 0 END
+        + CASE WHEN b.nd * 2 < b.n THEN 2 ELSE 0 END
+        + CASE WHEN COALESCE(d.mx, 0) * 5 > b.n THEN 4 ELSE 0 END
+        + CASE WHEN b.ns = 0 THEN 8 ELSE 0 END) AS flags
+  FROM base b LEFT JOIN dom d USING (doc_id)
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words, CAST(flags AS BIGINT) AS flags,
+       CAST(CASE WHEN flags = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM f
+"""
+
+
+__all__ = [
+    "minhash_dedup_corpus",
+    "make_minhash_dedup_sql",
+    "benchmark_contamination",
+    "make_contamination_sql",
+    "quality_filter",
+    "QUALITY_FILTER_SQL",
+]
