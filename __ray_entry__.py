@@ -1362,6 +1362,18 @@ def _q_quality_filter(sf_dir: str):
     return quality_filter(sf_dir)
 
 
+def _q_doc_token_bins(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import doc_token_bins
+
+    return doc_token_bins(sf_dir)
+
+
+def _q_tfidf_search(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import tfidf_search
+
+    return tfidf_search(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     from ner_funtool_ray.pipelines.embedding import label_centroids
 
@@ -1583,6 +1595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
+        "doc_token_bins": _q_doc_token_bins,
+        "tfidf_search": _q_tfidf_search,
         "label_centroids": _q_label_centroids,
         "kmeans_assign": _q_kmeans_assign,
         "user_last_event": _q_user_last_event,
@@ -1691,6 +1705,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "benchmark_contamination": _cur.make_contamination_sql(),
         "quality_filter": _cur.QUALITY_FILTER_SQL,
+        "doc_token_bins": _cur.make_token_bins_sql(),
+        "tfidf_search": _cur.make_tfidf_sql(),
         "label_centroids": _emb.LABEL_CENTROIDS_SQL,
         "kmeans_assign": _emb.KMEANS_ASSIGN_SQL,
         "user_last_event": _rel.USER_LAST_EVENT_SQL,

@@ -111,6 +111,8 @@ def run_bench() -> dict:
         "events_user_hll",      # HyperLogLog register sketch
         "entity_pagerank",      # KG graph centrality (fixed-point)
         "user_funnel_counts",   # sequential-pattern funnel over events
+        "minhash_dedup_corpus",  # dedup APPLY: cluster + anti-join scrub
+        "benchmark_contamination",  # decontamination broadcast semi-join
     ]
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

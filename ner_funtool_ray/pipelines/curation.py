@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ner_funtool_ray.sources.io import read_parquet_auto
+from ner_funtool_ray.sources.io import parquet_num_rows, read_parquet_auto
 
 _WORD_RE = re.compile(r"[0-9a-z_]+")
 _STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
@@ -335,4 +335,234 @@ __all__ = [
     "make_contamination_sql",
     "quality_filter",
     "QUALITY_FILTER_SQL",
+]
+
+
+# --- sequence packing --------------------------------------------------------
+
+
+def _doc_id_bounds(path: str) -> tuple[int, int]:
+    """(min, max) doc_id from parquet row-group statistics — metadata
+    only; falls back to a pruned single-column scan when stats are
+    absent (mirrors mining._orderdate_day_bounds)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    idx = f.schema_arrow.get_field_index("doc_id")
+    lo, hi = None, None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            lo = None
+            break
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is not None:
+        return int(lo), int(hi)
+    t = pq.read_table(path, columns=["doc_id"])
+    d = np.asarray(t["doc_id"])
+    return int(d.min()), int(d.max())
+
+
+def doc_token_bins(
+    sf_dir: str, capacity: int = 512, n_partitions: int = 32
+) -> "ray.data.Dataset":
+    """Context-window packing → ``(doc_id, n_tokens, bin_id)``: assign
+    documents (in doc_id order) to fixed-capacity token bins, ``bin_id =
+    (running_tokens_before_this_doc) // capacity`` — the deterministic
+    chunking step that turns a curated corpus into training sequences.
+
+    A GLOBAL running sum without a global sort: doc_id-range partitions
+    (bounds from parquet stats, no scan) are order-consistent with the
+    sort key, so per-partition token totals (a ≤n_partitions-row
+    exchange) yield exclusive prefix offsets, and each partition cumsums
+    locally (the ``running_revenue`` scan decomposition).  Token counts
+    are vectorized (`count_substring_regex`), never a Python token loop."""
+    import pyarrow.compute as pc
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    path = f"{sf_dir}/documents.parquet"
+    lo, hi = _doc_id_bounds(path)
+    width = max(1, -(-(hi - lo + 1) // n_partitions))
+
+    ds = read_parquet_auto(path, columns=["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"]).astype(np.int64)
+        n = pc.count_substring_regex(
+            pc.utf8_lower(batch["text"]), "[0-9a-z_]+"
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((d - lo) // width),
+                "doc_id": pa.array(d),
+                "n_tokens": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    totals = (
+        bucketed_group_sum(
+            keyed_ds.map_batches(
+                lambda t: t.select(["part", "n_tokens"]),
+                batch_format="pyarrow",
+            ),
+            keys=["part"],
+            sum_cols={"s": "n_tokens"},
+            count_col=None,
+            n_buckets=8,
+            driver_cap=1_000_000,  # ≤ n_partitions rows per block partial
+        )
+        .to_pandas()
+        .sort_values("part")
+    )
+    offs = dict(
+        zip(
+            totals["part"].to_numpy(),
+            np.concatenate([[0], np.cumsum(totals["s"].to_numpy())[:-1]]),
+        )
+    )
+
+    def local_scan(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id", kind="mergesort")
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        run = np.cumsum(n) + int(offs[int(g["part"].iloc[0])])
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": n,
+                "bin_id": (run - n) // capacity,
+            }
+        )
+
+    return keyed_ds.groupby("part").map_groups(
+        local_scan, batch_format="pandas"
+    )
+
+
+def make_token_bins_sql(capacity: int = 512) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tokens) // {capacity} AS BIGINT) AS bin_id
+FROM t
+"""
+
+
+# --- ranked retrieval --------------------------------------------------------
+
+_TFIDF_QUERY = ("data", "join", "merge")
+
+
+def tfidf_search(
+    sf_dir: str, terms: tuple[str, ...] = _TFIDF_QUERY, k: int = 10
+) -> "ray.data.Dataset":
+    """Ranked retrieval → top-``k`` ``(doc_id, score)`` by integer tf-idf:
+    ``score = Σ_t tf(doc,t) · ((N · 1e6) // df(t))`` — idf as a scaled
+    integer reciprocal (no log), so both engines agree bit-for-bit.
+
+    Two streaming passes, no corpus shuffle: pass 1 computes per-term
+    document frequencies as per-batch partials merged on the driver
+    (|terms| rows); pass 2 scores each doc vectorized (one
+    ``count_substring_regex`` per term) and keeps a per-batch local
+    top-k — exact because a doc's score completes within its batch — and
+    the driver merges ``n_batches × k`` candidates with the
+    deterministic ``(score DESC, doc_id)`` tie-break."""
+    import pyarrow.compute as pc
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = parquet_num_rows(path)
+    ds = read_parquet_auto(path, columns=["doc_id", "text"])
+    pats = {t: rf"\b{re.escape(t)}\b" for t in terms}
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        names, counts = [], []
+        for t, pat in pats.items():
+            hit = pc.greater(pc.count_substring_regex(low, pat), 0)
+            names.append(t)
+            counts.append(int(pc.sum(hit.cast(pa.int64())).as_py() or 0))
+        return pa.table(
+            {
+                "term": pa.array(names, type=pa.string()),
+                "df": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    dfs = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .to_pandas()  # |terms| rows per batch
+        .groupby("term")["df"]
+        .sum()
+        .to_dict()
+    )
+    idf = {
+        t: (n_docs * 1_000_000) // int(d) for t, d in dfs.items() if d > 0
+    }
+    idf_ref = ray.put(idf)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        iw = ray.get(idf_ref)
+        low = pc.utf8_lower(batch["text"])
+        score = np.zeros(batch.num_rows, dtype=np.int64)
+        for t, w in iw.items():
+            tf = pc.count_substring_regex(low, pats[t]).to_numpy(
+                zero_copy_only=False
+            )
+            score += tf.astype(np.int64) * np.int64(w)
+        d = np.asarray(batch["doc_id"]).astype(np.int64)
+        pos = score > 0
+        d, score = d[pos], score[pos]
+        order = np.lexsort((d, -score))[:k]
+        return pa.table(
+            {"doc_id": pa.array(d[order]), "score": pa.array(score[order])}
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+                "score": pa.array(top["score"].to_numpy(np.int64)),
+            }
+        )
+    )
+
+
+def make_tfidf_sql(terms: tuple[str, ...] = _TFIDF_QUERY, k: int = 10) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok
+  WHERE w IN ({tlist}) GROUP BY doc_id, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+n AS (SELECT count(*) AS nn FROM documents),
+s AS (
+  SELECT doc_id, sum(tf * ((nn * 1000000) // df)) AS score
+  FROM tf JOIN df USING (w) CROSS JOIN n GROUP BY doc_id
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+__all__ += [
+    "doc_token_bins",
+    "make_token_bins_sql",
+    "tfidf_search",
+    "make_tfidf_sql",
 ]

@@ -126,3 +126,49 @@ def test_quality_filter_corpus_not_degenerate(ray_session):
     assert len(df) == 500
     # both kept and rejected docs exist on the synthetic corpus
     assert 0 < df["keep"].sum() < len(df)
+
+
+def test_doc_token_bins_partition_invariance(ray_session):
+    from ner_funtool_ray.pipelines.curation import doc_token_bins
+
+    a = (
+        doc_token_bins(SF_DIR, capacity=256, n_partitions=32)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        doc_token_bins(SF_DIR, capacity=256, n_partitions=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # bins start at 0, never decrease along doc order, and the bin of a
+    # doc equals its exclusive running sum // capacity
+    assert a["bin_id"].iloc[0] == 0
+    assert a["bin_id"].is_monotonic_increasing
+    run = a["n_tokens"].cumsum() - a["n_tokens"]
+    assert (a["bin_id"] == run // 256).all()
+
+
+def test_tfidf_search_matches_bruteforce(ray_session):
+    import re as _re
+
+    from ner_funtool_ray.pipelines.curation import tfidf_search
+
+    got = tfidf_search(SF_DIR, terms=("data", "join"), k=5).to_pandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    word = _re.compile(r"[0-9a-z_]+")
+    toks = {r.doc_id: word.findall(r.text.lower()) for r in docs.itertuples()}
+    n = len(docs)
+    scores = {}
+    for t in ("data", "join"):
+        df = sum(1 for v in toks.values() if t in v)
+        idf = (n * 1_000_000) // df
+        for d, v in toks.items():
+            tf = sum(1 for w in v if w == t)
+            if tf:
+                scores[d] = scores.get(d, 0) + tf * idf
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["doc_id"], got["score"])) == exp
