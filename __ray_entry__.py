@@ -1386,6 +1386,12 @@ def _q_kmeans_assign(sf_dir: str):
     return kmeans_assign(sf_dir)
 
 
+def _q_nation_pair_volume(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import nation_pair_volume
+
+    return nation_pair_volume(sf_dir)
+
+
 def _q_user_last_event(sf_dir: str):
     from ner_funtool_ray.pipelines.relational import user_last_event
 
@@ -1600,6 +1606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "kmeans_assign": _q_kmeans_assign,
         "user_last_event": _q_user_last_event,
+        "nation_pair_volume": _q_nation_pair_volume,
         "entity_bfs_depth": _q_entity_bfs_depth,
         "entity_triangle_counts": _q_entity_triangle_counts,
         "user_funnel_counts": _q_user_funnel_counts,
@@ -1710,6 +1717,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": _emb.LABEL_CENTROIDS_SQL,
         "kmeans_assign": _emb.KMEANS_ASSIGN_SQL,
         "user_last_event": _rel.USER_LAST_EVENT_SQL,
+        "nation_pair_volume": _rel.NATION_PAIR_VOLUME_SQL,
         "entity_bfs_depth": _graph.make_bfs_sql(_TRIPLES_SQL),
         "entity_triangle_counts": _graph.make_triangles_sql(_TRIPLES_SQL),
         "user_funnel_counts": _rel.USER_FUNNEL_COUNTS_SQL,

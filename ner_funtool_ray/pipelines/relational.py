@@ -1654,3 +1654,210 @@ WITH r AS (
 SELECT user_id, ts, event_type AS last_type, value AS last_value
 FROM r WHERE rn = 1
 """
+
+
+def nation_pair_volume(
+    sf_dir: str,
+    broadcast_limit: int = 5_000_000,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """TPC-H Q7 shape → ``(supp_nation, cust_nation, yr, revenue, n)``:
+    shipping volume between DIFFERENT nations — the pair-grouped
+    fact-to-fact join (lineitem needs the customer nation, which lives
+    across the orders join).
+
+    Dimension sides (supplier→nation, customer→nation) always broadcast.
+    The order→nation map is FACT-sized, so it is size-guarded by parquet
+    metadata: below the limit it broadcasts as a sorted orderkey array +
+    nation-code array applied with ``np.searchsorted`` (fact table never
+    shuffles); above it, lineitem partials and order rows co-locate by
+    ``orderkey % n_buckets`` (the ``shipping_priority`` fact-fact plan)
+    and only (pair, year) partials leave each bucket.  Revenue follows
+    the Q9 integer recipe: cents × (100 − discount%) summed exactly, one
+    final division."""
+    import pyarrow.parquet as pq_
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    nat = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk2name = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    sup = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sup2nk = dict(
+        zip(sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist())
+    )
+    cust = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust2nk = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    )
+
+    def li_partial(batch: pa.Table):
+        """lineitem → (l_orderkey, supp_nk, yr, rev4) — shared by both plans."""
+        ep = np.asarray(_cents(batch["l_extendedprice"]))
+        dc = np.asarray(_cents(batch["l_discount"]))
+        return pd.DataFrame(
+            {
+                "l_orderkey": np.asarray(batch["l_orderkey"]).astype(np.int64),
+                "supp_nk": pd.Series(batch["l_suppkey"].to_numpy()).map(sup2nk),
+                "yr": np.asarray(pc.year(batch["l_shipdate"])).astype(np.int64),
+                "rev4": ep * (100 - dc),
+            }
+        )
+
+    def finalize(agg: "ray.data.Dataset") -> "ray.data.Dataset":
+        return agg.map_batches(
+            lambda b: pa.table(
+                {
+                    "supp_nation": b["supp_nation"],
+                    "cust_nation": b["cust_nation"],
+                    "yr": b["yr"],
+                    "revenue": pc.divide(
+                        pc.cast(b["rev4"], pa.float64()), 10000.0
+                    ),
+                    "n": b["n"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    n_orders = parquet_num_rows(f"{sf_dir}/orders.parquet")
+    if n_orders <= broadcast_limit:
+        o = pq_.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        ok = np.asarray(o["o_orderkey"]).astype(np.int64)
+        cnk = (
+            pd.Series(o["o_custkey"].to_numpy())
+            .map(cust2nk)
+            .to_numpy(np.int64)
+        )
+        order_srt = np.argsort(ok, kind="mergesort")
+        refs = ray.put((ok[order_srt], cnk[order_srt]))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            okeys, onk = ray.get(refs)
+            df = li_partial(batch)
+            pos = np.searchsorted(okeys, df["l_orderkey"].to_numpy())
+            df["cust_nk"] = onk[pos]
+            df["supp_nation"] = df["supp_nk"].map(nk2name)
+            df["cust_nation"] = pd.Series(df["cust_nk"]).map(nk2name)
+            df = df[df["supp_nation"] != df["cust_nation"]]
+            g = (
+                df.groupby(["supp_nation", "cust_nation", "yr"], sort=False)
+                .agg(rev4=("rev4", "sum"), n=("rev4", "size"))
+                .reset_index()
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = bucketed_group_sum(
+            read_parquet_auto(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                         "l_extendedprice", "l_discount"],
+            ).map_batches(partial, batch_format="pyarrow"),
+            ["supp_nation", "cust_nation", "yr"],
+            sum_cols={"rev4": "rev4", "n": "n"},
+            count_col=None,
+            driver_cap=2_000_000,  # ≤ nations² × years rows
+        )
+        return finalize(agg)
+
+    # fact-fact fallback: co-locate lineitem partials and order rows by
+    # orderkey bucket; only (pair, year) partials leave each bucket
+    def li_rows(batch: pa.Table) -> pa.Table:
+        df = li_partial(batch)
+        df["kind"] = np.int8(0)
+        df["cust_nk"] = np.int64(-1)
+        df["bucket"] = df["l_orderkey"].to_numpy() % np.int64(n_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["o_orderkey"]).astype(np.int64)
+        cnk = (
+            pd.Series(batch["o_custkey"].to_numpy())
+            .map(cust2nk)
+            .to_numpy(np.int64)
+        )
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "l_orderkey": ok,
+                    "supp_nk": np.int64(-1),
+                    "yr": np.int64(-1),
+                    "rev4": np.int64(0),
+                    "kind": np.int8(1),
+                    "cust_nk": cnk,
+                    "bucket": ok % np.int64(n_buckets),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    def bucket_join(group: pd.DataFrame) -> pd.DataFrame:
+        o = group[group["kind"] == 1]
+        li = group[group["kind"] == 0]
+        if li.empty:
+            return pd.DataFrame(
+                {
+                    "supp_nation": pd.Series([], dtype=object),
+                    "cust_nation": pd.Series([], dtype=object),
+                    "yr": pd.Series([], dtype=np.int64),
+                    "rev4": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        lut = dict(zip(o["l_orderkey"], o["cust_nk"]))
+        li = li.copy()
+        li["cust_nk"] = li["l_orderkey"].map(lut)
+        li["supp_nation"] = li["supp_nk"].map(nk2name)
+        li["cust_nation"] = li["cust_nk"].map(nk2name)
+        li = li[li["supp_nation"] != li["cust_nation"]]
+        return (
+            li.groupby(["supp_nation", "cust_nation", "yr"], sort=False)
+            .agg(rev4=("rev4", "sum"), n=("rev4", "size"))
+            .reset_index()
+        )
+
+    li_ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_rows, batch_format="pyarrow")
+    o_ds = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+    agg = bucketed_group_sum(
+        li_ds.union(o_ds).groupby("bucket").map_groups(
+            bucket_join, batch_format="pandas"
+        ),
+        ["supp_nation", "cust_nation", "yr"],
+        sum_cols={"rev4": "rev4", "n": "n"},
+        count_col=None,
+        driver_cap=2_000_000,
+    )
+    return finalize(agg)
+
+
+NATION_PAIR_VOLUME_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate)::BIGINT AS yr,
+       sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0
+         AS revenue,
+       count(*)::BIGINT AS n
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""

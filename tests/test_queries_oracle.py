@@ -209,3 +209,14 @@ def test_customer_order_window_distributed_matches_oracle():
     con = _duck(SF_DIR)
     expect = _normalize(con.sql(ORACLES["customer_order_window"]).df())
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_nation_pair_volume_fallback_matches_oracle():
+    from ner_funtool_ray.pipelines.relational import nation_pair_volume
+
+    got = _normalize(
+        nation_pair_volume(SF_DIR, broadcast_limit=0).to_pandas()
+    )
+    con = _duck(SF_DIR)
+    exp = _normalize(con.sql(ORACLES["nation_pair_volume"]).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
