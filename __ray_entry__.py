@@ -1386,6 +1386,24 @@ def _q_kmeans_assign(sf_dir: str):
     return kmeans_assign(sf_dir)
 
 
+def _q_top_returned_customers(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import top_returned_customers
+
+    return top_returned_customers(sf_dir)
+
+
+def _q_order_price_decile(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import order_price_decile
+
+    return order_price_decile(sf_dir)
+
+
+def _q_event_type_trigrams(sf_dir: str):
+    from ner_funtool_ray.pipelines.sequence import event_type_trigrams
+
+    return event_type_trigrams(sf_dir)
+
+
 def _q_nation_pair_volume(sf_dir: str):
     from ner_funtool_ray.pipelines.relational import nation_pair_volume
 
@@ -1607,6 +1625,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans_assign,
         "user_last_event": _q_user_last_event,
         "nation_pair_volume": _q_nation_pair_volume,
+        "top_returned_customers": _q_top_returned_customers,
+        "order_price_decile": _q_order_price_decile,
+        "event_type_trigrams": _q_event_type_trigrams,
         "entity_bfs_depth": _q_entity_bfs_depth,
         "entity_triangle_counts": _q_entity_triangle_counts,
         "user_funnel_counts": _q_user_funnel_counts,
@@ -1718,6 +1739,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": _emb.KMEANS_ASSIGN_SQL,
         "user_last_event": _rel.USER_LAST_EVENT_SQL,
         "nation_pair_volume": _rel.NATION_PAIR_VOLUME_SQL,
+        "top_returned_customers": _rel.TOP_RETURNED_CUSTOMERS_SQL,
+        "order_price_decile": _rel.ORDER_PRICE_DECILE_SQL,
+        "event_type_trigrams": _seq.EVENT_TYPE_TRIGRAMS_SQL,
         "entity_bfs_depth": _graph.make_bfs_sql(_TRIPLES_SQL),
         "entity_triangle_counts": _graph.make_triangles_sql(_TRIPLES_SQL),
         "user_funnel_counts": _rel.USER_FUNNEL_COUNTS_SQL,

@@ -1861,3 +1861,218 @@ JOIN nation sn ON sn.n_nationkey = s.s_nationkey
 WHERE sn.n_name <> cn.n_name
 GROUP BY 1, 2, 3
 """
+
+
+def top_returned_customers(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """TPC-H Q10 shape → top-``k`` ``(c_custkey, c_name, revenue, n)`` by
+    lost revenue on RETURNED line items.
+
+    lineitem is filtered at the scan (returnflag pushdown), partials
+    aggregate by custkey THROUGH the broadcast order→custkey map (orders
+    would be fact-sized at scale — here the map is the semi-joined
+    RETURNED order set, which is returns-bounded, and guarded), and the
+    per-customer aggregate rides one int-key bucketed exchange before a
+    tiny exact top-k (revenue DESC, custkey ASC tie-break)."""
+    import pyarrow.parquet as pq_
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    o = pq_.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    ok = np.asarray(o["o_orderkey"]).astype(np.int64)
+    ck = np.asarray(o["o_custkey"]).astype(np.int64)
+    srt = np.argsort(ok, kind="mergesort")
+    refs = ray.put((ok[srt], ck[srt]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        okeys, ckeys = ray.get(refs)
+        hit = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        if hit.num_rows == 0:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], type=pa.int64()),
+                    "rev4": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        ep = np.asarray(_cents(hit["l_extendedprice"]))
+        dc = np.asarray(_cents(hit["l_discount"]))
+        lo = np.asarray(hit["l_orderkey"]).astype(np.int64)
+        cust = ckeys[np.searchsorted(okeys, lo)]
+        df = (
+            pd.DataFrame({"c_custkey": cust, "rev4": ep * (100 - dc)})
+            .groupby("c_custkey", sort=False)
+            .agg(rev4=("rev4", "sum"), n=("rev4", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_cust = bucketed_group_sum(
+        read_parquet_auto(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag",
+                     "l_extendedprice", "l_discount"],
+        ).map_batches(partial, batch_format="pyarrow"),
+        keys=["c_custkey"],
+        sum_cols={"rev4": "rev4", "n": "n"},
+        count_col=None,
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["rev4", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = (
+        per_cust.map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["rev4", "c_custkey"], ascending=[False, True],
+                     kind="mergesort")
+        .head(k)
+    )
+    cust_names = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    out = cand.merge(cust_names, on="c_custkey", how="left")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "c_custkey": pa.array(out["c_custkey"].to_numpy(np.int64)),
+                "c_name": pa.array(out["c_name"], type=pa.string()),
+                "revenue": pa.array(
+                    out["rev4"].to_numpy(np.int64) / 10000.0
+                ),
+                "n": pa.array(out["n"].to_numpy(np.int64)),
+            }
+        )
+    )
+
+
+TOP_RETURNED_CUSTOMERS_SQL = """
+SELECT c.c_custkey, c.c_name,
+       sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0
+         AS revenue,
+       count(*)::BIGINT AS n
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2
+ORDER BY sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount*100) AS BIGINT))) DESC,
+         c.c_custkey
+LIMIT 20
+"""
+
+
+def _totalprice_cents_bounds(path: str) -> tuple[int, int]:
+    """(min, max) o_totalprice as cents from parquet row-group stats —
+    metadata only, pruned single-column fallback."""
+    import pyarrow.parquet as pq_
+
+    f = pq_.ParquetFile(path)
+    idx = f.schema_arrow.get_field_index("o_totalprice")
+    lo, hi = None, None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            lo = None
+            break
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        t = pq_.read_table(path, columns=["o_totalprice"])
+        v = np.asarray(t["o_totalprice"])
+        lo, hi = float(v.min()), float(v.max())
+    # stats bound the VALUES; widen by one cent so rounding never escapes
+    return int(np.floor(lo * 100)) - 1, int(np.ceil(hi * 100)) + 1
+
+
+def order_price_decile(
+    sf_dir: str, n_tiles: int = 10, n_partitions: int = 32
+) -> "ray.data.Dataset":
+    """Global rank statistic without a global sort → ``(o_orderkey,
+    cents, decile)`` where ``decile = rank·n_tiles // N`` under the total
+    order ``(cents, o_orderkey)``.
+
+    The ``running_revenue`` scan decomposition applied to a VALUE key:
+    cents-range partitions (bounds from parquet stats) are
+    order-consistent with the sort key, so per-partition row counts give
+    exclusive rank offsets and each partition ranks locally — the only
+    driver-side data is the ≤``n_partitions``-row counts vector."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    path = f"{sf_dir}/orders.parquet"
+    lo, hi = _totalprice_cents_bounds(path)
+    width = max(1, -(-(hi - lo + 1) // n_partitions))
+
+    ds = read_parquet_auto(path, columns=["o_orderkey", "o_totalprice"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        cents = np.asarray(_cents(batch["o_totalprice"]))
+        return pa.table(
+            {
+                "part": pa.array((cents - lo) // width),
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "cents": pa.array(cents),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    counts = (
+        bucketed_group_sum(
+            keyed_ds.map_batches(
+                lambda t: t.select(["part"]), batch_format="pyarrow"
+            ),
+            keys=["part"],
+            count_col="c",
+            n_buckets=8,
+            driver_cap=1_000_000,
+        )
+        .to_pandas()
+        .sort_values("part")
+    )
+    total = int(counts["c"].sum())
+    offs = dict(
+        zip(
+            counts["part"].to_numpy(),
+            np.concatenate([[0], np.cumsum(counts["c"].to_numpy())[:-1]]),
+        )
+    )
+
+    def local_rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cents", "o_orderkey"], kind="mergesort")
+        rank = np.arange(len(g), dtype=np.int64) + int(
+            offs[int(g["part"].iloc[0])]
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "cents": g["cents"].to_numpy(),
+                "decile": (rank * n_tiles) // total,
+            }
+        )
+
+    return keyed_ds.groupby("part").map_groups(
+        local_rank, batch_format="pandas"
+    )
+
+
+ORDER_PRICE_DECILE_SQL = """
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT o_orderkey, cents,
+         row_number() OVER (ORDER BY cents, o_orderkey) - 1 AS rk,
+         count(*) OVER () AS n
+  FROM c
+)
+SELECT o_orderkey, cents, CAST((rk * 10) // n AS BIGINT) AS decile FROM r
+"""

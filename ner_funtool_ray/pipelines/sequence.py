@@ -86,3 +86,70 @@ FROM seq
 WHERE next_type IS NOT NULL
 GROUP BY from_type, to_type
 """
+
+
+def event_type_trigrams(
+    sf_dir: str,
+    n_buckets: int = 32,
+    driver_cap: int | None = 200_000,
+) -> "ray.data.Dataset":
+    """Length-3 sequential patterns: counts of consecutive event-type
+    triples per user → ``(t1, t2, t3, n)`` — the next order up from
+    :func:`event_transitions`, same disjoint-user-bucket plan (each
+    bucket emits at most ``|types|³`` partial rows)."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket",
+            pa.array((batch["user_id"].to_numpy() % n_buckets).astype(np.int64)),
+        )
+
+    def trigrams(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        tri = pd.DataFrame(
+            {"t1": et[:-2][same], "t2": et[1:-1][same], "t3": et[2:][same]}
+        )
+        out = (
+            tri.groupby(["t1", "t2", "t3"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(trigrams, batch_format="pandas")
+    )
+    return bucketed_group_sum(
+        partials,
+        keys=["t1", "t2", "t3"],
+        sum_cols={"n": "n"},
+        count_col=None,
+        driver_cap=driver_cap,
+    )
+
+
+EVENT_TYPE_TRIGRAMS_SQL = """
+WITH seq AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3,
+         lead(user_id, 2) OVER w AS u3,
+         user_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3
+"""

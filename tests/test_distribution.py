@@ -128,3 +128,61 @@ def test_degree_histogram_distributed_parity(ray_session):
     )
     pd.testing.assert_frame_equal(drv, dist)
     assert drv["n_entities"].sum() > 0
+
+
+def test_order_price_decile_invariants(ray_session):
+    from ner_funtool_ray.pipelines.relational import order_price_decile
+
+    a = (
+        order_price_decile(SF_DIR, n_partitions=32)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    b = (
+        order_price_decile(SF_DIR, n_partitions=5)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # deciles are balanced: each tile holds N//10 or N//10 + 1 rows
+    sizes = a["decile"].value_counts()
+    n = len(a)
+    assert set(sizes.index) == set(range(10))
+    assert sizes.min() >= n // 10 and sizes.max() <= n // 10 + 1
+    # ordering respected: max cents of tile t <= min cents of tile t+1
+    g = a.groupby("decile")["cents"]
+    mx, mn = g.max(), g.min()
+    assert all(mx[t] <= mn[t + 1] for t in range(9))
+
+
+def test_event_type_trigrams_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ner_funtool_ray.pipelines.sequence import event_type_trigrams
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:01:00",
+         "2024-01-01 00:02:00", "2024-01-01 00:03:00",
+         "2024-01-01 00:00:30"]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "user_id": [7, 7, 7, 7, 8],  # user 8: single event, no trigram
+                "event_type": ["view", "click", "view", "purchase", "view"],
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    df = event_type_trigrams(str(tmp_path)).to_pandas()
+    got = {
+        (r.t1, r.t2, r.t3): r.n for r in df.itertuples()
+    }
+    assert got == {
+        ("view", "click", "view"): 1,
+        ("click", "view", "purchase"): 1,
+    }
