@@ -726,6 +726,67 @@ def _q_lang_source(sf_dir: str):
     return lang_source_counts(sf_dir)
 
 
+def _q_ann_lsh_recall(sf_dir: str):
+    """Approximate-op QA: recall of the LSH-bucketed top-10 against the
+    exact brute-force top-10 for the same query — the eval every ANN
+    deployment runs before trusting the approximate path.  Both sides are
+    existing oracle-exact pipelines; the overlap count is k-bounded."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ner_funtool_ray.sources.io import read_parquet_auto
+    from ner_funtool_ray.stages.similarity import lsh_bucket_topk, topk_cosine
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qrow = tbl.filter(pc.equal(tbl["vec_id"], 0))
+    query = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+
+    def emb():
+        return read_parquet_auto(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    k = 10
+    exact = set(
+        topk_cosine(emb(), query, k=k).to_pandas()["vec_id"].tolist()
+    )
+    approx = set(
+        lsh_bucket_topk(emb(), query, k=k, n_planes=6)
+        .to_pandas()["vec_id"]
+        .tolist()
+    )
+    n_hits = len(exact & approx)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([k], type=pa.int64()),
+                "n_hits": pa.array([n_hits], type=pa.int64()),
+                "recall_ppm": pa.array(
+                    [(n_hits * 1_000_000) // k], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+_ANN_LSH_RECALL_SQL = f"""
+WITH exact_k AS ({_TOPK_SQL}),
+approx_k AS ({_ANN_LSH_SQL}),
+h AS (
+  SELECT count(*) AS n_hits
+  FROM exact_k e JOIN approx_k a ON a.vec_id = e.vec_id
+)
+SELECT CAST(10 AS BIGINT) AS k, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST((n_hits * 1000000) // 10 AS BIGINT) AS recall_ppm
+FROM h
+"""
+
+
 def _q_topk_cosine(sf_dir: str):
     import pyarrow.parquet as pq
     import pyarrow.compute as pc
@@ -1628,6 +1689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_returned_customers": _q_top_returned_customers,
         "order_price_decile": _q_order_price_decile,
         "event_type_trigrams": _q_event_type_trigrams,
+        "ann_lsh_recall": _q_ann_lsh_recall,
         "entity_bfs_depth": _q_entity_bfs_depth,
         "entity_triangle_counts": _q_entity_triangle_counts,
         "user_funnel_counts": _q_user_funnel_counts,
@@ -1742,6 +1804,7 @@ def oracle_sql() -> dict[str, str]:
         "top_returned_customers": _rel.TOP_RETURNED_CUSTOMERS_SQL,
         "order_price_decile": _rel.ORDER_PRICE_DECILE_SQL,
         "event_type_trigrams": _seq.EVENT_TYPE_TRIGRAMS_SQL,
+        "ann_lsh_recall": _ANN_LSH_RECALL_SQL,
         "entity_bfs_depth": _graph.make_bfs_sql(_TRIPLES_SQL),
         "entity_triangle_counts": _graph.make_triangles_sql(_TRIPLES_SQL),
         "user_funnel_counts": _rel.USER_FUNNEL_COUNTS_SQL,
