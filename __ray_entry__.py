@@ -1405,6 +1405,12 @@ def _q_event_anomaly_cells(sf_dir: str):
     return event_anomaly_cells(sf_dir)
 
 
+def _q_cheapest_supplier_per_part(sf_dir: str):
+    from ner_funtool_ray.pipelines.distribution import cheapest_supplier_per_part
+
+    return cheapest_supplier_per_part(sf_dir)
+
+
 def _q_minhash_dedup_corpus(sf_dir: str):
     from ner_funtool_ray.pipelines.curation import minhash_dedup_corpus
 
@@ -1677,6 +1683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_histogram": _q_customer_order_histogram,
         "important_parts": _q_important_parts,
         "event_anomaly_cells": _q_event_anomaly_cells,
+        "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -1790,6 +1797,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_histogram": _dist.CUSTOMER_ORDER_HISTOGRAM_SQL,
         "important_parts": _dist.IMPORTANT_PARTS_SQL,
         "event_anomaly_cells": _dist.EVENT_ANOMALY_CELLS_SQL,
+        "cheapest_supplier_per_part": _dist.CHEAPEST_SUPPLIER_SQL,
         "minhash_dedup_corpus": _cur.make_minhash_dedup_sql(
             _MINHASH_CLUSTERS_SQL
         ),

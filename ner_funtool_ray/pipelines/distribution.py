@@ -300,3 +300,96 @@ __all__ = [
     "event_anomaly_cells",
     "EVENT_ANOMALY_CELLS_SQL",
 ]
+
+
+def cheapest_supplier_per_part(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """TPC-H Q2 shape → ``(l_partkey, s_suppkey, s_name, best_cents)``:
+    for every part, the supplier that ever shipped it at the lowest
+    single-line price — grouped MIN (not sum) followed by an argmin
+    join-back, with the deterministic ``(cents, suppkey)`` tie-break.
+
+    MIN is idempotent and associative, so the same partial-then-bucketed
+    plan as ``bucketed_group_sum`` applies with a min-merge: per-batch
+    vectorized groupby-min over (part, supp), one int-key bucketed
+    exchange, per-bucket min-merge, then the per-part argmin inside the
+    PART's hash bucket (parts and their (part, supp) rows co-locate, so
+    no second shuffle).  Supplier names attach from a broadcast dim."""
+    import pyarrow.parquet as pq_
+
+    sup = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    s2name = dict(zip(sup["s_suppkey"].to_pylist(), sup["s_name"].to_pylist()))
+    name_ref = ray.put(s2name)
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_partkey": np.asarray(batch["l_partkey"]).astype(np.int64),
+                "s_suppkey": np.asarray(batch["l_suppkey"]).astype(np.int64),
+                "cents": np.asarray(_cents(batch["l_extendedprice"])),
+            }
+        )
+        g = (
+            df.groupby(["l_partkey", "s_suppkey"], sort=False)["cents"]
+            .min()
+            .reset_index()
+        )
+        # bucket by PART so the later argmin needs no second exchange
+        g["bucket"] = (g["l_partkey"].to_numpy() % n_buckets).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket_argmin(group: pd.DataFrame) -> pa.Table:
+        m = (
+            group.groupby(["l_partkey", "s_suppkey"], sort=False)["cents"]
+            .min()
+            .reset_index()
+        )
+        # deterministic argmin: sort by (cents, suppkey), first per part
+        m = m.sort_values(
+            ["l_partkey", "cents", "s_suppkey"], kind="mergesort"
+        ).drop_duplicates("l_partkey", keep="first")
+        names = ray.get(name_ref)
+        return pa.table(
+            {
+                "l_partkey": pa.array(m["l_partkey"].to_numpy(np.int64)),
+                "s_suppkey": pa.array(m["s_suppkey"].to_numpy(np.int64)),
+                "s_name": pa.array(
+                    m["s_suppkey"].map(names), type=pa.string()
+                ),
+                "best_cents": pa.array(m["cents"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_argmin, batch_format="pandas")
+    )
+
+
+CHEAPEST_SUPPLIER_SQL = """
+WITH m AS (
+  SELECT l_partkey, l_suppkey AS s_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+r AS (
+  SELECT l_partkey, s_suppkey, cents,
+         row_number() OVER (
+           PARTITION BY l_partkey ORDER BY cents, s_suppkey
+         ) AS rn
+  FROM m
+)
+SELECT r.l_partkey, r.s_suppkey, s.s_name, r.cents AS best_cents
+FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE rn = 1
+"""
+
+
+__all__ += ["cheapest_supplier_per_part", "CHEAPEST_SUPPLIER_SQL"]

@@ -186,3 +186,38 @@ def test_event_type_trigrams_planted(ray_session, tmp_path):
         ("view", "click", "view"): 1,
         ("click", "view", "purchase"): 1,
     }
+
+
+def test_cheapest_supplier_per_part_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ner_funtool_ray.pipelines.distribution import cheapest_supplier_per_part
+
+    # part 1: supp 5 is cheapest; part 2: tie at 3.00 -> lower suppkey (2)
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": [1, 1, 1, 2, 2],
+                "l_suppkey": [4, 5, 4, 9, 2],
+                "l_extendedprice": [10.0, 7.5, 8.0, 3.0, 3.0],
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": [2, 4, 5, 9],
+                "s_name": ["s2", "s4", "s5", "s9"],
+            }
+        ),
+        tmp_path / "supplier.parquet",
+    )
+    df = (
+        cheapest_supplier_per_part(str(tmp_path))
+        .to_pandas()
+        .set_index("l_partkey")
+        .sort_index()
+    )
+    assert df.loc[1, "s_suppkey"] == 5 and df.loc[1, "best_cents"] == 750
+    assert df.loc[2, "s_suppkey"] == 2 and df.loc[2, "s_name"] == "s2"
