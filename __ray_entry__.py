@@ -1429,6 +1429,12 @@ def _q_quality_filter(sf_dir: str):
     return quality_filter(sf_dir)
 
 
+def _q_doc_clean(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import doc_clean
+
+    return doc_clean(sf_dir)
+
+
 def _q_doc_token_bins(sf_dir: str):
     from ner_funtool_ray.pipelines.curation import doc_token_bins
 
@@ -1689,6 +1695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "doc_token_bins": _q_doc_token_bins,
         "tfidf_search": _q_tfidf_search,
+        "doc_clean": _q_doc_clean,
         "label_centroids": _q_label_centroids,
         "kmeans_assign": _q_kmeans_assign,
         "user_last_event": _q_user_last_event,
@@ -1805,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": _cur.QUALITY_FILTER_SQL,
         "doc_token_bins": _cur.make_token_bins_sql(),
         "tfidf_search": _cur.make_tfidf_sql(),
+        "doc_clean": _cur.DOC_CLEAN_SQL,
         "label_centroids": _emb.LABEL_CENTROIDS_SQL,
         "kmeans_assign": _emb.KMEANS_ASSIGN_SQL,
         "user_last_event": _rel.USER_LAST_EVENT_SQL,

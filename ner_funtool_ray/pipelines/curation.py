@@ -566,3 +566,48 @@ __all__ += [
     "tfidf_search",
     "make_tfidf_sql",
 ]
+
+
+# --- normalization -----------------------------------------------------------
+
+
+def doc_clean(sf_dir: str) -> "ray.data.Dataset":
+    """Text normalization → ``(doc_id, clean_text, n_removed)``: lowercase,
+    collapse every run of non-word characters to a single space, trim;
+    ``n_removed`` = chars dropped by the normalization.  Pure vectorized
+    map (RE2 kernels), no shuffle, no Python per-row loop — the first
+    stage of every text pipeline, emitted as its own operator so
+    downstream stages can share one normalized column."""
+    import pyarrow.compute as pc
+
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def clean(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        collapsed = pc.replace_substring_regex(low, "[^0-9a-z_]+", " ")
+        trimmed = pc.utf8_trim(collapsed, " ")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": trimmed,
+                "n_removed": pc.subtract(
+                    pc.utf8_length(batch["text"]), pc.utf8_length(trimmed)
+                ).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+DOC_CLEAN_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '[^0-9a-z_]+', ' ', 'g'), ' ')
+         AS clean_text,
+       CAST(length(text)
+            - length(trim(regexp_replace(lower(text), '[^0-9a-z_]+', ' ',
+                                         'g'), ' ')) AS BIGINT) AS n_removed
+FROM documents
+"""
+
+
+__all__ += ["doc_clean", "DOC_CLEAN_SQL"]
