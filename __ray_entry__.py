@@ -157,6 +157,13 @@ SELECT doc_id,
 FROM h
 """
 
+_LANG_CONFUSION_SQL = f"""
+WITH p AS ({_LANGID_SQL})
+SELECT d.lang AS lang_actual, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN p USING (doc_id)
+GROUP BY 1, 2
+"""
+
 _FP_EXPR = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
 
 _FINGERPRINTS_SQL = f"SELECT doc_id, {_FP_EXPR} AS fingerprint FROM documents"
@@ -694,6 +701,12 @@ def _q_langid(sf_dir: str):
     from ner_funtool_ray.pipelines.textops import langid
 
     return langid(sf_dir)
+
+
+def _q_lang_confusion(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import lang_confusion
+
+    return lang_confusion(sf_dir)
 
 
 def _q_fingerprints(sf_dir: str):
@@ -1589,6 +1602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_triples,
         "doc_stats": _q_doc_stats,
         "langid": _q_langid,
+        "lang_confusion": _q_lang_confusion,
         "fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_representatives": _q_dedup_representatives,
@@ -1739,6 +1753,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": _TRIPLES_SQL,
         "doc_stats": _DOC_STATS_SQL,
         "langid": _LANGID_SQL,
+        "lang_confusion": _LANG_CONFUSION_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_representatives": _DEDUP_REPRESENTATIVES_SQL,

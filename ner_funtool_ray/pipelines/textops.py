@@ -267,3 +267,27 @@ def dedup_representatives(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset
         .groupby("bucket")
         .map_groups(bucket_semi, batch_format="pandas")
     )
+
+
+def lang_confusion(sf_dir: str) -> "ray.data.Dataset":
+    """Language-ID EVAL → ``(lang_actual, lang_pred, n)`` confusion matrix
+    of the heuristic detector against the corpus's labeled ``lang``
+    column — the QA aggregate run before trusting a classifier stage.
+    One scan, per-batch partial counts, languages²-bounded merge."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    def f(batch: pa.Table) -> pa.Table:
+        preds = [detect_language(t) for t in batch["text"].to_pylist()]
+        df = pd.DataFrame(
+            {"lang_actual": batch["lang"].to_pylist(), "lang_pred": preds}
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return bucketed_group_sum(
+        _read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+            f, batch_format="pyarrow"
+        ),
+        keys=["lang_actual", "lang_pred"],
+        count_col="n",
+        driver_cap=1_000_000,  # ≤ |langs|² rows per block partial
+    )
