@@ -153,3 +153,79 @@ SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
 FROM seq WHERE t3 IS NOT NULL
 GROUP BY t1, t2, t3
 """
+
+
+def user_gap_stats(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """Inter-event gap statistics per user → ``(user_id, n_gaps,
+    sum_gap_us, min_gap_us, max_gap_us)`` over consecutive events in
+    ``(ts, event_id)`` order — all integer microseconds (no division;
+    the mean is a downstream ``sum/n``).
+
+    Disjoint user-hash buckets make every user's diff sequence local to
+    one group, so min/max/sum need no cross-bucket merge; users with a
+    single event have no gap and are absent (mirrored by the twin's
+    WHERE)."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": ts,
+                "event_id": batch["event_id"],
+                "bucket": pa.array(
+                    (batch["user_id"].to_numpy() % n_buckets).astype(np.int64)
+                ),
+            }
+        )
+
+    def gaps(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        same = u[:-1] == u[1:]
+        d = pd.DataFrame({"user_id": u[1:][same], "gap": t[1:][same] - t[:-1][same]})
+        if d.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_gaps": pd.Series([], dtype=np.int64),
+                    "sum_gap_us": pd.Series([], dtype=np.int64),
+                    "min_gap_us": pd.Series([], dtype=np.int64),
+                    "max_gap_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = (
+            d.groupby("user_id", sort=False)["gap"]
+            .agg(n_gaps="size", sum_gap_us="sum", min_gap_us="min", max_gap_us="max")
+            .reset_index()
+        )
+        for c in ("n_gaps", "sum_gap_us", "min_gap_us", "max_gap_us"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pandas")
+    )
+
+
+USER_GAP_STATS_SQL = """
+WITH d AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+       CAST(min(gap) AS BIGINT) AS min_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM d WHERE gap IS NOT NULL
+GROUP BY user_id
+"""
