@@ -1490,6 +1490,12 @@ def _q_event_type_trigrams(sf_dir: str):
     return event_type_trigrams(sf_dir)
 
 
+def _q_order_price_p90(sf_dir: str):
+    from ner_funtool_ray.pipelines.stats import order_price_quantile_by_priority
+
+    return order_price_quantile_by_priority(sf_dir)
+
+
 def _q_user_gap_stats(sf_dir: str):
     from ner_funtool_ray.pipelines.sequence import user_gap_stats
 
@@ -1724,6 +1730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_decile": _q_order_price_decile,
         "event_type_trigrams": _q_event_type_trigrams,
         "user_gap_stats": _q_user_gap_stats,
+        "order_price_p90_by_priority": _q_order_price_p90,
         "ann_lsh_recall": _q_ann_lsh_recall,
         "entity_bfs_depth": _q_entity_bfs_depth,
         "entity_triangle_counts": _q_entity_triangle_counts,
@@ -1843,6 +1850,7 @@ def oracle_sql() -> dict[str, str]:
         "order_price_decile": _rel.ORDER_PRICE_DECILE_SQL,
         "event_type_trigrams": _seq.EVENT_TYPE_TRIGRAMS_SQL,
         "user_gap_stats": _seq.USER_GAP_STATS_SQL,
+        "order_price_p90_by_priority": _sta.ORDER_PRICE_P90_SQL,
         "ann_lsh_recall": _ANN_LSH_RECALL_SQL,
         "entity_bfs_depth": _graph.make_bfs_sql(_TRIPLES_SQL),
         "entity_triangle_counts": _graph.make_triangles_sql(_TRIPLES_SQL),

@@ -536,3 +536,98 @@ FROM (SELECT unnest(range(24)) AS bin) g
 LEFT JOIN (SELECT bin, count(*) AS n FROM binned GROUP BY bin) c
   ON g.bin = c.bin
 """
+
+
+def order_price_quantile_by_priority(
+    sf_dir: str,
+    q_num: int = 9,
+    q_den: int = 10,
+    coarse_shift: int = 16,
+) -> "ray.data.Dataset":
+    """EXACT grouped order statistic at rank ``ceil(q·n)`` (default p90)
+    per priority — :func:`order_price_median_by_priority` generalized to
+    an arbitrary rational quantile; same two aggregate-only histogram
+    passes (coarse bin locate → exact refine inside the one selected
+    bin), the value at rank ``(q_num·n + q_den − 1) // q_den`` under
+    ascending ``cents`` — an integer, discrete-quantile semantics, no
+    interpolation."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        cents = np.round(np.asarray(batch["o_totalprice"]) * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "pr": np.asarray(batch["o_orderpriority"]),
+                "bin": cents >> coarse_shift,
+            }
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist1 = bucketed_group_sum(
+        ds.map_batches(coarse, batch_format="pyarrow"),
+        keys=["pr", "bin"],
+        count_col="cnt",
+        driver_cap=2_000_000,
+    ).to_pandas()
+
+    targets: dict[str, tuple[int, int]] = {}
+    for pr, sub in hist1.groupby("pr", sort=False):
+        sub = sub.sort_values("bin")
+        cum = sub["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        k = (q_num * n + q_den - 1) // q_den  # rank = ceil(q*n), 1-based
+        i = int(np.searchsorted(cum, k))
+        before = int(cum[i - 1]) if i else 0
+        targets[pr] = (int(sub["bin"].to_numpy()[i]), k - before)
+
+    def fine(batch: pa.Table) -> pa.Table:
+        cents = np.round(np.asarray(batch["o_totalprice"]) * 100).astype(np.int64)
+        pr = np.asarray(batch["o_orderpriority"])
+        u, inv = np.unique(pr, return_inverse=True)
+        tbin = np.array([targets[p][0] for p in u], dtype=np.int64)[inv]
+        keep = (cents >> coarse_shift) == tbin
+        df = pd.DataFrame({"pr": pr[keep], "cents": cents[keep]})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist2 = bucketed_group_sum(
+        ds.map_batches(fine, batch_format="pyarrow"),
+        keys=["pr", "cents"],
+        count_col="cnt",
+        driver_cap=2_000_000,
+    ).to_pandas()
+
+    rows = []
+    for pr, sub in hist2.groupby("pr", sort=False):
+        sub = sub.sort_values("cents")
+        cum = sub["cnt"].to_numpy().cumsum()
+        offset = targets[pr][1]
+        j = int(np.searchsorted(cum, offset))
+        rows.append((pr, int(sub["cents"].to_numpy()[j])))
+    rows.sort()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderpriority": pa.array([r[0] for r in rows], type=pa.string()),
+                "p90_cents": pa.array(
+                    np.array([r[1] for r in rows], dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+ORDER_PRICE_P90_SQL = """
+WITH u AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, cents,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM u
+)
+SELECT o_orderpriority, cents AS p90_cents
+FROM ranked WHERE rn = (9 * n + 9) // 10
+"""
