@@ -25,6 +25,7 @@ import ner_funtool_ray.pipelines.distribution as _dist
 import ner_funtool_ray.pipelines.curation as _cur
 import ner_funtool_ray.pipelines.quality as _qual
 import ner_funtool_ray.pipelines.sequence as _seq
+import ner_funtool_ray.pipelines.decision as _dec
 import ner_funtool_ray.stages.countmin as _cm
 import ner_funtool_ray.stages.editdist as _ed
 import ner_funtool_ray.stages.hll as _hll
@@ -1424,6 +1425,48 @@ def _q_cheapest_supplier_per_part(sf_dir: str):
     return cheapest_supplier_per_part(sf_dir)
 
 
+def _q_local_supplier_volume(sf_dir: str):
+    from ner_funtool_ray.pipelines.decision import local_supplier_volume
+
+    return local_supplier_volume(sf_dir)
+
+
+def _q_market_share(sf_dir: str):
+    from ner_funtool_ray.pipelines.decision import market_share
+
+    return market_share(sf_dir)
+
+
+def _q_promo_revenue(sf_dir: str):
+    from ner_funtool_ray.pipelines.decision import promo_revenue
+
+    return promo_revenue(sf_dir)
+
+
+def _q_small_quantity_revenue(sf_dir: str):
+    from ner_funtool_ray.pipelines.decision import small_quantity_revenue
+
+    return small_quantity_revenue(sf_dir)
+
+
+def _q_disjunctive_revenue(sf_dir: str):
+    from ner_funtool_ray.pipelines.decision import disjunctive_revenue
+
+    return disjunctive_revenue(sf_dir)
+
+
+def _q_waiting_suppliers(sf_dir: str):
+    from ner_funtool_ray.pipelines.decision import waiting_suppliers
+
+    return waiting_suppliers(sf_dir)
+
+
+def _q_idle_rich_customers(sf_dir: str):
+    from ner_funtool_ray.pipelines.decision import idle_rich_customers
+
+    return idle_rich_customers(sf_dir)
+
+
 def _q_minhash_dedup_corpus(sf_dir: str):
     from ner_funtool_ray.pipelines.curation import minhash_dedup_corpus
 
@@ -1716,6 +1759,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts": _q_important_parts,
         "event_anomaly_cells": _q_event_anomaly_cells,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        # decision-support join shapes (TPC-H Q5/Q8/Q14/Q17/Q19/Q21/Q22)
+        "local_supplier_volume": _q_local_supplier_volume,
+        "market_share": _q_market_share,
+        "promo_revenue": _q_promo_revenue,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "disjunctive_revenue": _q_disjunctive_revenue,
+        "waiting_suppliers": _q_waiting_suppliers,
+        "idle_rich_customers": _q_idle_rich_customers,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -1834,6 +1885,13 @@ def oracle_sql() -> dict[str, str]:
         "important_parts": _dist.IMPORTANT_PARTS_SQL,
         "event_anomaly_cells": _dist.EVENT_ANOMALY_CELLS_SQL,
         "cheapest_supplier_per_part": _dist.CHEAPEST_SUPPLIER_SQL,
+        "local_supplier_volume": _dec.LOCAL_SUPPLIER_VOLUME_SQL,
+        "market_share": _dec.MARKET_SHARE_SQL,
+        "promo_revenue": _dec.PROMO_REVENUE_SQL,
+        "small_quantity_revenue": _dec.SMALL_QUANTITY_REVENUE_SQL,
+        "disjunctive_revenue": _dec.DISJUNCTIVE_REVENUE_SQL,
+        "waiting_suppliers": _dec.WAITING_SUPPLIERS_SQL,
+        "idle_rich_customers": _dec.IDLE_RICH_CUSTOMERS_SQL,
         "minhash_dedup_corpus": _cur.make_minhash_dedup_sql(
             _MINHASH_CLUSTERS_SQL
         ),

@@ -113,6 +113,8 @@ def run_bench() -> dict:
         "user_funnel_counts",   # sequential-pattern funnel over events
         "minhash_dedup_corpus",  # dedup APPLY: cluster + anti-join scrub
         "benchmark_contamination",  # decontamination broadcast semi-join
+        "local_supplier_volume",  # TPC-H Q5: 3-fact join chain, broadcast plan
+        "waiting_suppliers",      # TPC-H Q21: per-order verdict semi-join
     ]
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

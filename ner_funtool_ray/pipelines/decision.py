@@ -1,0 +1,1313 @@
+"""Decision-support join shapes (TPC-H Q5/Q8/Q14/Q17/Q19/Q21/Q22
+adaptations) over the synthetic star schema.
+
+These close the remaining classic-benchmark gaps in the relational
+family; each keeps the fact table streaming and resolves dimensions by
+broadcast under a parquet-metadata size guard, with a bucketed-shuffle
+fallback where the "dimension" is itself fact-sized (orders).  All money
+and quantity arithmetic is integer (cents / centi-units) end to end so
+every DuckDB twin is hash-exact.
+
+Reference parity note: the reference repo (WenRichard/NER-FunTool) has
+no relational engine — these operators exist because a general-purpose
+Ray-Data processing engine needs the full join/aggregate vocabulary; the
+shapes are the public TPC-H ones, re-expressed Ray-Data-first.
+
+The shared scale problem: Q5 and Q8 need each LINEITEM row's ordering
+CUSTOMER's nation — a lineitem⋈orders⋈customer chain where both join
+sides are fact-sized at 100 TB.  ``_annotate_cust_nation`` factors that
+chain once:
+
+- under the guard, (orderkey → cust_nationkey) is assembled on the
+  driver from two metadata-guarded column reads and broadcast once
+  (``ray.put``); the fact table streams with a searchsorted probe — no
+  shuffle at all;
+- above the guard, two chained bucketed joins: customer⋈orders co-locate
+  by ``custkey % n_buckets``, then the annotated orderkeys co-locate
+  with the lineitem payload by ``orderkey % n_buckets``.  Payload rows
+  ride one exchange — inherent to a fact-fact join without a
+  broadcastable side — but callers pre-project them to a few int64
+  columns (and push filters into ``prep``) before the shuffle, so only
+  the minimum bytes move.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ner_funtool_ray.pipelines.relational import _cents
+from ner_funtool_ray.sources.io import parquet_num_rows, read_parquet_auto
+from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _sorted_lookup(keys: np.ndarray, vals: np.ndarray):
+    """Return (sorted_keys, vals_in_key_order) for searchsorted probes."""
+    order = np.argsort(keys, kind="mergesort")
+    return keys[order], vals[order]
+
+
+def _probe(sorted_keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
+    """Vectorized hash-join probe: for each element of ``probe`` return
+    (found_mask, value) against the sorted broadcast side."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(probe), dtype=bool), np.zeros(
+            len(probe), dtype=vals.dtype if len(vals) else np.int64
+        )
+    idx = np.searchsorted(sorted_keys, probe)
+    idx_c = np.clip(idx, 0, len(sorted_keys) - 1)
+    found = (idx < len(sorted_keys)) & (sorted_keys[idx_c] == probe)
+    return found, vals[idx_c]
+
+
+def _annotate_cust_nation(
+    sf_dir: str,
+    li_columns: Sequence[str],
+    prep: Callable[[pa.Table], pa.Table],
+    payload_cols: Sequence[str],
+    broadcast_limit: int = 5_000_000,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Stream lineitem (pruned to ``li_columns``), project each batch with
+    ``prep`` — which must return int64 columns ``["orderkey"] +
+    payload_cols`` and may filter rows (predicate pushdown happens THERE,
+    before any exchange) — and annotate every surviving row with the
+    ordering customer's nationkey as ``cust_nk``.  Output columns:
+    ``payload_cols + ["cust_nk"]``.  See module docstring for the two
+    size-guarded plans."""
+    payload_cols = list(payload_cols)
+    n_orders = parquet_num_rows(f"{sf_dir}/orders.parquet")
+    n_cust = parquet_num_rows(f"{sf_dir}/customer.parquet")
+    li = read_parquet_auto(f"{sf_dir}/lineitem.parquet", columns=list(li_columns))
+
+    if max(n_orders, n_cust) <= broadcast_limit:
+        import pyarrow.parquet as pq
+
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        ck, cnk = _sorted_lookup(
+            np.asarray(cust["c_custkey"]).astype(np.int64),
+            np.asarray(cust["c_nationkey"]).astype(np.int64),
+        )
+        ords = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        found, onk = _probe(
+            ck, cnk, np.asarray(ords["o_custkey"]).astype(np.int64)
+        )
+        ok_sorted, ok_nk = _sorted_lookup(
+            np.asarray(ords["o_orderkey"]).astype(np.int64)[found], onk[found]
+        )
+        lut_ref = ray.put((ok_sorted, ok_nk))
+
+        def annotate(batch: pa.Table) -> pa.Table:
+            t = prep(batch)
+            ok, nk = ray.get(lut_ref)
+            f, cust_nk = _probe(
+                ok, nk, np.asarray(t["orderkey"]).astype(np.int64)
+            )
+            out = t.filter(pa.array(f)).drop_columns(["orderkey"])
+            return out.append_column(
+                "cust_nk", pa.array(cust_nk[f], type=pa.int64())
+            )
+
+        return li.map_batches(annotate, batch_format="pyarrow")
+
+    # ---- bucketed fallback: custkey exchange, then orderkey exchange ----
+    def cust_side(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "custkey": np.asarray(batch["c_custkey"]).astype(np.int64),
+                "orderkey": np.int64(-1),
+                "nk": np.asarray(batch["c_nationkey"]).astype(np.int64),
+                "kind": np.int8(1),
+            }
+        )
+        df["bucket"] = df["custkey"] % n_buckets
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "custkey": np.asarray(batch["o_custkey"]).astype(np.int64),
+                "orderkey": np.asarray(batch["o_orderkey"]).astype(np.int64),
+                "nk": np.int64(-1),
+                "kind": np.int8(0),
+            }
+        )
+        df["bucket"] = df["custkey"] % n_buckets
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def resolve_cust(group: pd.DataFrame) -> pa.Table:
+        dim = group[group["kind"] == 1]
+        fact = group[group["kind"] == 0]
+        nk = fact["custkey"].map(
+            pd.Series(dim["nk"].to_numpy(), index=dim["custkey"].to_numpy())
+        )
+        keep = nk.notna().to_numpy()
+        return pa.table(
+            {
+                "orderkey": pa.array(
+                    fact["orderkey"].to_numpy()[keep], type=pa.int64()
+                ),
+                "cust_nk": pa.array(
+                    nk.to_numpy()[keep].astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    order_nk = (
+        read_parquet_auto(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        .map_batches(order_side, batch_format="pyarrow")
+        .union(
+            read_parquet_auto(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_nationkey"],
+            ).map_batches(cust_side, batch_format="pyarrow")
+        )
+        .groupby("bucket")
+        .map_groups(resolve_cust, batch_format="pandas")
+    )
+
+    # second exchange: both sides share the EXACT column set (all int64)
+    def order_nk_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            "orderkey": batch["orderkey"],
+            "cust_nk": batch["cust_nk"],
+            "kind": pa.array(np.ones(n, dtype=np.int8)),
+            "bucket": pa.array(
+                np.asarray(batch["orderkey"]).astype(np.int64) % n_buckets
+            ),
+        }
+        for c in payload_cols:
+            cols[c] = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table(cols)
+
+    def li_payload_side(batch: pa.Table) -> pa.Table:
+        t = prep(batch)
+        n = t.num_rows
+        okey = np.asarray(t["orderkey"]).astype(np.int64)
+        cols = {
+            "orderkey": pa.array(okey, type=pa.int64()),
+            "cust_nk": pa.array(np.full(n, -1, dtype=np.int64)),
+            "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            "bucket": pa.array(okey % n_buckets),
+        }
+        for c in payload_cols:
+            cols[c] = pc.cast(t[c], pa.int64())
+        return pa.table(cols)
+
+    def attach(group: pd.DataFrame) -> pa.Table:
+        dim = group[group["kind"] == 1]
+        fact = group[group["kind"] == 0]
+        nk = fact["orderkey"].map(
+            pd.Series(dim["cust_nk"].to_numpy(), index=dim["orderkey"].to_numpy())
+        )
+        keep = nk.notna().to_numpy()
+        cols = {
+            c: pa.array(
+                fact[c].to_numpy()[keep].astype(np.int64), type=pa.int64()
+            )
+            for c in payload_cols
+        }
+        cols["cust_nk"] = pa.array(
+            nk.to_numpy()[keep].astype(np.int64), type=pa.int64()
+        )
+        return pa.table(cols)
+
+    return (
+        li.map_batches(li_payload_side, batch_format="pyarrow")
+        .union(order_nk.map_batches(order_nk_side, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(attach, batch_format="pandas")
+    )
+
+
+def _rev4(batch: pa.Table) -> np.ndarray:
+    ep = np.asarray(_cents(batch["l_extendedprice"]))
+    dc = np.asarray(_cents(batch["l_discount"]))
+    return ep * (100 - dc)
+
+
+def local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    year: int = 1996,
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """TPC-H Q5 shape → ``(n_name, revenue, n_lines)``: revenue from
+    lineitems shipped in ``year`` where the ordering customer and the
+    supplier sit in the SAME nation, restricted to one region.
+
+    The nation/region dimensions broadcast as dicts (25/5 rows at any
+    scale); supplier→nationkey broadcasts (dimension by design); the
+    customer-nation annotation comes from ``_annotate_cust_nation``
+    (size-guarded, see module doc) with the year filter pushed into the
+    pre-exchange projection.  The final aggregate is nation-bounded, so
+    partials merge in one tiny driver groupby."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    region_keys = {
+        rk
+        for rk, rn in zip(
+            reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()
+        )
+        if rn == region
+    }
+    nk2name = {
+        nk: name
+        for nk, name, rk in zip(
+            nat["n_nationkey"].to_pylist(),
+            nat["n_name"].to_pylist(),
+            nat["n_regionkey"].to_pylist(),
+        )
+        if rk in region_keys
+    }
+    region_nks = np.array(sorted(nk2name), dtype=np.int64)
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk, snk = _sorted_lookup(
+        np.asarray(sup["s_suppkey"]).astype(np.int64),
+        np.asarray(sup["s_nationkey"]).astype(np.int64),
+    )
+    refs = ray.put((sk, snk, region_nks, nk2name))
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ship = np.asarray(batch["l_shipdate"]).astype("datetime64[us]")
+        keep = (ship >= lo) & (ship < hi)
+        hit = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "orderkey": pc.cast(hit["l_orderkey"], pa.int64()),
+                "suppkey": pc.cast(hit["l_suppkey"], pa.int64()),
+                "rev4": pa.array(_rev4(hit), type=pa.int64()),
+            }
+        )
+
+    ds = _annotate_cust_nation(
+        sf_dir,
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+         "l_shipdate"],
+        prep,
+        ["suppkey", "rev4"],
+        broadcast_limit=broadcast_limit,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        skeys, snks, rnks, names = ray.get(refs)
+        cust_nk = np.asarray(batch["cust_nk"]).astype(np.int64)
+        f, sup_nk = _probe(
+            skeys, snks, np.asarray(batch["suppkey"]).astype(np.int64)
+        )
+        keep = f & (sup_nk == cust_nk) & np.isin(cust_nk, rnks)
+        if not keep.any():
+            return pa.table(
+                {
+                    "n_name": pa.array([], type=pa.string()),
+                    "rev4": pa.array([], type=pa.int64()),
+                    "n_lines": pa.array([], type=pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "n_name": pd.Series(cust_nk[keep]).map(names),
+                "rev4": np.asarray(batch["rev4"]).astype(np.int64)[keep],
+            }
+        )
+        g = (
+            df.groupby("n_name", sort=False)
+            .agg(rev4=("rev4", "sum"), n_lines=("rev4", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = bucketed_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["n_name"],
+        sum_cols={"rev4": "rev4", "n_lines": "n_lines"},
+        count_col=None,
+        driver_cap=2_000_000,
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "n_name": b["n_name"],
+                "revenue": pc.divide(pc.cast(b["rev4"], pa.float64()), 10000.0),
+                "n_lines": b["n_lines"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n.n_name,
+  sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0
+    AS revenue,
+  count(*)::BIGINT AS n_lines
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND s.s_nationkey = c.c_nationkey
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+def market_share(
+    sf_dir: str,
+    region: str = "EUROPE",
+    nation: str = "NATION_5",
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """TPC-H Q8 shape → ``(yr, share_ppm, nation_rev4, total_rev4)``: per
+    ship year, the share (parts per million) of revenue delivered by
+    suppliers from ``nation`` among all lineitems whose ordering CUSTOMER
+    sits in ``region``.
+
+    One annotated-lineitem pass: per-batch partials carry
+    (year, nation_rev4, total_rev4) — years × 1 rows per batch — and the
+    year-bounded merge happens on the driver.  The share is assembled
+    with Python big-int floor division, exactly mirroring the twin's
+    HUGEINT arithmetic (the BIGINT partial sums themselves are exact as
+    long as a single year's revenue stays under 2⁶³ centi-cent⁴ units —
+    the same bound every integer-cent aggregate in this repo documents)."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    region_keys = {
+        rk
+        for rk, rn in zip(
+            reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()
+        )
+        if rn == region
+    }
+    region_nks = np.array(
+        sorted(
+            nk
+            for nk, rk in zip(
+                nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()
+            )
+            if rk in region_keys
+        ),
+        dtype=np.int64,
+    )
+    target_nk = np.array(
+        sorted(
+            nk
+            for nk, nm in zip(
+                nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()
+            )
+            if nm == nation
+        ),
+        dtype=np.int64,
+    )
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    target_sups = np.unique(
+        np.asarray(sup["s_suppkey"]).astype(np.int64)[
+            np.isin(np.asarray(sup["s_nationkey"]).astype(np.int64), target_nk)
+        ]
+    )
+    refs = ray.put((region_nks, target_sups))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+                "suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+                "rev4": pa.array(_rev4(batch), type=pa.int64()),
+                "yr": pc.cast(pc.year(batch["l_shipdate"]), pa.int64()),
+            }
+        )
+
+    ds = _annotate_cust_nation(
+        sf_dir,
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+         "l_shipdate"],
+        prep,
+        ["suppkey", "rev4", "yr"],
+        broadcast_limit=broadcast_limit,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rnk, tsup = ray.get(refs)
+        cust_nk = np.asarray(batch["cust_nk"]).astype(np.int64)
+        keep = np.isin(cust_nk, rnk)
+        if not keep.any():
+            return pa.table(
+                {
+                    "yr": pa.array([], type=pa.int64()),
+                    "nation_rev4": pa.array([], type=pa.int64()),
+                    "total_rev4": pa.array([], type=pa.int64()),
+                }
+            )
+        rev4 = np.asarray(batch["rev4"]).astype(np.int64)[keep]
+        yr = np.asarray(batch["yr"]).astype(np.int64)[keep]
+        is_target = np.isin(
+            np.asarray(batch["suppkey"]).astype(np.int64)[keep], tsup
+        )
+        df = pd.DataFrame(
+            {
+                "yr": yr,
+                "nation_rev4": np.where(is_target, rev4, 0),
+                "total_rev4": rev4,
+            }
+        )
+        g = df.groupby("yr", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("yr", sort=True).sum().reset_index()
+    share = [
+        (int(n) * 1_000_000) // int(t)
+        for n, t in zip(g["nation_rev4"], g["total_rev4"])
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "yr": pa.array(g["yr"].to_numpy(np.int64)),
+                "share_ppm": pa.array(np.array(share, dtype=np.int64)),
+                "nation_rev4": pa.array(g["nation_rev4"].to_numpy(np.int64)),
+                "total_rev4": pa.array(g["total_rev4"].to_numpy(np.int64)),
+            }
+        )
+    )
+
+
+MARKET_SHARE_SQL = """
+WITH l AS (
+  SELECT year(l.l_shipdate)::BIGINT AS yr,
+         CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS rev4,
+         s.s_nationkey AS snk
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT yr,
+  CAST(CAST(sum(CASE WHEN snk IN (
+         SELECT n_nationkey FROM nation WHERE n_name = 'NATION_5')
+       THEN rev4 ELSE 0 END) AS HUGEINT) * 1000000
+       // CAST(sum(rev4) AS HUGEINT) AS BIGINT) AS share_ppm,
+  sum(CASE WHEN snk IN (
+        SELECT n_nationkey FROM nation WHERE n_name = 'NATION_5')
+      THEN rev4 ELSE 0 END)::BIGINT AS nation_rev4,
+  sum(rev4)::BIGINT AS total_rev4
+FROM l GROUP BY yr
+"""
+
+
+def promo_revenue(sf_dir: str, month: str = "1996-03") -> "ray.data.Dataset":
+    """TPC-H Q14 shape → one row ``(promo_rev4, total_rev4, promo_ppm)``:
+    the PROMO-part share of revenue for one ship month.
+
+    The promo partkey set broadcasts as a sorted int array (``np.isin``
+    probe — part is a catalog dimension, the same broadcast the Q9
+    operator uses); the month of lineitem streams with per-batch two-int
+    partials, so the merge is a driver sum of scalars."""
+    import pyarrow.parquet as pq
+
+    promo = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filters=[("p_type", "=", "PROMO")],
+    )
+    pk = np.unique(np.asarray(promo["p_partkey"]).astype(np.int64))
+    pk_ref = ray.put(pk)
+    lo = np.datetime64(f"{month}-01", "us")
+    mo = int(month[5:7])
+    nxt = f"{month[:4]}-{mo + 1:02d}" if mo < 12 else f"{int(month[:4]) + 1}-01"
+    hi = np.datetime64(f"{nxt}-01", "us")
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        ship = np.asarray(batch["l_shipdate"]).astype("datetime64[us]")
+        hit = batch.filter(pa.array((ship >= lo) & (ship < hi)))
+        rev4 = _rev4(hit)
+        is_promo = np.isin(np.asarray(hit["l_partkey"]).astype(np.int64), keys)
+        return pa.table(
+            {
+                "promo_rev4": pa.array(
+                    [int(rev4[is_promo].sum())], type=pa.int64()
+                ),
+                "total_rev4": pa.array([int(rev4.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    promo4 = int(parts.sum("promo_rev4") or 0)
+    total4 = int(parts.sum("total_rev4") or 0)
+    ppm = (promo4 * 1_000_000) // total4 if total4 else 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "promo_rev4": pa.array([promo4], type=pa.int64()),
+                "total_rev4": pa.array([total4], type=pa.int64()),
+                "promo_ppm": pa.array([ppm], type=pa.int64()),
+            }
+        )
+    )
+
+
+PROMO_REVENUE_SQL = """
+WITH l AS (
+  SELECT CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev4,
+         p.p_type AS p_type
+  FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+  WHERE li.l_shipdate >= TIMESTAMP '1996-03-01'
+    AND li.l_shipdate <  TIMESTAMP '1996-04-01'
+)
+SELECT
+  sum(CASE WHEN p_type = 'PROMO' THEN rev4 ELSE 0 END)::BIGINT
+    AS promo_rev4,
+  sum(rev4)::BIGINT AS total_rev4,
+  CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev4 ELSE 0 END) AS HUGEINT)
+       * 1000000 // CAST(sum(rev4) AS HUGEINT) AS BIGINT) AS promo_ppm
+FROM l
+"""
+
+
+def small_quantity_revenue(
+    sf_dir: str,
+    brands: Sequence[str] = ("Brand#11", "Brand#21"),
+) -> "ray.data.Dataset":
+    """TPC-H Q17 shape → ``(p_brand, total_cents, n_lines)``: revenue from
+    lineitems of a brand's parts whose quantity is below 20% of that
+    PART's average quantity — the classic correlated-scalar-subquery
+    join, decorrelated into two aggregate-only passes:
+
+    1. per-part moments ``(n, Σq)`` over the brand's lineitems (the brand
+       partkey set broadcasts; per-batch partials ride one bounded
+       exchange via ``bucketed_group_sum`` — output is catalog-bounded);
+    2. the moments broadcast back (sorted parallel arrays) and the same
+       lineitem slice streams again; the 20%-of-average test is the
+       cross-multiplied integer ``5·n·q < Σq`` (q in centi-units), so no
+       division ever happens on either engine."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    pkeys_all = np.asarray(part["p_partkey"]).astype(np.int64)
+    pbrands = np.asarray(part["p_brand"].to_pandas())
+    brand_keys = {b: np.unique(pkeys_all[pbrands == b]) for b in brands}
+    all_keys = np.unique(np.concatenate(list(brand_keys.values())))
+    keys_ref = ray.put(all_keys)
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        pkey = np.asarray(batch["l_partkey"]).astype(np.int64)
+        keep = np.isin(pkey, keys)
+        hit = batch.filter(pa.array(keep))
+        df = pd.DataFrame(
+            {
+                "l_partkey": pkey[keep],
+                "sum_qc": np.asarray(_cents(hit["l_quantity"])),
+            }
+        )
+        g = (
+            df.groupby("l_partkey", sort=False)
+            .agg(sum_qc=("sum_qc", "sum"), n=("sum_qc", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    moments = bucketed_group_sum(
+        ds.map_batches(moment_partial, batch_format="pyarrow"),
+        ["l_partkey"],
+        sum_cols={"sum_qc": "sum_qc", "n": "n"},
+        count_col=None,
+        driver_cap=2_000_000,
+    ).to_pandas()  # catalog-bounded: one row per brand part
+    mkeys = moments["l_partkey"].to_numpy(np.int64)
+    order = np.argsort(mkeys, kind="mergesort")
+    mk = mkeys[order]
+    msum = moments["sum_qc"].to_numpy(np.int64)[order]
+    mn = moments["n"].to_numpy(np.int64)[order]
+    brand_of = {
+        int(k): b for b, ks in brand_keys.items() for k in ks.tolist()
+    }
+    refs = ray.put((mk, msum, mn, brand_of))
+
+    def select_partial(batch: pa.Table) -> pa.Table:
+        k_sorted, s_sum, s_n, b_of = ray.get(refs)
+        pkey = np.asarray(batch["l_partkey"]).astype(np.int64)
+        found, sums = _probe(k_sorted, s_sum, pkey)
+        _, ns = _probe(k_sorted, s_n, pkey)
+        qc = np.asarray(_cents(batch["l_quantity"]))
+        keep = found & (5 * ns * qc < sums)
+        if not keep.any():
+            return pa.table(
+                {
+                    "p_brand": pa.array([], type=pa.string()),
+                    "total_cents": pa.array([], type=pa.int64()),
+                    "n_lines": pa.array([], type=pa.int64()),
+                }
+            )
+        hit = batch.filter(pa.array(keep))
+        df = pd.DataFrame(
+            {
+                "p_brand": pd.Series(pkey[keep]).map(b_of),
+                "total_cents": np.asarray(_cents(hit["l_extendedprice"])),
+            }
+        )
+        g = (
+            df.groupby("p_brand", sort=False)
+            .agg(total_cents=("total_cents", "sum"),
+                 n_lines=("total_cents", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return bucketed_group_sum(
+        ds.map_batches(select_partial, batch_format="pyarrow"),
+        ["p_brand"],
+        sum_cols={"total_cents": "total_cents", "n_lines": "n_lines"},
+        count_col=None,
+        driver_cap=2_000_000,
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH m AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qc,
+         count(*) AS n
+  FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+  WHERE p.p_brand IN ('Brand#11', 'Brand#21')
+  GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       sum(CAST(round(li.l_extendedprice*100) AS BIGINT))::BIGINT
+         AS total_cents,
+       count(*)::BIGINT AS n_lines
+FROM lineitem li
+JOIN part p ON li.l_partkey = p.p_partkey
+JOIN m ON m.l_partkey = li.l_partkey
+WHERE p.p_brand IN ('Brand#11', 'Brand#21')
+  AND 5 * m.n * CAST(round(li.l_quantity*100) AS BIGINT) < m.sum_qc
+GROUP BY p.p_brand
+"""
+
+
+_Q19_BRANCHES = (
+    # (branch label, brand, max size, qty lo centi, qty hi centi)
+    ("small", "Brand#11", 10, 100, 1100),
+    ("medium", "Brand#21", 20, 1000, 2000),
+    ("large", "Brand#14", 30, 2000, 3000),
+)
+
+
+def disjunctive_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q19 shape → ``(branch, revenue, n_lines)``: revenue per
+    disjunctive (brand, size, quantity-range) predicate branch.
+
+    The part attributes (brand, size) broadcast as parallel sorted
+    arrays; each lineitem batch is scored against the three branches with
+    pure numpy masks.  A zero-match branch still emits its zero row (the
+    twin LEFT-JOINs a VALUES list for the same reason)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pkeys = np.asarray(part["p_partkey"]).astype(np.int64)
+    order = np.argsort(pkeys, kind="mergesort")
+    refs = ray.put(
+        (
+            pkeys[order],
+            np.asarray(part["p_brand"].to_pandas())[order],
+            np.asarray(part["p_size"]).astype(np.int64)[order],
+        )
+    )
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk, br, sz = ray.get(refs)
+        pkey = np.asarray(batch["l_partkey"]).astype(np.int64)
+        idx = np.searchsorted(pk, pkey)
+        idx_c = np.clip(idx, 0, len(pk) - 1)
+        found = (idx < len(pk)) & (pk[idx_c] == pkey)
+        row_brand = br[idx_c]
+        row_size = sz[idx_c]
+        qc = np.asarray(_cents(batch["l_quantity"]))
+        rev4 = _rev4(batch)
+        names, revs, cnts = [], [], []
+        for label, b, max_sz, qlo, qhi in _Q19_BRANCHES:
+            m = (
+                found
+                & (row_brand == b)
+                & (row_size <= max_sz)
+                & (qc >= qlo)
+                & (qc <= qhi)
+            )
+            names.append(label)
+            revs.append(int(rev4[m].sum()))
+            cnts.append(int(m.sum()))
+        return pa.table(
+            {
+                "branch": pa.array(names, type=pa.string()),
+                "rev4": pa.array(revs, type=pa.int64()),
+                "n_lines": pa.array(cnts, type=pa.int64()),
+            }
+        )
+
+    df = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # 3 rows per batch by construction
+        .groupby("branch", sort=True)
+        .sum()
+        .reset_index()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "branch": pa.array(df["branch"], type=pa.string()),
+                "revenue": pa.array(
+                    df["rev4"].to_numpy(np.int64) / 10000.0, type=pa.float64()
+                ),
+                "n_lines": pa.array(df["n_lines"].to_numpy(np.int64)),
+            }
+        )
+    )
+
+
+DISJUNCTIVE_REVENUE_SQL = """
+WITH l AS (
+  SELECT p.p_brand, p.p_size,
+         CAST(round(l_quantity*100) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev4
+  FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+),
+b AS (
+  SELECT CASE
+    WHEN p_brand = 'Brand#11' AND p_size <= 10 AND qc BETWEEN 100 AND 1100
+      THEN 'small'
+    WHEN p_brand = 'Brand#21' AND p_size <= 20 AND qc BETWEEN 1000 AND 2000
+      THEN 'medium'
+    WHEN p_brand = 'Brand#14' AND p_size <= 30 AND qc BETWEEN 2000 AND 3000
+      THEN 'large'
+    END AS branch, rev4
+  FROM l
+)
+SELECT branches.branch,
+       coalesce(sum(b.rev4), 0) / 10000.0 AS revenue,
+       count(b.branch)::BIGINT AS n_lines
+FROM (VALUES ('small'), ('medium'), ('large')) AS branches(branch)
+LEFT JOIN b ON b.branch = branches.branch
+GROUP BY branches.branch
+"""
+
+
+def waiting_suppliers(
+    sf_dir: str,
+    late_days: int = 90,
+    broadcast_limit: int = 5_000_000,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """TPC-H Q21 shape → ``(s_name, numwait)``: suppliers who were the
+    ONLY late shipper (ship > order date + ``late_days`` days; the
+    schema's stand-in for the classic receipt/commit-date lateness) on a
+    multi-supplier order.
+
+    Plan: order dates attach by broadcast searchsorted under the guard
+    (bucketed orderkey join above it — the same dual plan as
+    ``late_order_priority``); per-batch lineitem partials collapse to
+    DISTINCT ``(orderkey, suppkey, late)`` rows (the combiner — EXISTS
+    semantics only need presence), which hash-bucket by orderkey so each
+    order's rows co-locate; the per-order verdict (≥2 distinct suppliers,
+    exactly 1 distinct late one) is a vectorized pandas two-level
+    aggregate inside the bucket; supplier names attach from a broadcast
+    dimension dict at the end (output is supplier-bounded).
+
+    The SQL twin hardcodes the 90-day default; callers changing
+    ``late_days`` are outside the oracle contract."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    s2name = dict(zip(sup["s_suppkey"].to_pylist(), sup["s_name"].to_pylist()))
+    late_us = late_days * _US_PER_DAY
+
+    n_orders = parquet_num_rows(f"{sf_dir}/orders.parquet")
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+
+    if n_orders <= broadcast_limit:
+        ot = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        )
+        ok, od = _sorted_lookup(
+            np.asarray(ot["o_orderkey"]).astype(np.int64),
+            np.asarray(ot["o_orderdate"])
+            .astype("datetime64[us]")
+            .astype(np.int64),
+        )
+        lut_ref = ray.put((ok, od))
+
+        def annotate(batch: pa.Table) -> pa.Table:
+            okeys, odates = ray.get(lut_ref)
+            key = np.asarray(batch["l_orderkey"]).astype(np.int64)
+            found, odate = _probe(okeys, odates, key)
+            ship = (
+                np.asarray(batch["l_shipdate"])
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            late = ((ship - odate > late_us) & found).astype(np.int8)
+            df = pd.DataFrame(
+                {
+                    "orderkey": key[found],
+                    "suppkey": np.asarray(batch["l_suppkey"]).astype(np.int64)[
+                        found
+                    ],
+                    "late": late[found],
+                }
+            )
+            g = (
+                df.groupby(["orderkey", "suppkey"], sort=False)["late"]
+                .max()
+                .reset_index()
+            )
+            g["bucket"] = (g["orderkey"] % n_buckets).astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        pairs = ds.map_batches(annotate, batch_format="pyarrow")
+    else:
+
+        def order_side(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "orderkey": np.asarray(batch["o_orderkey"]).astype(
+                        np.int64
+                    ),
+                    "suppkey": np.int64(-1),
+                    "odate": np.asarray(batch["o_orderdate"])
+                    .astype("datetime64[us]")
+                    .astype(np.int64),
+                    "ship": np.int64(0),
+                    "kind": np.int8(1),
+                }
+            )
+            df["bucket"] = df["orderkey"] % n_buckets
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        def li_side(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "orderkey": np.asarray(batch["l_orderkey"]).astype(
+                        np.int64
+                    ),
+                    "suppkey": np.asarray(batch["l_suppkey"]).astype(np.int64),
+                    "odate": np.int64(0),
+                    "ship": np.asarray(batch["l_shipdate"])
+                    .astype("datetime64[us]")
+                    .astype(np.int64),
+                    "kind": np.int8(0),
+                }
+            )
+            # combiner: only the latest ship per (order, supp) can decide
+            g = (
+                df.groupby(
+                    ["orderkey", "suppkey", "kind", "odate"], sort=False
+                )["ship"]
+                .max()
+                .reset_index()
+            )
+            g["bucket"] = (g["orderkey"] % n_buckets).astype(np.int64)
+            return pa.Table.from_pandas(
+                g[["orderkey", "suppkey", "odate", "ship", "kind", "bucket"]],
+                preserve_index=False,
+            )
+
+        def resolve(group: pd.DataFrame) -> pa.Table:
+            dim = group[group["kind"] == 1]
+            fact = group[group["kind"] == 0]
+            od = fact["orderkey"].map(
+                pd.Series(
+                    dim["odate"].to_numpy(), index=dim["orderkey"].to_numpy()
+                )
+            )
+            keep = od.notna().to_numpy()
+            late = (
+                fact["ship"].to_numpy()[keep]
+                - od.to_numpy()[keep].astype(np.int64)
+                > late_us
+            )
+            out = pd.DataFrame(
+                {
+                    "orderkey": fact["orderkey"].to_numpy()[keep],
+                    "suppkey": fact["suppkey"].to_numpy()[keep],
+                    "late": late.astype(np.int8),
+                }
+            )
+            g = (
+                out.groupby(["orderkey", "suppkey"], sort=False)["late"]
+                .max()
+                .reset_index()
+            )
+            g["bucket"] = (g["orderkey"] % n_buckets).astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        orders_ds = read_parquet_auto(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        ).map_batches(order_side, batch_format="pyarrow")
+        pairs = (
+            ds.map_batches(li_side, batch_format="pyarrow")
+            .union(orders_ds)
+            .groupby("bucket")
+            .map_groups(resolve, batch_format="pandas")
+        )
+
+    def verdict(group: pd.DataFrame) -> pa.Table:
+        # distinct (order, supp, late) may arrive from several batches
+        g = (
+            group.groupby(["orderkey", "suppkey"], sort=False)["late"]
+            .max()
+            .reset_index()
+        )
+        per_order = g.groupby("orderkey", sort=False).agg(
+            n_supp=("suppkey", "nunique"), n_late=("late", "sum")
+        )
+        ok = per_order[(per_order["n_supp"] >= 2) & (per_order["n_late"] == 1)]
+        lone = g[(g["late"] == 1) & g["orderkey"].isin(ok.index)]
+        cnt = (
+            lone.groupby("suppkey", sort=False)
+            .size()
+            .rename("numwait")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(cnt, preserve_index=False)
+
+    counts = (
+        pairs.groupby("bucket")
+        .map_groups(verdict, batch_format="pandas")
+        .to_pandas()  # supplier-bounded by construction
+    )
+    out = (
+        pd.DataFrame(
+            {
+                "s_name": counts["suppkey"].map(s2name),
+                "numwait": counts["numwait"].to_numpy(np.int64),
+            }
+        )
+        .groupby("s_name", sort=True)["numwait"]
+        .sum()
+        .reset_index()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "s_name": pa.array(out["s_name"], type=pa.string()),
+                "numwait": pa.array(
+                    out["numwait"].to_numpy(np.int64), type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+WAITING_SUPPLIERS_SQL = f"""
+WITH pair AS (
+  SELECT l_orderkey AS orderkey, l_suppkey AS suppkey,
+         max(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+                       > {90 * _US_PER_DAY} THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+verdict AS (
+  SELECT orderkey FROM pair
+  GROUP BY orderkey
+  HAVING count(DISTINCT suppkey) >= 2 AND sum(late) = 1
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM pair JOIN verdict USING (orderkey)
+JOIN supplier s ON s.s_suppkey = pair.suppkey
+WHERE pair.late = 1
+GROUP BY s.s_name
+"""
+
+
+def idle_rich_customers(
+    sf_dir: str,
+    cutoff: str = "2000-01-01",
+    broadcast_limit: int = 5_000_000,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """TPC-H Q22 shape → ``(n_name, numcust, total_cents)``: customers
+    with an account balance above the GLOBAL average positive balance and
+    no order since ``cutoff``, grouped by nation.  (The classic query's
+    "never placed an order" is vacuous on the synthetic data — every
+    customer orders — so the anti-join predicate is recency-based; the
+    NOT-EXISTS shape is identical.)
+
+    Three bounded exchanges: (1) the global moments ``(n⁺, Σ⁺)`` are two
+    driver ints from per-batch partials; (2) the has-orders custkey set —
+    per-batch DISTINCT custkeys ride the exchange, customer-bounded by
+    construction — broadcasts under the guard (sorted-array probe) or
+    co-locates with customers by ``custkey % n_buckets`` above it;
+    (3) the nation-bounded final counts merge in one tiny groupby.  The
+    above-average test cross-multiplies: ``bal_c · n⁺ > Σ⁺`` — exact
+    ints, no division."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk2name = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+
+    cust = read_parquet_auto(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = np.asarray(_cents(batch["c_acctbal"]))
+        pos = bal[bal > 0]
+        return pa.table(
+            {
+                "n_pos": pa.array([int(len(pos))], type=pa.int64()),
+                "sum_pos": pa.array([int(pos.sum())], type=pa.int64()),
+            }
+        )
+
+    moments = cust.map_batches(bal_partial, batch_format="pyarrow")
+    n_pos = int(moments.sum("n_pos") or 0)
+    sum_pos = int(moments.sum("sum_pos") or 0)
+
+    cut = np.datetime64(cutoff, "us")
+
+    def recent_custkeys(b: pa.Table) -> pa.Table:
+        recent = (
+            np.asarray(b["o_orderdate"]).astype("datetime64[us]") >= cut
+        )
+        return pa.table(
+            {
+                "custkey": pa.array(
+                    np.unique(
+                        np.asarray(b["o_custkey"]).astype(np.int64)[recent]
+                    ),
+                    type=pa.int64(),
+                )
+            }
+        )
+
+    has_orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(recent_custkeys, batch_format="pyarrow")
+    n_cust = parquet_num_rows(f"{sf_dir}/customer.parquet")
+
+    if n_cust <= broadcast_limit:
+        # the distinct set is ≤ |customer| rows — driver-safe under guard
+        keys = np.unique(
+            np.asarray(has_orders.to_pandas()["custkey"], dtype=np.int64)
+        )
+        keys_ref = ray.put(keys)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ordered = ray.get(keys_ref)
+            bal = np.asarray(_cents(batch["c_acctbal"]))
+            ckey = np.asarray(batch["c_custkey"]).astype(np.int64)
+            keep = (bal * n_pos > sum_pos) & ~np.isin(ckey, ordered)
+            if not keep.any():
+                return pa.table(
+                    {
+                        "n_name": pa.array([], type=pa.string()),
+                        "numcust": pa.array([], type=pa.int64()),
+                        "total_cents": pa.array([], type=pa.int64()),
+                    }
+                )
+            df = pd.DataFrame(
+                {
+                    "n_name": pd.Series(
+                        np.asarray(batch["c_nationkey"]).astype(np.int64)[keep]
+                    ).map(nk2name),
+                    "total_cents": bal[keep],
+                }
+            )
+            g = (
+                df.groupby("n_name", sort=False)
+                .agg(
+                    numcust=("total_cents", "size"),
+                    total_cents=("total_cents", "sum"),
+                )
+                .reset_index()
+            )
+            return pa.Table.from_pandas(
+                g[["n_name", "numcust", "total_cents"]], preserve_index=False
+            )
+
+        parts = cust.map_batches(partial, batch_format="pyarrow")
+    else:
+        name_ref = ray.put(nk2name)
+
+        def cust_side(batch: pa.Table) -> pa.Table:
+            bal = np.asarray(_cents(batch["c_acctbal"]))
+            keep = bal * n_pos > sum_pos
+            df = pd.DataFrame(
+                {
+                    "custkey": np.asarray(batch["c_custkey"]).astype(np.int64)[
+                        keep
+                    ],
+                    "nk": np.asarray(batch["c_nationkey"]).astype(np.int64)[
+                        keep
+                    ],
+                    "bal": bal[keep],
+                    "kind": np.int8(0),
+                }
+            )
+            df["bucket"] = df["custkey"] % n_buckets
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        def order_key_side(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "custkey": np.asarray(batch["custkey"]).astype(np.int64),
+                    "nk": np.int64(-1),
+                    "bal": np.int64(0),
+                    "kind": np.int8(1),
+                }
+            )
+            df["bucket"] = df["custkey"] % n_buckets
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        def anti(group: pd.DataFrame) -> pa.Table:
+            ordered = set(group.loc[group["kind"] == 1, "custkey"].tolist())
+            c = group[group["kind"] == 0]
+            keep = ~c["custkey"].isin(ordered).to_numpy()
+            df = pd.DataFrame(
+                {
+                    "n_name": pd.Series(c["nk"].to_numpy()[keep]).map(
+                        ray.get(name_ref)
+                    ),
+                    "total_cents": c["bal"].to_numpy()[keep],
+                }
+            )
+            g = (
+                df.groupby("n_name", sort=False)
+                .agg(
+                    numcust=("total_cents", "size"),
+                    total_cents=("total_cents", "sum"),
+                )
+                .reset_index()
+            )
+            return pa.Table.from_pandas(
+                g[["n_name", "numcust", "total_cents"]], preserve_index=False
+            )
+
+        parts = (
+            cust.map_batches(cust_side, batch_format="pyarrow")
+            .union(
+                has_orders.map_batches(order_key_side, batch_format="pyarrow")
+            )
+            .groupby("bucket")
+            .map_groups(anti, batch_format="pandas")
+        )
+
+    return bucketed_group_sum(
+        parts,
+        ["n_name"],
+        sum_cols={"numcust": "numcust", "total_cents": "total_cents"},
+        count_col=None,
+        driver_cap=2_000_000,
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = """
+WITH avgbal AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n_pos,
+         CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS HUGEINT)
+           AS sum_pos
+  FROM customer WHERE round(c_acctbal*100) > 0
+)
+SELECT n.n_name,
+       count(*)::BIGINT AS numcust,
+       sum(CAST(round(c.c_acctbal*100) AS BIGINT))::BIGINT AS total_cents
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey, avgbal
+WHERE CAST(round(c.c_acctbal*100) AS HUGEINT) * avgbal.n_pos
+        > avgbal.sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n.n_name
+"""
+
+
+__all__ = [
+    "local_supplier_volume",
+    "LOCAL_SUPPLIER_VOLUME_SQL",
+    "market_share",
+    "MARKET_SHARE_SQL",
+    "promo_revenue",
+    "PROMO_REVENUE_SQL",
+    "small_quantity_revenue",
+    "SMALL_QUANTITY_REVENUE_SQL",
+    "disjunctive_revenue",
+    "DISJUNCTIVE_REVENUE_SQL",
+    "waiting_suppliers",
+    "WAITING_SUPPLIERS_SQL",
+    "idle_rich_customers",
+    "IDLE_RICH_CUSTOMERS_SQL",
+]
