@@ -1467,6 +1467,24 @@ def _q_idle_rich_customers(sf_dir: str):
     return idle_rich_customers(sf_dir)
 
 
+def _q_entity_components(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_components
+
+    return entity_components(sf_dir)
+
+
+def _q_order_price_mad(sf_dir: str):
+    from ner_funtool_ray.pipelines.stats import order_price_mad_by_priority
+
+    return order_price_mad_by_priority(sf_dir)
+
+
+def _q_doc_chunks(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import doc_chunks
+
+    return doc_chunks(sf_dir)
+
+
 def _q_minhash_dedup_corpus(sf_dir: str):
     from ner_funtool_ray.pipelines.curation import minhash_dedup_corpus
 
@@ -1767,6 +1785,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": _q_disjunctive_revenue,
         "waiting_suppliers": _q_waiting_suppliers,
         "idle_rich_customers": _q_idle_rich_customers,
+        "entity_components": _q_entity_components,
+        "order_price_mad_by_priority": _q_order_price_mad,
+        "doc_chunks": _q_doc_chunks,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -1892,6 +1913,9 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_revenue": _dec.DISJUNCTIVE_REVENUE_SQL,
         "waiting_suppliers": _dec.WAITING_SUPPLIERS_SQL,
         "idle_rich_customers": _dec.IDLE_RICH_CUSTOMERS_SQL,
+        "entity_components": _graph.make_components_sql(_TRIPLES_SQL),
+        "order_price_mad_by_priority": _sta.ORDER_PRICE_MAD_SQL,
+        "doc_chunks": _cur.make_doc_chunks_sql(),
         "minhash_dedup_corpus": _cur.make_minhash_dedup_sql(
             _MINHASH_CLUSTERS_SQL
         ),

@@ -611,3 +611,115 @@ FROM documents
 
 
 __all__ += ["doc_clean", "DOC_CLEAN_SQL"]
+
+
+def doc_chunks(
+    sf_dir: str, width: int = 32, stride: int = 24
+) -> "ray.data.Dataset":
+    """Context-window chunking for LLM training-data prep →
+    ``(doc_id, chunk_id, chunk_text, n_tokens)``: each document's
+    whitespace tokens are cut into windows of ``width`` tokens starting
+    every ``stride`` tokens (overlap = width − stride), the standard
+    sliding-window pass that turns documents into model-context rows.
+
+    Embarrassingly parallel — chunking is per-document, so there is NO
+    shuffle at any scale: one ``map_batches`` with a vectorized polars
+    split → int_ranges explode → list.slice chain (a pure-Python
+    per-document fallback keeps the operator alive without polars).  The
+    output is larger than the input by the overlap factor; at 100 TB the
+    write, not this transform, is the cost."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def chunk_pl(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        out = (
+            df.with_columns(pl.col("text").str.split(" ").alias("toks"))
+            .with_columns(pl.col("toks").list.len().cast(pl.Int64).alias("n"))
+            .with_columns(
+                pl.int_ranges(0, pl.col("n"), stride).alias("start")
+            )
+            .explode("start")
+            .with_columns(
+                (pl.col("start") // stride).alias("chunk_id"),
+                pl.col("toks")
+                .list.slice(pl.col("start"), width)
+                .list.join(" ")
+                .alias("chunk_text"),
+                (
+                    pl.min_horizontal(pl.col("start") + width, pl.col("n"))
+                    - pl.col("start")
+                ).alias("n_tokens"),
+            )
+            .select(["doc_id", "chunk_id", "chunk_text", "n_tokens"])
+        )
+        return out.to_arrow()
+
+    def chunk_py(batch: pa.Table) -> pa.Table:
+        ids, cids, texts, lens = [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = text.split(" ")
+            for ci, start in enumerate(range(0, len(toks), stride)):
+                window = toks[start : start + width]
+                ids.append(did)
+                cids.append(ci)
+                texts.append(" ".join(window))
+                lens.append(len(window))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "chunk_id": pa.array(cids, type=pa.int64()),
+                "chunk_text": pa.array(texts, type=pa.string()),
+                "n_tokens": pa.array(lens, type=pa.int64()),
+            }
+        )
+
+    try:
+        import polars  # noqa: F401
+
+        fn = chunk_pl
+    except ImportError:  # pragma: no cover - polars is in the sandbox
+        fn = chunk_py
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        t = fn(batch)
+        # normalize dtypes across the polars/python paths
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "chunk_id": t["chunk_id"].cast(pa.int64()),
+                "chunk_text": t["chunk_text"].cast(pa.string()),
+                "n_tokens": t["n_tokens"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def make_doc_chunks_sql(width: int = 32, stride: int = 24) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(len(toks) AS BIGINT), {stride})) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // {stride} AS BIGINT) AS chunk_id,
+       array_to_string(
+         list_slice(toks, start + 1,
+                    least(start + {width}, CAST(len(toks) AS BIGINT))),
+         ' ') AS chunk_text,
+       CAST(least(start + {width}, CAST(len(toks) AS BIGINT)) - start
+            AS BIGINT) AS n_tokens
+FROM s
+"""
+
+
+__all__ += ["doc_chunks", "make_doc_chunks_sql"]

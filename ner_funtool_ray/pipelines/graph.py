@@ -904,3 +904,84 @@ FROM d GROUP BY degree
 
 
 __all__ += ["entity_degree_histogram", "make_degree_histogram_sql"]
+
+
+def entity_components(
+    sf_dir: str, rounds: int = 8, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Weakly connected components of the KG co-occurrence graph →
+    ``(entity_id, component)`` where ``component`` is the round-bounded
+    min-label (the lexicographically smallest entity reachable within
+    ``rounds`` hops — for components whose diameter fits, exactly the
+    component representative).
+
+    Same bounded-round min-propagation family as ``entity_bfs_depth``;
+    because the SQL twin unrolls the IDENTICAL rounds, the two engines
+    agree bit-for-bit whether or not a pathological chain has converged.
+    The entity graph is gazetteer-bounded (see ``entity_pagerank``), so
+    the numpy scatter-min on sorted node INDICES (index order == lexical
+    order) is the production path; an unbounded graph would reuse
+    ``stages/dedup.clusters_from_pairs_ds`` on hashed node ids."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir).materialize()
+    if triples.count() > driver_cap:
+        raise NotImplementedError(
+            "general-graph CC: use stages/dedup.clusters_from_pairs_ds; "
+            "the entity graph never exceeds the cap"
+        )
+    df = triples.to_pandas()
+    cooc = df[df["pred"] == "cooccurs_with"]
+    nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
+    idx = {e: i for i, e in enumerate(nodes)}
+    a = cooc["subj"].map(idx).to_numpy(dtype=np.int64)
+    b = cooc["obj"].map(idx).to_numpy(dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    lab = np.arange(len(nodes), dtype=np.int64)
+    for _ in range(rounds):
+        nl = lab.copy()
+        np.minimum.at(nl, dst, lab[src])
+        lab = np.minimum(lab, nl)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(nodes, type=pa.string()),
+                "component": pa.array(nodes[lab], type=pa.string()),
+            }
+        )
+    )
+
+
+def make_components_sql(triples_sql: str, rounds: int = 8) -> str:
+    """DuckDB twin of ``entity_components``: the identical min-label
+    rounds unrolled as chained CTEs (string MIN == index MIN because the
+    numpy path labels by sorted-node index)."""
+    parts = [
+        f"WITH t AS ({triples_sql}),\n"
+        "cooc AS (SELECT subj, obj FROM t WHERE pred = 'cooccurs_with'),\n"
+        "edges AS (SELECT subj AS src, obj AS dst FROM cooc\n"
+        "          UNION ALL SELECT obj AS src, subj AS dst FROM cooc),\n"
+        "nodes AS (SELECT DISTINCT subj AS entity_id FROM t"
+        " WHERE pred = 'appears_in'),\n"
+        "l0 AS (SELECT entity_id, entity_id AS l FROM nodes)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+l{i} AS (
+  SELECT cur.entity_id,
+         min(least(cur.l, coalesce(p.l, cur.l))) AS l
+  FROM l{i - 1} cur
+  LEFT JOIN edges e ON e.dst = cur.entity_id
+  LEFT JOIN l{i - 1} p ON p.entity_id = e.src
+  GROUP BY cur.entity_id
+)"""
+        )
+    parts.append(
+        f"\nSELECT entity_id, l AS component FROM l{rounds}"
+    )
+    return "".join(parts)
+
+
+__all__ += ["entity_components", "make_components_sql"]

@@ -631,3 +631,146 @@ WITH u AS (
 SELECT o_orderpriority, cents AS p90_cents
 FROM ranked WHERE rn = (9 * n + 9) // 10
 """
+
+
+def _grouped_median_value(
+    ds: "ray.data.Dataset",
+    value_of,
+    key_col: str,
+    coarse_shift: int,
+) -> dict[str, int]:
+    """Exact per-group median of ``value_of(batch) -> int64 ndarray`` via
+    the two-pass histogram refinement (see ``order_price_median_by_priority``
+    for the plan); returns {group: median}.  Values must be >= 0 so the
+    coarse ``>> shift`` binning is order-preserving."""
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        v = value_of(batch)
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {"g": np.asarray(batch[key_col]), "bin": v >> coarse_shift}
+            ),
+            preserve_index=False,
+        )
+
+    hist1 = bucketed_group_sum(
+        ds.map_batches(coarse, batch_format="pyarrow"),
+        keys=["g", "bin"],
+        count_col="cnt",
+        driver_cap=2_000_000,
+    ).to_pandas()
+
+    targets: dict[str, tuple[int, int]] = {}
+    for g, sub in hist1.groupby("g", sort=False):
+        sub = sub.sort_values("bin")
+        cum = sub["cnt"].to_numpy().cumsum()
+        k = (int(cum[-1]) + 1) // 2
+        i = int(np.searchsorted(cum, k))
+        before = int(cum[i - 1]) if i else 0
+        targets[g] = (int(sub["bin"].to_numpy()[i]), k - before)
+
+    def fine(batch: pa.Table) -> pa.Table:
+        v = value_of(batch)
+        g = np.asarray(batch[key_col])
+        u, inv = np.unique(g, return_inverse=True)
+        tbin = np.array([targets[p][0] for p in u], dtype=np.int64)[inv]
+        keep = (v >> coarse_shift) == tbin
+        return pa.Table.from_pandas(
+            pd.DataFrame({"g": g[keep], "v": v[keep]}), preserve_index=False
+        )
+
+    hist2 = bucketed_group_sum(
+        ds.map_batches(fine, batch_format="pyarrow"),
+        keys=["g", "v"],
+        count_col="cnt",
+        driver_cap=2_000_000,
+    ).to_pandas()
+
+    out: dict[str, int] = {}
+    for g, sub in hist2.groupby("g", sort=False):
+        sub = sub.sort_values("v")
+        cum = sub["cnt"].to_numpy().cumsum()
+        j = int(np.searchsorted(cum, targets[g][1]))
+        out[g] = int(sub["v"].to_numpy()[j])
+    return out
+
+
+def order_price_mad_by_priority(
+    sf_dir: str, coarse_shift: int = 16
+) -> "ray.data.Dataset":
+    """Robust statistics: EXACT median absolute deviation (and the median
+    it centers on) of the order price per priority →
+    ``(o_orderpriority, median_cents, mad_cents)``.
+
+    Four aggregate-only passes, each a bounded histogram exchange — the
+    chained form of the two-pass refinement: passes 1-2 find each group's
+    median (``_grouped_median_value``); the group→median dict (bounded by
+    the priority vocabulary) closes over the second run, which histograms
+    ``|cents − median_g|`` — again >= 0, so the same machinery applies
+    unchanged.  MAD is an integer order statistic (lower-middle rank), so
+    the window-function twin is hash-exact."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def cents_of(batch: pa.Table) -> np.ndarray:
+        return np.round(np.asarray(batch["o_totalprice"]) * 100).astype(
+            np.int64
+        )
+
+    med = _grouped_median_value(ds, cents_of, "o_orderpriority", coarse_shift)
+
+    def dev_of(batch: pa.Table) -> np.ndarray:
+        g = np.asarray(batch["o_orderpriority"])
+        u, inv = np.unique(g, return_inverse=True)
+        m = np.array([med[p] for p in u], dtype=np.int64)[inv]
+        return np.abs(cents_of(batch) - m)
+
+    mad = _grouped_median_value(ds, dev_of, "o_orderpriority", coarse_shift)
+    keys = sorted(med)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderpriority": pa.array(keys, type=pa.string()),
+                "median_cents": pa.array(
+                    np.array([med[k] for k in keys], dtype=np.int64)
+                ),
+                "mad_cents": pa.array(
+                    np.array([mad[k] for k in keys], dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+ORDER_PRICE_MAD_SQL = """
+WITH u AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, cents,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM u
+), med AS (
+  SELECT o_orderpriority, cents AS median_cents
+  FROM ranked WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT u.o_orderpriority, m.median_cents,
+         abs(u.cents - m.median_cents) AS d
+  FROM u JOIN med m USING (o_orderpriority)
+), ranked2 AS (
+  SELECT o_orderpriority, median_cents, d,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY d) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM dev
+)
+SELECT o_orderpriority, median_cents, d AS mad_cents
+FROM ranked2 WHERE rn = (n + 1) // 2
+"""
+
+
+__all__ += [
+    "order_price_mad_by_priority",
+    "ORDER_PRICE_MAD_SQL",
+]
