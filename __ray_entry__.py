@@ -224,6 +224,19 @@ SELECT a, b, inter / (n_a + n_b - inter) AS jaccard
 FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.5
 """
 
+# containment twin: identical inverted-index CTE, min-denominator score
+# (sub-document duplication detection — see dedup.ngram_jaccard_pairs)
+_NGRAM_CONTAINMENT_SQL = (
+    _NGRAM_JACCARD_SQL.replace(
+        "SELECT a, b, inter / (n_a + n_b - inter) AS jaccard\n"
+        "FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.5",
+        "SELECT a, b, inter / least(n_a, n_b) AS containment\n"
+        "FROM pairs WHERE inter / least(n_a, n_b) >= 0.8",
+    )
+)
+if "containment" not in _NGRAM_CONTAINMENT_SQL:  # replace() must have hit
+    raise RuntimeError("containment twin derivation out of sync")
+
 # Connected components over the exact pair graph — recursive-CTE twin of
 # the distributed min-label propagation; assembled below via _cc_wrap (the
 # pair computation must stay OUT of the WITH RECURSIVE scope, see the
@@ -1467,6 +1480,28 @@ def _q_idle_rich_customers(sf_dir: str):
     return idle_rich_customers(sf_dir)
 
 
+def _q_ngram_containment(sf_dir: str):
+    from ner_funtool_ray.sources.io import read_parquet_auto
+    from ner_funtool_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ngram_jaccard_pairs(ds, threshold=0.8, metric="containment")
+
+
+def _q_mixture_sample(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import mixture_sample
+
+    return mixture_sample(sf_dir)
+
+
+def _q_monthly_revenue_delta(sf_dir: str):
+    from ner_funtool_ray.pipelines.mining import monthly_revenue_delta
+
+    return monthly_revenue_delta(sf_dir)
+
+
 def _q_entity_components(sf_dir: str):
     from ner_funtool_ray.pipelines.graph import entity_components
 
@@ -1788,6 +1823,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_components": _q_entity_components,
         "order_price_mad_by_priority": _q_order_price_mad,
         "doc_chunks": _q_doc_chunks,
+        "ngram_containment_pairs": _q_ngram_containment,
+        "mixture_sample": _q_mixture_sample,
+        "monthly_revenue_delta": _q_monthly_revenue_delta,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -1916,6 +1954,9 @@ def oracle_sql() -> dict[str, str]:
         "entity_components": _graph.make_components_sql(_TRIPLES_SQL),
         "order_price_mad_by_priority": _sta.ORDER_PRICE_MAD_SQL,
         "doc_chunks": _cur.make_doc_chunks_sql(),
+        "ngram_containment_pairs": _NGRAM_CONTAINMENT_SQL,
+        "mixture_sample": _cur.MIXTURE_SAMPLE_SQL,
+        "monthly_revenue_delta": _min.MONTHLY_REVENUE_DELTA_SQL,
         "minhash_dedup_corpus": _cur.make_minhash_dedup_sql(
             _MINHASH_CLUSTERS_SQL
         ),

@@ -723,3 +723,50 @@ FROM s
 
 
 __all__ += ["doc_chunks", "make_doc_chunks_sql"]
+
+
+_MIXTURE_RATES = (("en", 1000), ("zh", 500), ("de", 250))
+_MIXTURE_DEFAULT = 125
+
+
+def mixture_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Language-mixture resampling (the data-mixing step of a training
+    pipeline: apply static per-domain keep rates a mixture optimizer
+    chose) → the surviving ``(doc_id, lang)`` rows.
+
+    Keep rule: ``md5_number_lower(doc_id) % 1000 < rate(lang)`` with
+    rates per thousand — deterministic, engine-independent, and
+    parallelism-independent (the same property ``sample_documents``
+    establishes; hashing is the vectorized single-block MD5 kernel).
+    Rates ride as a tiny broadcast dict; the corpus streams with NO
+    shuffle, so the op costs one column-pruned scan at any scale."""
+    from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
+    from ner_funtool_ray.sources.io import read_parquet_auto
+
+    rates = dict(_MIXTURE_RATES)
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        u = md5_number_lower_batch(
+            [str(d) for d in batch["doc_id"].to_pylist()]
+        )
+        r = np.array(
+            [rates.get(l, _MIXTURE_DEFAULT) for l in batch["lang"].to_pylist()],
+            dtype=np.uint64,
+        )
+        return batch.filter(pa.array(u % np.uint64(1000) < r))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+MIXTURE_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 <
+      CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 500
+                WHEN 'de' THEN 250 ELSE 125 END
+"""
+
+
+__all__ += ["mixture_sample", "MIXTURE_SAMPLE_SQL"]

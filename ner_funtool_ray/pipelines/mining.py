@@ -523,3 +523,83 @@ __all__ = [
     "orders_pareto",
     "ORDERS_PARETO_SQL",
 ]
+
+
+def monthly_revenue_delta(sf_dir: str) -> "ray.data.Dataset":
+    """Period-over-period time series → ``(month, rev_cents, delta_cents)``
+    where ``month`` is months-since-epoch, ``rev_cents`` the month's order
+    revenue and ``delta_cents`` the change vs the previous CALENDAR month
+    (months with no orders count as zero — the lag is over the dense
+    month grid, not over observed rows, mirroring the twin's
+    generate_series).
+
+    Per-batch partials aggregate to ≤ months rows each; the merge is a
+    calendar-bounded driver groupby (months grow with TIME, not data
+    size — the same by-construction bound ``daily_active_users``
+    documents), then a vectorized diff over the dense grid."""
+    from ner_funtool_ray.sources.io import read_parquet_auto
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["o_orderdate"]).astype("datetime64[M]")
+        month = d.astype(np.int64)  # months since epoch
+        cents = np.round(np.asarray(batch["o_totalprice"]) * 100).astype(
+            np.int64
+        )
+        g = (
+            pd.DataFrame({"month": month, "rev_cents": cents})
+            .groupby("month", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # calendar-bounded by construction
+        .groupby("month", sort=True)["rev_cents"]
+        .sum()
+    )
+    lo, hi = int(parts.index.min()), int(parts.index.max())
+    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    rev = parts.reindex(grid, fill_value=0).to_numpy(np.int64)
+    delta = np.diff(rev, prepend=np.int64(0))
+    delta[0] = rev[0]  # first month: delta vs an implicit empty month
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "month": pa.array(grid),
+                "rev_cents": pa.array(rev),
+                "delta_cents": pa.array(delta),
+            }
+        )
+    )
+
+
+MONTHLY_REVENUE_DELTA_SQL = """
+WITH m AS (
+  SELECT (year(o_orderdate) - 1970) * 12 + (month(o_orderdate) - 1)
+           AS month,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1
+),
+grid AS (
+  SELECT unnest(range((SELECT min(month) FROM m),
+                      (SELECT max(month) FROM m) + 1)) AS month
+),
+dense AS (
+  SELECT g.month, coalesce(m.rev_cents, 0) AS rev_cents
+  FROM grid g LEFT JOIN m ON m.month = g.month
+)
+SELECT CAST(month AS BIGINT) AS month,
+       CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(rev_cents - lag(rev_cents, 1, 0) OVER (ORDER BY month)
+            AS BIGINT) AS delta_cents
+FROM dense
+"""
+
+
+__all__ += ["monthly_revenue_delta", "MONTHLY_REVENUE_DELTA_SQL"]

@@ -632,8 +632,16 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     max_df: int | None = 10_000,
     n_buckets: int = 64,
+    metric: str = "jaccard",
 ) -> "ray.data.Dataset":
     """EXACT word-ngram Jaccard pairs (a < b, jaccard ≥ threshold).
+
+    ``metric="containment"`` scores ``inter / min(n_a, n_b)`` instead
+    (max-containment — catches sub-document duplication where a short
+    doc is wholly embedded in a long one, which Jaccard's union
+    denominator dilutes); the inverted-index plan is identical, only the
+    final per-pair formula changes, and the same recall-1.0 argument
+    holds (containment ≥ t > 0 still implies a shared shingle).
 
     Distributed inverted-index join — SQL-oracle-exact (no LSH, no driver
     text dict):
@@ -745,14 +753,21 @@ def ngram_jaccard_pairs(
             .reset_index()
         )
         inter = agg["inter"].to_numpy().astype(np.float64)
-        union = (agg["n_a"] + agg["n_b"]).to_numpy().astype(np.float64) - inter
-        j = inter / union
+        if metric == "containment":
+            denom = np.minimum(
+                agg["n_a"].to_numpy(), agg["n_b"].to_numpy()
+            ).astype(np.float64)
+        else:
+            denom = (
+                (agg["n_a"] + agg["n_b"]).to_numpy().astype(np.float64) - inter
+            )
+        j = inter / denom
         keep = j >= threshold
         return pa.table(
             {
                 "a": pa.array(agg["a"].to_numpy()[keep], type=pa.int64()),
                 "b": pa.array(agg["b"].to_numpy()[keep], type=pa.int64()),
-                "jaccard": pa.array(j[keep], type=pa.float64()),
+                metric: pa.array(j[keep], type=pa.float64()),
             }
         )
 

@@ -111,3 +111,80 @@ def test_doc_chunks_polars_and_python_paths_agree():
         exp.sort_values(key).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_ngram_containment_bruteforce():
+    """Containment pairs at t=0.8 equal the brute-force all-pairs answer
+    (recall 1.0 — no blocking loss)."""
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.sources.io import read_parquet_auto
+    from ner_funtool_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = read_parquet_auto(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = (
+        ngram_jaccard_pairs(ds, threshold=0.8, metric="containment")
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+
+    def shingles(text):
+        toks = [t for t in text.split() if t]
+        if len(toks) >= 2:
+            return set(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        return set(toks)
+
+    sh = {r.doc_id: shingles(r.text) for r in docs.itertuples()}
+    ids = sorted(sh)
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter and min(len(sh[a]), len(sh[b])):
+                c = inter / min(len(sh[a]), len(sh[b]))
+                if c >= 0.8:
+                    rows.append((a, b, c))
+    assert [tuple(r) for r in got.itertuples(index=False)] == rows
+
+
+def test_mixture_sample_rates_honored():
+    """The per-language survival rate matches the md5 rule exactly."""
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
+    from ner_funtool_ray.pipelines.curation import (
+        _MIXTURE_DEFAULT,
+        _MIXTURE_RATES,
+        mixture_sample,
+    )
+
+    got = set(mixture_sample(SF).to_pandas()["doc_id"])
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    rates = dict(_MIXTURE_RATES)
+    u = md5_number_lower_batch([str(d) for d in docs["doc_id"]])
+    expect = {
+        int(d)
+        for d, h, l in zip(docs["doc_id"], u, docs["lang"])
+        if int(h) % 1000 < rates.get(l, _MIXTURE_DEFAULT)
+    }
+    assert got == expect
+    # 'en' (rate 1000) survives completely
+    en = set(docs.loc[docs["lang"] == "en", "doc_id"])
+    assert en <= got
+
+
+def test_monthly_revenue_delta_invariants():
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.mining import monthly_revenue_delta
+
+    df = monthly_revenue_delta(SF).to_pandas()
+    # dense month grid, deltas telescope back to each month's revenue
+    assert (np.diff(df["month"]) == 1).all()
+    assert (df["delta_cents"].cumsum() == df["rev_cents"]).all()
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"])
+    total = int(np.round(np.asarray(orders["o_totalprice"]) * 100).sum())
+    assert int(df["rev_cents"].sum()) == total
