@@ -147,6 +147,22 @@ SELECT doc_id,
 FROM documents
 """.format(stop=_STOP_IN)
 
+# UNPIVOT twin of textops.doc_stats_long: ints widen to DOUBLE exactly,
+# ratio columns pass through untouched, so values hash-match the melt.
+_DOC_STATS_LONG_SQL = """
+WITH w AS ({ds}),
+c AS (
+  SELECT doc_id, n_chars::DOUBLE AS n_chars, n_tokens::DOUBLE AS n_tokens,
+         punct_ratio::DOUBLE AS punct_ratio,
+         stopword_ratio::DOUBLE AS stopword_ratio,
+         mean_token_len::DOUBLE AS mean_token_len
+  FROM w
+)
+UNPIVOT c
+ON n_chars, n_tokens, punct_ratio, stopword_ratio, mean_token_len
+INTO NAME metric VALUE value
+""".format(ds=_DOC_STATS_SQL)
+
 _LANGID_SQL = f"""
 WITH h AS (SELECT doc_id, {_lang_hits_sql()} FROM documents)
 SELECT doc_id,
@@ -1502,6 +1518,18 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_doc_stats_long(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import doc_stats_long
+
+    return doc_stats_long(sf_dir)
+
+
+def _q_embedding_quantize(sf_dir: str):
+    from ner_funtool_ray.pipelines.embedding import embedding_quantize
+
+    return embedding_quantize(sf_dir)
+
+
 def _q_entity_components(sf_dir: str):
     from ner_funtool_ray.pipelines.graph import entity_components
 
@@ -1826,6 +1854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": _q_ngram_containment,
         "mixture_sample": _q_mixture_sample,
         "monthly_revenue_delta": _q_monthly_revenue_delta,
+        "doc_stats_long": _q_doc_stats_long,
+        "embedding_quantize": _q_embedding_quantize,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -1957,6 +1987,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_containment_pairs": _NGRAM_CONTAINMENT_SQL,
         "mixture_sample": _cur.MIXTURE_SAMPLE_SQL,
         "monthly_revenue_delta": _min.MONTHLY_REVENUE_DELTA_SQL,
+        "doc_stats_long": _DOC_STATS_LONG_SQL,
+        "embedding_quantize": _emb.EMBEDDING_QUANTIZE_SQL,
         "minhash_dedup_corpus": _cur.make_minhash_dedup_sql(
             _MINHASH_CLUSTERS_SQL
         ),

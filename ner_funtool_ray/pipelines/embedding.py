@@ -152,3 +152,62 @@ r AS (
 )
 SELECT vec_id, cid AS centroid_id, dist2 FROM r WHERE rn = 1
 """
+
+
+def embedding_quantize(sf_dir: str) -> "ray.data.Dataset":
+    """Int8 symmetric quantization of the embedding column (the storage /
+    serving-prep step for vector indexes) → long-format
+    ``(vec_id, i, q, scale)`` with ``q = trunc(x · 127 / scale)`` and
+    ``scale`` the vector's max-|x|.
+
+    Bit-exact twin: float32 → float64 widening is exact on both engines,
+    and ``x·127/scale`` + ``trunc`` are the IDENTICAL IEEE-double ops in
+    numpy and DuckDB, so q and scale hash-match.  Per-batch vectorized,
+    shuffle-free at any scale; output rows = vectors × dim (long form
+    because list-valued result columns defeat order-insensitive value
+    hashing — the layout a consumer would write back to parquet anyway)."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def quant(batch: pa.Table) -> pa.Table:
+        from ner_funtool_ray.stages.similarity import _batch_matrix
+
+        mat = _batch_matrix(batch, "embedding")
+        n, d = mat.shape
+        scale = np.max(np.abs(mat), axis=1)
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.trunc(mat * 127.0 / safe[:, None])
+        q = np.where(scale[:, None] == 0.0, 0.0, q).astype(np.int64)
+        ids = np.repeat(batch["vec_id"].to_numpy().astype(np.int64), d)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "i": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+                "q": pa.array(q.reshape(-1)),
+                "scale": pa.array(np.repeat(scale, d), type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), m AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+  FROM e
+)
+SELECT vec_id,
+       CAST(unnest(range(len(v))) AS BIGINT) AS i,
+       CAST(unnest(list_transform(
+         v, x -> CASE WHEN scale = 0 THEN 0.0
+                      ELSE trunc(x * 127.0 / scale) END)) AS BIGINT) AS q,
+       scale
+FROM m
+"""
+
+
+__all__ = ["label_centroids", "LABEL_CENTROIDS_SQL", "kmeans_assign", "KMEANS_ASSIGN_SQL", "embedding_quantize", "EMBEDDING_QUANTIZE_SQL"]

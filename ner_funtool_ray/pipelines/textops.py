@@ -291,3 +291,31 @@ def lang_confusion(sf_dir: str) -> "ray.data.Dataset":
         count_col="n",
         driver_cap=1_000_000,  # ≤ |langs|² rows per block partial
     )
+
+
+_DOC_STATS_METRICS = (
+    "n_chars", "n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len",
+)
+
+
+def doc_stats_long(sf_dir: str) -> "ray.data.Dataset":
+    """UNPIVOT / melt shape → ``(doc_id, metric, value)``: the per-doc
+    quality features reshaped to the long metric-table layout (the form
+    monitoring systems ingest).  Pure per-batch reshape on top of
+    ``doc_stats`` — no shuffle; ints widen to DOUBLE exactly, so the
+    UNPIVOT twin hash-matches."""
+
+    def melt(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = batch.to_pandas()
+        out = df.melt(
+            id_vars=["doc_id"],
+            value_vars=list(_DOC_STATS_METRICS),
+            var_name="metric",
+            value_name="value",
+        )
+        out["value"] = out["value"].astype(np.float64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return doc_stats(sf_dir).map_batches(melt, batch_format="pyarrow")

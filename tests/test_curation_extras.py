@@ -188,3 +188,37 @@ def test_monthly_revenue_delta_invariants():
     orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"])
     total = int(np.round(np.asarray(orders["o_totalprice"]) * 100).sum())
     assert int(df["rev_cents"].sum()) == total
+
+
+def test_embedding_quantize_roundtrip_error_bound():
+    """Dequantized values are within one quantization step of the
+    original (|x - q·scale/127| < scale/127), and q fits int8."""
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.embedding import embedding_quantize
+
+    q = embedding_quantize(SF).to_pandas()
+    assert q["q"].between(-127, 127).all()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+    sample = q[q["vec_id"].isin(list(vecs)[:10])]
+    for r in sample.itertuples():
+        x = vecs[int(r.vec_id)][int(r.i)]
+        step = r.scale / 127.0
+        assert abs(x - r.q * step) < step + 1e-12
+
+
+def test_doc_stats_long_is_exact_melt():
+    from ner_funtool_ray.pipelines.textops import doc_stats, doc_stats_long
+
+    wide = doc_stats(SF).to_pandas()
+    long = doc_stats_long(SF).to_pandas()
+    assert len(long) == len(wide) * 5
+    piv = long.pivot(index="doc_id", columns="metric", values="value")
+    for c in ["n_chars", "n_tokens", "punct_ratio", "stopword_ratio",
+              "mean_token_len"]:
+        assert np.array_equal(
+            piv[c].sort_index().to_numpy(),
+            wide.set_index("doc_id")[c].sort_index().to_numpy().astype(float),
+        )
