@@ -253,6 +253,40 @@ _NGRAM_CONTAINMENT_SQL = (
 if "containment" not in _NGRAM_CONTAINMENT_SQL:  # replace() must have hit
     raise RuntimeError("containment twin derivation out of sync")
 
+# TF-weighted ngram cosine twin (dedup.tfngram_cosine_pairs): dot and the
+# squared norms are exact BIGINTs; sqrt and / are correctly-rounded IEEE
+# ops on both engines, so cos_sim hash-matches.
+_TFNGRAM_COSINE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2 THEN list_transform(
+           generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+         WHEN len(toks) = 1 THEN [toks[1]] ELSE [] END) AS s
+  FROM toks
+),
+tf AS (SELECT doc_id, s, count(*)::BIGINT AS tf FROM grams GROUP BY 1, 2),
+norm AS (SELECT doc_id, sum(tf*tf)::BIGINT AS n2 FROM tf GROUP BY 1),
+keep AS (SELECT s FROM tf GROUP BY s HAVING count(*) <= 10000),
+dots AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, sum(x.tf * y.tf)::BIGINT AS dot
+  FROM tf x JOIN tf y ON x.s = y.s AND x.doc_id < y.doc_id
+  JOIN keep k ON k.s = x.s
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT a, b, dot / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE) AS cos_sim
+  FROM dots
+  JOIN norm na ON na.doc_id = a
+  JOIN norm nb ON nb.doc_id = b
+)
+SELECT a, b, cos_sim FROM scored WHERE cos_sim >= 0.8
+"""
+
 # Connected components over the exact pair graph — recursive-CTE twin of
 # the distributed min-label propagation; assembled below via _cc_wrap (the
 # pair computation must stay OUT of the WITH RECURSIVE scope, see the
@@ -1518,6 +1552,22 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_order_share_within_customer(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import order_share_within_customer
+
+    return order_share_within_customer(sf_dir)
+
+
+def _q_tfngram_cosine(sf_dir: str):
+    from ner_funtool_ray.sources.io import read_parquet_auto
+    from ner_funtool_ray.stages.dedup import tfngram_cosine_pairs
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfngram_cosine_pairs(ds, threshold=0.8)
+
+
 def _q_doc_stats_long(sf_dir: str):
     from ner_funtool_ray.pipelines.textops import doc_stats_long
 
@@ -1856,6 +1906,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_delta": _q_monthly_revenue_delta,
         "doc_stats_long": _q_doc_stats_long,
         "embedding_quantize": _q_embedding_quantize,
+        "tfngram_cosine_pairs": _q_tfngram_cosine,
+        "order_share_within_customer": _q_order_share_within_customer,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -1989,6 +2041,8 @@ def oracle_sql() -> dict[str, str]:
         "monthly_revenue_delta": _min.MONTHLY_REVENUE_DELTA_SQL,
         "doc_stats_long": _DOC_STATS_LONG_SQL,
         "embedding_quantize": _emb.EMBEDDING_QUANTIZE_SQL,
+        "tfngram_cosine_pairs": _TFNGRAM_COSINE_SQL,
+        "order_share_within_customer": _ana.ORDER_SHARE_WITHIN_CUSTOMER_SQL,
         "minhash_dedup_corpus": _cur.make_minhash_dedup_sql(
             _MINHASH_CLUSTERS_SQL
         ),

@@ -1622,3 +1622,79 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
        CAST(max(tf) AS BIGINT) AS max_bigram_tf
 FROM tf GROUP BY doc_id
 """
+
+
+def order_share_within_customer(
+    sf_dir: str, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """ratio_to_report window → ``(o_orderkey, o_custkey, cents,
+    share_ppm)``: each order's share (parts per million, floor) of its
+    CUSTOMER's total spend — the per-group share window every BI layer
+    ships (``ratio_to_report`` / ``sum() OVER (PARTITION BY)``).
+
+    One customer-hash bucket exchange co-locates a customer's orders;
+    inside the bucket a vectorized transform('sum') + integer floor
+    division computes the share.  Shares are exact ints (Python-int
+    cross-multiplication, HUGEINT in the twin), so the result
+    hash-matches at any parallelism."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def side(batch: pa.Table) -> pa.Table:
+        cents = np.round(np.asarray(batch["o_totalprice"]) * 100).astype(
+            np.int64
+        )
+        cust = np.asarray(batch["o_custkey"]).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                "o_custkey": pa.array(cust),
+                "cents": pa.array(cents),
+                "bucket": pa.array(cust % np.int64(n_buckets)),
+            }
+        )
+
+    def share(group: pd.DataFrame) -> pa.Table:
+        tot = group.groupby("o_custkey", sort=False)["cents"].transform("sum")
+        ppm = [
+            (int(c) * 1_000_000) // int(t)
+            for c, t in zip(group["cents"], tot)
+        ]  # python ints: no overflow at any scale
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    group["o_orderkey"].to_numpy(np.int64)
+                ),
+                "o_custkey": pa.array(group["o_custkey"].to_numpy(np.int64)),
+                "cents": pa.array(group["cents"].to_numpy(np.int64)),
+                "share_ppm": pa.array(np.array(ppm, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(side, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(share, batch_format="pandas")
+    )
+
+
+ORDER_SHARE_WITHIN_CUSTOMER_SQL = """
+WITH u AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice*100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, cents,
+       CAST(CAST(cents AS HUGEINT) * 1000000 //
+            CAST(sum(cents) OVER (PARTITION BY o_custkey) AS HUGEINT)
+            AS BIGINT) AS share_ppm
+FROM u
+"""
+
+
+__all__ = [
+    "order_share_within_customer",
+    "ORDER_SHARE_WITHIN_CUSTOMER_SQL",
+]

@@ -911,3 +911,145 @@ def embedding_neardup_pairs(
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+
+
+def tfngram_cosine_pairs(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.8,
+    ngram: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = 10_000,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT TF-weighted word-ngram cosine pairs (a < b, cos ≥ threshold)
+    — the multiset complement of :func:`ngram_jaccard_pairs`: repeated
+    phrases WEIGHT the similarity instead of collapsing to set membership
+    (boilerplate-heavy near-dups score higher here).
+
+    Same distributed inverted-index plan; the index rows carry the
+    term frequency and the doc's Σtf² norm, the per-shingle expansion
+    emits tf·tf dot-product partials, and the pair merge finishes with
+    ``dot / sqrt(n2_a · n2_b)``.  Everything before the final division is
+    exact int64; sqrt and / are IEEE-correctly-rounded on BOTH engines
+    (sqrt is one of the five basic operations), so the score is
+    bit-identical to the DuckDB twin.  The ``max_df`` stop-shingle cap
+    bounds Σdf² exactly as documented on the jaccard op."""
+    from collections import Counter
+
+    def index_rows(batch: pa.Table) -> pa.Table:
+        sh_out: list[str] = []
+        id_out: list[int] = []
+        tf_out: list[int] = []
+        n2_out: list[int] = []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            toks = [t for t in text.split() if t]
+            if len(toks) >= 2:
+                grams = Counter(
+                    f"{a} {b}" for a, b in zip(toks, toks[1:])
+                )
+            elif len(toks) == 1:
+                grams = Counter(toks)
+            else:
+                grams = Counter()
+            n2 = sum(v * v for v in grams.values())
+            for s, tf in grams.items():
+                sh_out.append(s)
+                id_out.append(doc_id)
+                tf_out.append(tf)
+                n2_out.append(n2)
+        return pa.table(
+            {
+                "s": pa.array(sh_out, type=pa.string()),
+                "doc_id": pa.array(id_out, type=pa.int64()),
+                "tf": pa.array(tf_out, type=pa.int64()),
+                "n2": pa.array(n2_out, type=pa.int64()),
+                "bucket": pa.array(_crc_bucket(sh_out, n_buckets)),
+            }
+        )
+
+    def cooc_dots(group: pd.DataFrame) -> pa.Table:
+        a_l, b_l, d_l, na_l, nb_l = [], [], [], [], []
+        counts = group["s"].value_counts()
+        multi = counts[counts > 1].index
+        for _s, sub in group[group["s"].isin(multi)].groupby("s", sort=False):
+            sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            k = len(sub)
+            if k < 2 or (max_df is not None and k > max_df):
+                continue
+            ids = sub["doc_id"].to_numpy()
+            tfs = sub["tf"].to_numpy()
+            n2s = sub["n2"].to_numpy()
+            iu, ju = np.triu_indices(k, k=1)
+            a_l.append(ids[iu])
+            b_l.append(ids[ju])
+            d_l.append(tfs[iu] * tfs[ju])
+            na_l.append(n2s[iu])
+            nb_l.append(n2s[ju])
+        if not a_l:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "n2_a": pa.array([], type=pa.int64()),
+                    "n2_b": pa.array([], type=pa.int64()),
+                    "dot": pa.array([], type=pa.int64()),
+                }
+            )
+        df = (
+            pd.DataFrame(
+                {
+                    "a": np.concatenate(a_l),
+                    "b": np.concatenate(b_l),
+                    "n2_a": np.concatenate(na_l),
+                    "n2_b": np.concatenate(nb_l),
+                    "dot": np.concatenate(d_l),
+                }
+            )
+            .groupby(["a", "b", "n2_a", "n2_b"], sort=False)["dot"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def add_pbucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pbucket",
+            pa.array(
+                _pair_bucket(
+                    np.asarray(batch["a"]), np.asarray(batch["b"]), n_buckets
+                )
+            ),
+        )
+
+    def merge(group: pd.DataFrame) -> pa.Table:
+        agg = (
+            group.groupby(["a", "b", "n2_a", "n2_b"], sort=False)["dot"]
+            .sum()
+            .reset_index()
+        )
+        cos = agg["dot"].to_numpy().astype(np.float64) / np.sqrt(
+            agg["n2_a"].to_numpy().astype(np.float64)
+            * agg["n2_b"].to_numpy().astype(np.float64)
+        )
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "a": pa.array(agg["a"].to_numpy()[keep], type=pa.int64()),
+                "b": pa.array(agg["b"].to_numpy()[keep], type=pa.int64()),
+                "cos_sim": pa.array(cos[keep], type=pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(index_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cooc_dots, batch_format="pandas")
+        .map_batches(add_pbucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+

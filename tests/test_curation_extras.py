@@ -222,3 +222,56 @@ def test_doc_stats_long_is_exact_melt():
             piv[c].sort_index().to_numpy(),
             wide.set_index("doc_id")[c].sort_index().to_numpy().astype(float),
         )
+
+
+def test_tfngram_cosine_bruteforce():
+    """TF-weighted cosine pairs at t=0.8 equal the brute-force all-pairs
+    answer (recall 1.0; exact integer dot/norms)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.sources.io import read_parquet_auto
+    from ner_funtool_ray.stages.dedup import tfngram_cosine_pairs
+
+    ds = read_parquet_auto(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = (
+        tfngram_cosine_pairs(ds, threshold=0.8)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+
+    def grams(text):
+        toks = [t for t in text.split() if t]
+        if len(toks) >= 2:
+            return Counter(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        return Counter(toks)
+
+    g = {r.doc_id: grams(r.text) for r in docs.itertuples()}
+    n2 = {d: sum(v * v for v in c.values()) for d, c in g.items()}
+    ids = sorted(g)
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            dot = sum(g[a][s] * g[b][s] for s in g[a].keys() & g[b].keys())
+            if dot:
+                cos = dot / np.sqrt(float(n2[a]) * float(n2[b]))
+                if cos >= 0.8:
+                    rows.append((a, b, cos))
+    assert [tuple(r) for r in got.itertuples(index=False)] == rows
+
+
+def test_order_share_within_customer_sums_to_one():
+    """Each customer's shares sum to ~1e6 (floor division loses at most
+    n_orders-1 ppm per customer) and every row keeps its exact cents."""
+    from ner_funtool_ray.pipelines.analytic import order_share_within_customer
+
+    df = order_share_within_customer(SF).to_pandas()
+    g = df.groupby("o_custkey").agg(s=("share_ppm", "sum"), n=("share_ppm", "size"))
+    assert ((g["s"] <= 1_000_000) & (g["s"] > 1_000_000 - g["n"])).all()
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{SF}/orders.parquet")
+    assert len(df) == orders.num_rows
