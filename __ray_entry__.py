@@ -1552,6 +1552,18 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_lineitem_weighted_median(sf_dir: str):
+    from ner_funtool_ray.pipelines.stats import lineitem_weighted_median_price
+
+    return lineitem_weighted_median_price(sf_dir)
+
+
+def _q_source_shared_entity_pairs(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import source_shared_entity_pairs
+
+    return source_shared_entity_pairs(sf_dir)
+
+
 def _q_order_share_within_customer(sf_dir: str):
     from ner_funtool_ray.pipelines.analytic import order_share_within_customer
 
@@ -1908,6 +1920,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": _q_embedding_quantize,
         "tfngram_cosine_pairs": _q_tfngram_cosine,
         "order_share_within_customer": _q_order_share_within_customer,
+        "lineitem_weighted_median_price": _q_lineitem_weighted_median,
+        "source_shared_entity_pairs": _q_source_shared_entity_pairs,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -2043,6 +2057,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": _emb.EMBEDDING_QUANTIZE_SQL,
         "tfngram_cosine_pairs": _TFNGRAM_COSINE_SQL,
         "order_share_within_customer": _ana.ORDER_SHARE_WITHIN_CUSTOMER_SQL,
+        "lineitem_weighted_median_price": _sta.LINEITEM_WEIGHTED_MEDIAN_SQL,
+        "source_shared_entity_pairs": _graph.make_shared_entity_sql(
+            _TRIPLES_SQL
+        ),
         "minhash_dedup_corpus": _cur.make_minhash_dedup_sql(
             _MINHASH_CLUSTERS_SQL
         ),

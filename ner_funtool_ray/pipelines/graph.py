@@ -985,3 +985,80 @@ l{i} AS (
 
 
 __all__ += ["entity_components", "make_components_sql"]
+
+
+def source_shared_entity_pairs(
+    sf_dir: str, min_shared: int = 2, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Bipartite projection of the entity→source ``appears_in`` layer →
+    ``(a, b, shared)``: source pairs connected through at least
+    ``min_shared`` distinct entities (the doc-doc projection step that
+    turns a bipartite membership graph into a similarity graph).
+
+    The aggregated bipartite layer is gazetteer × sources — sketch-sized
+    at any corpus scale (same bound as ``entity_pagerank``) — so the
+    triangular expansion happens on the driver; an unbounded membership
+    table would run the identical expansion inside entity-bucketed
+    ``map_groups`` (the ``ngram_jaccard_pairs`` plan with entities as
+    shingles)."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir).materialize()
+    if triples.count() > driver_cap:
+        raise NotImplementedError(
+            "unbounded membership: reuse the inverted-index pair plan"
+        )
+    df = triples.to_pandas()
+    ap = df[df["pred"] == "appears_in"][["subj", "obj"]].drop_duplicates()
+    a_l, b_l = [], []
+    for _e, sub in ap.groupby("subj", sort=False):
+        docs = np.sort(sub["obj"].unique())
+        if len(docs) < 2:
+            continue
+        iu, ju = np.triu_indices(len(docs), k=1)
+        a_l.append(docs[iu])
+        b_l.append(docs[ju])
+    if not a_l:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], type=pa.string()),
+                    "b": pa.array([], type=pa.string()),
+                    "shared": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    pairs = (
+        pd.DataFrame({"a": np.concatenate(a_l), "b": np.concatenate(b_l)})
+        .groupby(["a", "b"], sort=True)
+        .size()
+        .rename("shared")
+        .reset_index()
+    )
+    pairs = pairs[pairs["shared"] >= min_shared]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(pairs["a"], type=pa.string()),
+                "b": pa.array(pairs["b"], type=pa.string()),
+                "shared": pa.array(
+                    pairs["shared"].to_numpy(np.int64), type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def make_shared_entity_sql(triples_sql: str, min_shared: int = 2) -> str:
+    return f"""
+WITH t AS ({triples_sql}),
+ap AS (SELECT DISTINCT subj AS entity, obj AS doc FROM t
+       WHERE pred = 'appears_in')
+SELECT x.doc AS a, y.doc AS b, count(*)::BIGINT AS shared
+FROM ap x JOIN ap y ON x.entity = y.entity AND x.doc < y.doc
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""
+
+
+__all__ += ["source_shared_entity_pairs", "make_shared_entity_sql"]

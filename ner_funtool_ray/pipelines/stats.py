@@ -774,3 +774,171 @@ __all__ += [
     "order_price_mad_by_priority",
     "ORDER_PRICE_MAD_SQL",
 ]
+
+
+def _grouped_weighted_median(
+    ds: "ray.data.Dataset",
+    value_of,
+    weight_of,
+    key_col: str,
+    coarse_shift: int,
+) -> dict[str, int]:
+    """Weighted generalization of ``_grouped_median_value``: the smallest
+    value whose cumulative WEIGHT reaches ``(Σw+1)//2`` per group — the
+    same two aggregate-only histogram passes, with weights summed instead
+    of rows counted.  Values and weights must be >= 0 int64."""
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        v = value_of(batch)
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "g": np.asarray(batch[key_col]),
+                    "bin": v >> coarse_shift,
+                    "w": weight_of(batch),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    hist1 = bucketed_group_sum(
+        ds.map_batches(coarse, batch_format="pyarrow"),
+        keys=["g", "bin"],
+        sum_cols={"w": "w"},
+        count_col=None,
+        driver_cap=2_000_000,
+    ).to_pandas()
+
+    targets: dict[str, tuple[int, int]] = {}
+    for g, sub in hist1.groupby("g", sort=False):
+        sub = sub.sort_values("bin")
+        cum = sub["w"].to_numpy().cumsum()
+        k = (int(cum[-1]) + 1) // 2
+        i = int(np.searchsorted(cum, k))
+        before = int(cum[i - 1]) if i else 0
+        targets[g] = (int(sub["bin"].to_numpy()[i]), k - before)
+
+    def fine(batch: pa.Table) -> pa.Table:
+        v = value_of(batch)
+        g = np.asarray(batch[key_col])
+        u, inv = np.unique(g, return_inverse=True)
+        tbin = np.array([targets[p][0] for p in u], dtype=np.int64)[inv]
+        keep = (v >> coarse_shift) == tbin
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {"g": g[keep], "v": v[keep], "w": weight_of(batch)[keep]}
+            ),
+            preserve_index=False,
+        )
+
+    hist2 = bucketed_group_sum(
+        ds.map_batches(fine, batch_format="pyarrow"),
+        keys=["g", "v"],
+        sum_cols={"w": "w"},
+        count_col=None,
+        driver_cap=2_000_000,
+    ).to_pandas()
+
+    out: dict[str, int] = {}
+    for g, sub in hist2.groupby("g", sort=False):
+        sub = sub.sort_values("v")
+        cum = sub["w"].to_numpy().cumsum()
+        j = int(np.searchsorted(cum, targets[g][1]))
+        out[g] = int(sub["v"].to_numpy()[j])
+    return out
+
+
+def lineitem_weighted_median_price(
+    sf_dir: str, coarse_shift: int = 16
+) -> "ray.data.Dataset":
+    """Quantity-weighted EXACT median line price per return flag →
+    ``(l_returnflag, wmedian_cents, total_qc)``: the smallest price whose
+    cumulative shipped QUANTITY reaches half the flag's total — the
+    inventory-weighted percentile a pricing analyst asks for (a plain
+    median over lines would weight a 1-unit line equally with a 50-unit
+    line).
+
+    Two aggregate-only histogram passes (weights ride the same bounded
+    exchanges as the counts did); quantity is centi-units int64, so the
+    cumulative-window twin is hash-exact."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def cents_of(batch: pa.Table) -> np.ndarray:
+        return np.round(
+            np.asarray(batch["l_extendedprice"]) * 100
+        ).astype(np.int64)
+
+    def qc_of(batch: pa.Table) -> np.ndarray:
+        return np.round(np.asarray(batch["l_quantity"]) * 100).astype(
+            np.int64
+        )
+
+    med = _grouped_weighted_median(
+        ds, cents_of, qc_of, "l_returnflag", coarse_shift
+    )
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {"g": np.asarray(batch["l_returnflag"]), "w": qc_of(batch)}
+            )
+            .groupby("g", sort=False)
+            .sum()
+            .reset_index(),
+            preserve_index=False,
+        )
+
+    tot = (
+        ds.map_batches(tot_partial, batch_format="pyarrow")
+        .to_pandas()  # flag-vocabulary-bounded
+        .groupby("g", sort=True)["w"]
+        .sum()
+    )
+    keys = sorted(med)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.array(keys, type=pa.string()),
+                "wmedian_cents": pa.array(
+                    np.array([med[k] for k in keys], dtype=np.int64)
+                ),
+                "total_qc": pa.array(
+                    np.array([int(tot[k]) for k in keys], dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+LINEITEM_WEIGHTED_MEDIAN_SQL = """
+WITH u AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc
+  FROM lineitem
+), pv AS (
+  SELECT l_returnflag, cents, sum(qc) AS w
+  FROM u GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, cents, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM pv
+)
+SELECT l_returnflag,
+       min(cents) AS wmedian_cents,
+       CAST(min(tot) AS BIGINT) AS total_qc
+FROM c
+WHERE cum >= (tot + 1) // 2
+GROUP BY l_returnflag
+"""
+
+
+__all__ += [
+    "lineitem_weighted_median_price",
+    "LINEITEM_WEIGHTED_MEDIAN_SQL",
+]

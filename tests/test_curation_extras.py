@@ -275,3 +275,48 @@ def test_order_share_within_customer_sums_to_one():
 
     orders = pq.read_table(f"{SF}/orders.parquet")
     assert len(df) == orders.num_rows
+
+
+def test_weighted_median_bruteforce():
+    """Quantity-weighted median equals the brute-force cumulative-weight
+    answer per return flag."""
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.stats import lineitem_weighted_median_price
+
+    got = lineitem_weighted_median_price(SF).to_pandas()
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    ).to_pandas()
+    t["cents"] = np.round(t["l_extendedprice"] * 100).astype(np.int64)
+    t["qc"] = np.round(t["l_quantity"] * 100).astype(np.int64)
+    for _, row in got.iterrows():
+        sub = t[t["l_returnflag"] == row["l_returnflag"]].sort_values("cents")
+        cum = sub["qc"].cumsum().to_numpy()
+        k = (int(cum[-1]) + 1) // 2
+        exp = int(sub["cents"].to_numpy()[np.searchsorted(cum, k)])
+        assert row["wmedian_cents"] == exp
+        assert row["total_qc"] == int(cum[-1])
+
+
+def test_shared_entity_pairs_symmetric_and_thresholded():
+    from ner_funtool_ray.pipelines.graph import source_shared_entity_pairs
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    df = source_shared_entity_pairs(SF).to_pandas()
+    assert (df["a"] < df["b"]).all()
+    assert (df["shared"] >= 2).all()
+    # brute force over the (bounded) membership layer
+    tr = kg_from_sf_dir(SF).to_pandas()
+    ap = tr[tr["pred"] == "appears_in"][["subj", "obj"]].drop_duplicates()
+    sets = ap.groupby("obj")["subj"].apply(set)
+    docs = sorted(sets.index)
+    expect = {}
+    for i, a in enumerate(docs):
+        for b in docs[i + 1 :]:
+            n = len(sets[a] & sets[b])
+            if n >= 2:
+                expect[(a, b)] = n
+    got = {(r.a, r.b): int(r.shared) for r in df.itertuples()}
+    assert got == expect
