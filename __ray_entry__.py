@@ -1552,6 +1552,12 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_weekly_active_users(sf_dir: str):
+    from ner_funtool_ray.pipelines.mining import weekly_active_users
+
+    return weekly_active_users(sf_dir)
+
+
 def _q_lineitem_weighted_median(sf_dir: str):
     from ner_funtool_ray.pipelines.stats import lineitem_weighted_median_price
 
@@ -1922,6 +1928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_share_within_customer": _q_order_share_within_customer,
         "lineitem_weighted_median_price": _q_lineitem_weighted_median,
         "source_shared_entity_pairs": _q_source_shared_entity_pairs,
+        "weekly_active_users": _q_weekly_active_users,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -2058,6 +2065,7 @@ def oracle_sql() -> dict[str, str]:
         "tfngram_cosine_pairs": _TFNGRAM_COSINE_SQL,
         "order_share_within_customer": _ana.ORDER_SHARE_WITHIN_CUSTOMER_SQL,
         "lineitem_weighted_median_price": _sta.LINEITEM_WEIGHTED_MEDIAN_SQL,
+        "weekly_active_users": _min.WEEKLY_ACTIVE_USERS_SQL,
         "source_shared_entity_pairs": _graph.make_shared_entity_sql(
             _TRIPLES_SQL
         ),

@@ -603,3 +603,91 @@ FROM dense
 
 
 __all__ += ["monthly_revenue_delta", "MONTHLY_REVENUE_DELTA_SQL"]
+
+
+def weekly_active_users(
+    sf_dir: str, window_days: int = 7, n_buckets: int = 32
+) -> "ray.data.Dataset":
+    """Trailing-window distinct users → ``(day, wau)``: for every day of
+    the dense calendar span, the count of users active at least once in
+    the ``window_days`` days ending that day — the rolling WAU metric,
+    i.e. a COUNT(DISTINCT) over a sliding window, computed WITHOUT any
+    distinct shuffle.
+
+    Plan: per-batch distinct (user, day) cells hash-bucket by user (one
+    exchange; user sets per bucket are disjoint); inside the bucket each
+    user's active days expand to the ≤ ``window_days`` covered window
+    ends and dedupe PER USER, so every (user, window_end) survives exactly
+    once globally and the per-day counts from disjoint buckets sum
+    exactly — a calendar-bounded partial (≤ days rows per bucket).  The
+    dense grid (days with zero activity included) is clamped to the
+    observed span on the driver."""
+    ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "d": _ts_us(batch["ts"]) // _DAY_US,
+            }
+        ).drop_duplicates()
+        df["bucket"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def window_cells(group: pd.DataFrame) -> pa.Table:
+        ud = group[["user_id", "d"]].drop_duplicates()
+        users = np.repeat(
+            ud["user_id"].to_numpy(), window_days
+        )
+        ends = (
+            ud["d"].to_numpy()[:, None]
+            + np.arange(window_days, dtype=np.int64)[None, :]
+        ).reshape(-1)
+        cells = pd.DataFrame({"user_id": users, "day": ends}).drop_duplicates()
+        cnt = (
+            cells.groupby("day", sort=False)
+            .size()
+            .rename("wau")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(cnt, preserve_index=False)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(window_cells, batch_format="pandas")
+        .to_pandas()  # calendar-bounded by construction
+        .groupby("day", sort=True)["wau"]
+        .sum()
+    )
+    # clamp to the observed day span: window ends past the last active
+    # day are artifacts of the expansion, and the twin's grid matches
+    days = parts.index.to_numpy()
+    active_days = days[parts.to_numpy() > 0]
+    lo = int(active_days.min())
+    hi = int(days.max() - (window_days - 1))
+    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    wau = parts.reindex(grid, fill_value=0).to_numpy(np.int64)
+    return ray.data.from_arrow(
+        pa.table({"day": pa.array(grid), "wau": pa.array(wau)})
+    )
+
+
+WEEKLY_ACTIVE_USERS_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS d FROM events
+),
+span AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+grid AS (
+  SELECT unnest(range((SELECT lo FROM span), (SELECT hi FROM span) + 1))
+           AS day
+)
+SELECT CAST(g.day AS BIGINT) AS day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM grid g
+LEFT JOIN ud u ON u.d BETWEEN g.day - 6 AND g.day
+GROUP BY g.day
+"""
+
+
+__all__ += ["weekly_active_users", "WEEKLY_ACTIVE_USERS_SQL"]

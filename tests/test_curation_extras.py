@@ -320,3 +320,23 @@ def test_shared_entity_pairs_symmetric_and_thresholded():
                 expect[(a, b)] = n
     got = {(r.a, r.b): int(r.shared) for r in df.itertuples()}
     assert got == expect
+
+
+def test_weekly_active_users_bruteforce():
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.mining import weekly_active_users
+
+    got = weekly_active_users(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    day = (ev["ts"].astype("int64") // (86_400_000_000 * 1000) ).astype("int64")
+    # ts is datetime64[us] -> int64 us
+    day = (ev["ts"].values.astype("datetime64[us]").astype(np.int64)
+           // 86_400_000_000)
+    ud = pd.DataFrame({"u": ev["user_id"], "d": day}).drop_duplicates()
+    lo, hi = int(ud["d"].min()), int(ud["d"].max())
+    for _, row in got.sample(min(20, len(got)), random_state=0).iterrows():
+        d = int(row["day"])
+        exp = ud[(ud["d"] >= d - 6) & (ud["d"] <= d)]["u"].nunique()
+        assert row["wau"] == exp
+    assert got["day"].min() == lo and got["day"].max() == hi
