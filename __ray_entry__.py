@@ -26,6 +26,7 @@ import ner_funtool_ray.pipelines.curation as _cur
 import ner_funtool_ray.pipelines.quality as _qual
 import ner_funtool_ray.pipelines.sequence as _seq
 import ner_funtool_ray.pipelines.decision as _dec
+import ner_funtool_ray.pipelines.textops as _textops
 import ner_funtool_ray.stages.countmin as _cm
 import ner_funtool_ray.stages.editdist as _ed
 import ner_funtool_ray.stages.hll as _hll
@@ -1552,6 +1553,12 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_top_terms_per_lang(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import top_terms_per_lang
+
+    return top_terms_per_lang(sf_dir)
+
+
 def _q_weekly_active_users(sf_dir: str):
     from ner_funtool_ray.pipelines.mining import weekly_active_users
 
@@ -1929,6 +1936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_median_price": _q_lineitem_weighted_median,
         "source_shared_entity_pairs": _q_source_shared_entity_pairs,
         "weekly_active_users": _q_weekly_active_users,
+        "top_terms_per_lang": _q_top_terms_per_lang,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -2066,6 +2074,7 @@ def oracle_sql() -> dict[str, str]:
         "order_share_within_customer": _ana.ORDER_SHARE_WITHIN_CUSTOMER_SQL,
         "lineitem_weighted_median_price": _sta.LINEITEM_WEIGHTED_MEDIAN_SQL,
         "weekly_active_users": _min.WEEKLY_ACTIVE_USERS_SQL,
+        "top_terms_per_lang": _textops.TOP_TERMS_PER_LANG_SQL,
         "source_shared_entity_pairs": _graph.make_shared_entity_sql(
             _TRIPLES_SQL
         ),

@@ -319,3 +319,106 @@ def doc_stats_long(sf_dir: str) -> "ray.data.Dataset":
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return doc_stats(sf_dir).map_batches(melt, batch_format="pyarrow")
+
+
+def top_terms_per_lang(
+    sf_dir: str, k: int = 10, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Corpus-level top-``k`` terms per language → ``(lang, word, cnt,
+    rank)`` with the deterministic ``(cnt DESC, word)`` tie-break — the
+    per-domain vocabulary profile a curation run reports.
+
+    Exact corpus counts need one bounded exchange (per-batch Counter
+    partials over (lang, word) via ``bucketed_group_sum`` — vocabulary ×
+    languages rows, not corpus rows); the top-k then runs inside each
+    LANGUAGE's hash bucket (a language never spans buckets, so the local
+    head IS the global head).  Languages are a vocabulary, so the final
+    result is tiny by construction."""
+    import numpy as np
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter[tuple[str, str]] = Counter()
+        for lang, t in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for w in tokenize_words(t or ""):
+                c[(lang, w)] += 1
+        if not c:
+            return pa.table(
+                {
+                    "lang": pa.array([], type=pa.string()),
+                    "word": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        langs, words = zip(*c.keys())
+        return pa.table(
+            {
+                "lang": pa.array(langs),
+                "word": pa.array(words),
+                "cnt": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    counts = bucketed_group_sum(
+        _read_documents(sf_dir, ["lang", "text"]).map_batches(
+            partial_counts, batch_format="pyarrow"
+        ),
+        keys=["lang", "word"],
+        sum_cols={"cnt": "cnt"},
+        count_col=None,
+    )
+
+    def add_lang_bucket(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        langs = batch["lang"].to_pylist()
+        return batch.append_column(
+            "lbucket",
+            pa.array(
+                np.fromiter(
+                    (zlib.crc32(s.encode()) % n_buckets for s in langs),
+                    dtype=np.int64,
+                    count=len(langs),
+                )
+            ),
+        )
+
+    def head(group: pd.DataFrame) -> pa.Table:
+        out = []
+        for lang, sub in group.groupby("lang", sort=False):
+            sub = sub.sort_values(
+                ["cnt", "word"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+            sub = sub.assign(rank=np.arange(1, len(sub) + 1, dtype=np.int64))
+            out.append(sub[["lang", "word", "cnt", "rank"]])
+        return pa.Table.from_pandas(
+            pd.concat(out, ignore_index=True), preserve_index=False
+        )
+
+    return (
+        counts.map_batches(add_lang_bucket, batch_format="pyarrow")
+        .groupby("lbucket")
+        .map_groups(head, batch_format="pandas")
+    )
+
+
+TOP_TERMS_PER_LANG_SQL = """
+WITH c AS (
+  SELECT lang, word, count(*)::BIGINT AS cnt
+  FROM (SELECT lang, unnest(regexp_extract_all(text, '\\w+')) AS word
+        FROM documents)
+  GROUP BY lang, word
+),
+r AS (
+  SELECT lang, word, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word)
+           AS rank
+  FROM c
+)
+SELECT lang, word, cnt, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
+"""
