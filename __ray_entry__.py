@@ -1553,6 +1553,12 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_kmeans_lloyd(sf_dir: str):
+    from ner_funtool_ray.pipelines.embedding import kmeans_lloyd
+
+    return kmeans_lloyd(sf_dir)
+
+
 def _q_top_terms_per_lang(sf_dir: str):
     from ner_funtool_ray.pipelines.textops import top_terms_per_lang
 
@@ -1937,6 +1943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_shared_entity_pairs": _q_source_shared_entity_pairs,
         "weekly_active_users": _q_weekly_active_users,
         "top_terms_per_lang": _q_top_terms_per_lang,
+        "kmeans_lloyd": _q_kmeans_lloyd,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -2075,6 +2082,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_weighted_median_price": _sta.LINEITEM_WEIGHTED_MEDIAN_SQL,
         "weekly_active_users": _min.WEEKLY_ACTIVE_USERS_SQL,
         "top_terms_per_lang": _textops.TOP_TERMS_PER_LANG_SQL,
+        "kmeans_lloyd": _emb.make_kmeans_lloyd_sql(),
         "source_shared_entity_pairs": _graph.make_shared_entity_sql(
             _TRIPLES_SQL
         ),

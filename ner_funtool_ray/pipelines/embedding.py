@@ -210,4 +210,148 @@ FROM m
 """
 
 
-__all__ = ["label_centroids", "LABEL_CENTROIDS_SQL", "kmeans_assign", "KMEANS_ASSIGN_SQL", "embedding_quantize", "EMBEDDING_QUANTIZE_SQL"]
+__all__ = [
+    "label_centroids", "LABEL_CENTROIDS_SQL",
+    "kmeans_assign", "KMEANS_ASSIGN_SQL",
+    "embedding_quantize", "EMBEDDING_QUANTIZE_SQL",
+    "kmeans_lloyd", "make_kmeans_lloyd_sql",
+]
+
+
+def kmeans_lloyd(sf_dir: str, k: int = 8, iters: int = 2) -> "ray.data.Dataset":
+    """Distributed Lloyd k-means, ``iters`` full iterations → the final
+    centroids in exact integer form ``(cid, dim, c_fp, n)`` (dim 1-based;
+    ``c_fp = Σq // n`` fixed-point components, ``n`` the cluster size of
+    the final assignment).
+
+    The iterative-algorithm shape on Ray Data: each iteration is one
+    broadcast (``ray.put`` the k×dim centroid block) + one
+    embarrassingly-parallel assignment pass whose per-batch partials are
+    (cid, dim, Σq, count) rows — k·dim-bounded, so the merge is a tiny
+    driver groupby — and NO corpus shuffle anywhere.  Centroids are
+    re-quantized by TRUNCATING integer division each round (DuckDB's
+    integer ``//`` truncates toward zero while numpy's floors — the numpy
+    side mirrors truncation explicitly since centroid sums go negative),
+    which keeps every quantity integer and the
+    unrolled-CTE twin bit-exact; a cluster that loses all members drops
+    out on both engines."""
+    path = f"{sf_dir}/embeddings.parquet"
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    head = head.filter(pc.less(head["vec_id"], k)).sort_by("vec_id")
+    if head.num_rows != k:
+        raise ValueError(f"expected vec_ids 0..{k-1} for centroid init")
+    cent_ids = np.arange(k, dtype=np.int64)
+    cent = _quantized(head)
+
+    ds = read_parquet_auto(path, columns=["vec_id", "embedding"])
+    sums = counts = None
+    for _ in range(iters):
+        cent_ref = ray.put((cent_ids, cent))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cids, c = ray.get(cent_ref)
+            q = _quantized(batch)
+            d2 = (
+                (q * q).sum(axis=1, dtype=np.int64)[:, None]
+                - 2 * (q @ c.T)
+                + (c * c).sum(axis=1, dtype=np.int64)[None, :]
+            )
+            best = np.argmin(d2, axis=1)
+            nc, dim = c.shape
+            s = np.zeros((nc, dim), dtype=np.int64)
+            np.add.at(s, best, q)
+            n = np.bincount(best, minlength=nc).astype(np.int64)
+            live = n > 0
+            rows_cid = np.repeat(cids[live], dim)
+            rows_dim = np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                               int(live.sum()))
+            return pa.table(
+                {
+                    "cid": pa.array(rows_cid),
+                    "dim": pa.array(rows_dim),
+                    "s": pa.array(s[live].reshape(-1)),
+                    "n": pa.array(np.repeat(n[live], dim)),
+                }
+            )
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas()  # k × dim bounded by construction
+            .groupby(["cid", "dim"], sort=True)[["s", "n"]]
+            .sum()
+            .reset_index()
+        )
+        piv_s = agg.pivot(index="cid", columns="dim", values="s").sort_index()
+        # n arrives replicated per dim; take it from dim 1
+        n_per = agg[agg["dim"] == 1].set_index("cid")["n"].sort_index()
+        cent_ids = piv_s.index.to_numpy(np.int64)
+        s_mat = piv_s.to_numpy(np.int64)
+        n_col = n_per.to_numpy(np.int64)[:, None]
+        # TRUNCATING integer division (toward zero) — DuckDB's integer //
+        # truncates while numpy's floors, and centroid sums go negative
+        cent = np.where(s_mat >= 0, s_mat // n_col, -((-s_mat) // n_col))
+        sums, counts = piv_s, n_per
+
+    dim = cent.shape[1]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "cid": pa.array(np.repeat(cent_ids, dim)),
+                "dim": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                            len(cent_ids))
+                ),
+                "c_fp": pa.array(cent.reshape(-1)),
+                "n": pa.array(
+                    np.repeat(counts.to_numpy(np.int64), dim)
+                ),
+            }
+        )
+    )
+
+
+def make_kmeans_lloyd_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled-CTE twin of ``kmeans_lloyd``: the identical assign →
+    integer-floor-centroid rounds."""
+    parts = [
+        f"""WITH q AS (
+  SELECT vec_id, i.i AS dim,
+         CAST(floor(CAST(embedding[i.i] AS DOUBLE) * {float(_FP)}) AS BIGINT)
+           AS qx
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+),
+c0 AS (SELECT vec_id AS cid, dim, qx AS qc FROM q WHERE vec_id < {k})"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f""",
+d{it} AS (
+  SELECT q.vec_id, c.cid,
+         CAST(sum((q.qx - c.qc) * (q.qx - c.qc)) AS BIGINT) AS dist2
+  FROM q JOIN c{it - 1} c ON q.dim = c.dim
+  GROUP BY q.vec_id, c.cid
+),
+a{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d{it}
+  ) WHERE rn = 1
+),
+c{it} AS (
+  SELECT a.cid, q.dim,
+         CAST(sum(q.qx) // count(*) AS BIGINT) AS qc,
+         count(*)::BIGINT AS n
+  FROM a{it} a JOIN q ON q.vec_id = a.vec_id
+  GROUP BY a.cid, q.dim
+)"""
+        )
+    parts.append(
+        f"\nSELECT cid, CAST(dim AS BIGINT) AS dim, qc AS c_fp, n"
+        f" FROM c{iters}"
+    )
+    return "".join(parts)

@@ -340,3 +340,16 @@ def test_weekly_active_users_bruteforce():
         exp = ud[(ud["d"] >= d - 6) & (ud["d"] <= d)]["u"].nunique()
         assert row["wau"] == exp
     assert got["day"].min() == lo and got["day"].max() == hi
+
+
+def test_kmeans_lloyd_partition_and_dims():
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.embedding import kmeans_lloyd
+
+    df = kmeans_lloyd(SF).to_pandas()
+    n_vecs = pq.read_table(f"{SF}/embeddings.parquet").num_rows
+    per_cid = df.groupby("cid").agg(dims=("dim", "nunique"), n=("n", "first"))
+    assert (per_cid["dims"] == 64).all()
+    assert int(per_cid["n"].sum()) == n_vecs
+    assert df["cid"].between(0, 7).all()
