@@ -66,8 +66,16 @@ def read_parquet_auto(
             # 32-core node on a 5k-row table, big enough that per-block
             # scheduling stays negligible for matmul-shaped stages).
             floor = min(64, rows // min_rows_per_block)
+            # cap as well as floor: a 600k-row table would otherwise split
+            # into 150 4k-row blocks whose per-task scheduling overhead
+            # dominates compute-light scans (measured 2.1 s → 1.7 s on the
+            # sf0.1 lineitem read at 32 CPUs; 64 ≈ 2× local CPUs keeps
+            # full parallelism).  Tables ≥ 1M rows never reach here — they
+            # use Ray's target-block-size splitting, which is what scales
+            # on a real cluster.
             n_blocks = max(
-                1, min(max_blocks, max(rows // rows_per_block, floor))
+                1,
+                min(max_blocks, 64, max(rows // rows_per_block, floor)),
             )
     except Exception:
         n_blocks = None  # metadata unavailable → Ray default

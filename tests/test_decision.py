@@ -156,3 +156,9 @@ def test_small_quantity_threshold_semantics(tmp_path):
     assert out.to_dict("records") == [
         {"p_brand": "Brand#11", "total_cents": 750, "n_lines": 1}
     ]
+
+
+def test_waiting_suppliers_driver_cap_plans_agree():
+    fast = _norm(D.waiting_suppliers(SF).to_pandas())
+    bucketed = _norm(D.waiting_suppliers(SF, driver_cap=0).to_pandas())
+    pd.testing.assert_frame_equal(fast, bucketed, check_dtype=False)
