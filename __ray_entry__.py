@@ -1553,6 +1553,12 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_part_price_qty_slope(sf_dir: str):
+    from ner_funtool_ray.pipelines.stats import part_price_qty_slope
+
+    return part_price_qty_slope(sf_dir)
+
+
 def _q_kmeans_lloyd(sf_dir: str):
     from ner_funtool_ray.pipelines.embedding import kmeans_lloyd
 
@@ -1944,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_active_users": _q_weekly_active_users,
         "top_terms_per_lang": _q_top_terms_per_lang,
         "kmeans_lloyd": _q_kmeans_lloyd,
+        "part_price_qty_slope": _q_part_price_qty_slope,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -2083,6 +2090,7 @@ def oracle_sql() -> dict[str, str]:
         "weekly_active_users": _min.WEEKLY_ACTIVE_USERS_SQL,
         "top_terms_per_lang": _textops.TOP_TERMS_PER_LANG_SQL,
         "kmeans_lloyd": _emb.make_kmeans_lloyd_sql(),
+        "part_price_qty_slope": _sta.PART_PRICE_QTY_SLOPE_SQL,
         "source_shared_entity_pairs": _graph.make_shared_entity_sql(
             _TRIPLES_SQL
         ),

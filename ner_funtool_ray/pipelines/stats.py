@@ -942,3 +942,107 @@ __all__ += [
     "lineitem_weighted_median_price",
     "LINEITEM_WEIGHTED_MEDIAN_SQL",
 ]
+
+
+def part_price_qty_slope(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped least-squares regression → ``(l_partkey, n, slope_num,
+    slope_den, slope)``: per part, the OLS slope of line price (cents)
+    against quantity (centi-units) assembled ENTIRELY from exact integer
+    moments — ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``.
+
+    The five moments are per-batch int64 partials riding one bounded
+    exchange (`bucketed_group_sum`; output is catalog-sized); the
+    numerator/denominator cross-products are assembled per part in
+    Python big ints (HUGEINT in the twin — n²·Σxy can exceed int64), and
+    the one float division at the edge is the identical IEEE op on both
+    engines, so even the ``slope`` double hash-matches.  Parts whose
+    quantities never vary (den = 0) or with n < 2 are excluded on both
+    engines."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = np.round(np.asarray(batch["l_quantity"]) * 100).astype(np.int64)
+        y = np.round(np.asarray(batch["l_extendedprice"]) * 100).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "l_partkey": np.asarray(batch["l_partkey"]).astype(np.int64),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        g = (
+            df.groupby("l_partkey", sort=False)
+            .agg(
+                n=("sx", "size"), sx=("sx", "sum"), sy=("sy", "sum"),
+                sxy=("sxy", "sum"), sxx=("sxx", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = bucketed_group_sum(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        keys=["l_partkey"],
+        sum_cols={"n": "n", "sx": "sx", "sy": "sy", "sxy": "sxy",
+                  "sxx": "sxx"},
+        count_col=None,
+        driver_cap=2_000_000,
+    ).to_pandas()  # catalog-bounded
+
+    rows = []
+    for r in agg.itertuples():
+        n, sx, sy, sxy, sxx = (
+            int(r.n), int(r.sx), int(r.sy), int(r.sxy), int(r.sxx)
+        )
+        num = n * sxy - sx * sy  # python ints: exact at any magnitude
+        den = n * sxx - sx * sx
+        if n >= 2 and den != 0:
+            # float(num)/float(den), not num/den: SQL rounds BOTH ints to
+            # double BEFORE dividing; Python's int/int true division
+            # rounds the exact rational — they differ past 2^53
+            rows.append((int(r.l_partkey), n, num, den, float(num) / float(den)))
+    rows.sort()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "l_partkey": pa.array([r[0] for r in rows], type=pa.int64()),
+                "n": pa.array([r[1] for r in rows], type=pa.int64()),
+                "slope_num": pa.array([r[2] for r in rows], type=pa.int64()),
+                "slope_den": pa.array([r[3] for r in rows], type=pa.int64()),
+                "slope": pa.array([r[4] for r in rows], type=pa.float64()),
+            }
+        )
+    )
+
+
+PART_PRICE_QTY_SLOPE_SQL = """
+WITH u AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity*100) AS HUGEINT) AS x,
+         CAST(round(l_extendedprice*100) AS HUGEINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_partkey, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+  FROM u GROUP BY l_partkey
+)
+SELECT l_partkey,
+       CAST(n AS BIGINT) AS n,
+       CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+       CAST(n*sxx - sx*sx AS BIGINT) AS slope_den,
+       CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+         AS slope
+FROM m
+WHERE n >= 2 AND n*sxx - sx*sx != 0
+"""
+
+
+__all__ += ["part_price_qty_slope", "PART_PRICE_QTY_SLOPE_SQL"]

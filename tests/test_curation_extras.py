@@ -353,3 +353,28 @@ def test_kmeans_lloyd_partition_and_dims():
     assert (per_cid["dims"] == 64).all()
     assert int(per_cid["n"].sum()) == n_vecs
     assert df["cid"].between(0, 7).all()
+
+
+def test_part_price_qty_slope_bruteforce():
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.stats import part_price_qty_slope
+
+    got = part_price_qty_slope(SF).to_pandas()
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).to_pandas()
+    t["x"] = np.round(t["l_quantity"] * 100).astype(np.int64)
+    t["y"] = np.round(t["l_extendedprice"] * 100).astype(np.int64)
+    for _, row in got.sample(min(25, len(got)), random_state=1).iterrows():
+        sub = t[t["l_partkey"] == row["l_partkey"]]
+        n = len(sub)
+        sx, sy = int(sub["x"].sum()), int(sub["y"].sum())
+        sxy = int((sub["x"] * sub["y"]).sum())
+        sxx = int((sub["x"] * sub["x"]).sum())
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        assert row["slope_num"] == num and row["slope_den"] == den
+        # cross-check against numpy's own least squares fit
+        fit = np.polyfit(sub["x"].to_numpy(float), sub["y"].to_numpy(float), 1)
+        assert abs(row["slope"] - fit[0]) < 1e-6 * max(1.0, abs(fit[0]))
