@@ -1643,9 +1643,9 @@ def order_share_within_customer(
     )
 
     def side(batch: pa.Table) -> pa.Table:
-        cents = np.round(np.asarray(batch["o_totalprice"]) * 100).astype(
-            np.int64
-        )
+        from ner_funtool_ray.pipelines.relational import cents_np
+
+        cents = cents_np(np.asarray(batch["o_totalprice"]))
         cust = np.asarray(batch["o_custkey"]).astype(np.int64)
         return pa.table(
             {
@@ -1694,7 +1694,4 @@ FROM u
 """
 
 
-__all__ = [
-    "order_share_within_customer",
-    "ORDER_SHARE_WITHIN_CUSTOMER_SQL",
-]
+

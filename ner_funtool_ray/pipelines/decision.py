@@ -493,7 +493,20 @@ def market_share(
         g = df.groupby("yr", sort=False).sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if parts_ds.count() == 0:
+        # empty-Dataset trap: .to_pandas() would drop the columns
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "yr": pa.array([], type=pa.int64()),
+                    "share_ppm": pa.array([], type=pa.int64()),
+                    "nation_rev4": pa.array([], type=pa.int64()),
+                    "total_rev4": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    parts = parts_ds.to_pandas()
     g = parts.groupby("yr", sort=True).sum().reset_index()
     share = [
         (int(n) * 1_000_000) // int(t)
@@ -580,7 +593,9 @@ def promo_revenue(sf_dir: str, month: str = "1996-03") -> "ray.data.Dataset":
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow")
+    # materialize the two-int-per-batch partials ONCE — two .sum() calls
+    # on the lazy Dataset would each re-run the full lineitem scan
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
     promo4 = int(parts.sum("promo_rev4") or 0)
     total4 = int(parts.sum("total_rev4") or 0)
     ppm = (promo4 * 1_000_000) // total4 if total4 else 0
@@ -781,11 +796,8 @@ def disjunctive_revenue(sf_dir: str) -> "ray.data.Dataset":
     def partial(batch: pa.Table) -> pa.Table:
         pk, br, sz = ray.get(refs)
         pkey = np.asarray(batch["l_partkey"]).astype(np.int64)
-        idx = np.searchsorted(pk, pkey)
-        idx_c = np.clip(idx, 0, len(pk) - 1)
-        found = (idx < len(pk)) & (pk[idx_c] == pkey)
-        row_brand = br[idx_c]
-        row_size = sz[idx_c]
+        found, row_brand = _probe(pk, br, pkey)
+        _, row_size = _probe(pk, sz, pkey)
         qc = np.asarray(_cents(batch["l_quantity"]))
         rev4 = _rev4(batch)
         names, revs, cnts = [], [], []
@@ -1153,7 +1165,8 @@ def idle_rich_customers(
             }
         )
 
-    moments = cust.map_batches(bal_partial, batch_format="pyarrow")
+    # materialized once: two .sum() calls would re-scan customer twice
+    moments = cust.map_batches(bal_partial, batch_format="pyarrow").materialize()
     n_pos = int(moments.sum("n_pos") or 0)
     sum_pos = int(moments.sum("sum_pos") or 0)
 
@@ -1180,10 +1193,17 @@ def idle_rich_customers(
     n_cust = parquet_num_rows(f"{sf_dir}/customer.parquet")
 
     if n_cust <= broadcast_limit:
-        # the distinct set is ≤ |customer| rows — driver-safe under guard
-        keys = np.unique(
-            np.asarray(has_orders.to_pandas()["custkey"], dtype=np.int64)
-        )
+        # the distinct set is ≤ |customer| rows — driver-safe under guard.
+        # (empty-Dataset trap: .to_pandas() on zero rows drops columns,
+        # so a cutoff past the last order would KeyError without the
+        # count guard)
+        has_orders = has_orders.materialize()
+        if has_orders.count() == 0:
+            keys = np.array([], dtype=np.int64)
+        else:
+            keys = np.unique(
+                np.asarray(has_orders.to_pandas()["custkey"], dtype=np.int64)
+            )
         keys_ref = ray.put(keys)
 
         def partial(batch: pa.Table) -> pa.Table:

@@ -239,7 +239,12 @@ def kmeans_lloyd(sf_dir: str, k: int = 8, iters: int = 2) -> "ray.data.Dataset":
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    # predicate-pushdown read: only the row groups holding vec_id < k
+    # leave storage (reading the whole table for k init rows was the
+    # operator's biggest IO cost)
+    head = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "<", k)]
+    )
     head = head.filter(pc.less(head["vec_id"], k)).sort_by("vec_id")
     if head.num_rows != k:
         raise ValueError(f"expected vec_ids 0..{k-1} for centroid init")

@@ -546,9 +546,9 @@ def monthly_revenue_delta(sf_dir: str) -> "ray.data.Dataset":
     def partial(batch: pa.Table) -> pa.Table:
         d = np.asarray(batch["o_orderdate"]).astype("datetime64[M]")
         month = d.astype(np.int64)  # months since epoch
-        cents = np.round(np.asarray(batch["o_totalprice"]) * 100).astype(
-            np.int64
-        )
+        from ner_funtool_ray.pipelines.relational import cents_np
+
+        cents = cents_np(np.asarray(batch["o_totalprice"]))
         g = (
             pd.DataFrame({"month": month, "rev_cents": cents})
             .groupby("month", sort=False)
@@ -673,7 +673,9 @@ def weekly_active_users(
     )
 
 
-WEEKLY_ACTIVE_USERS_SQL = f"""
+def make_weekly_active_users_sql(window_days: int = 7) -> str:
+    """Twin of ``weekly_active_users`` for the SAME ``window_days``."""
+    return f"""
 WITH ud AS (
   SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS d FROM events
 ),
@@ -685,9 +687,16 @@ grid AS (
 SELECT CAST(g.day AS BIGINT) AS day,
        CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
 FROM grid g
-LEFT JOIN ud u ON u.d BETWEEN g.day - 6 AND g.day
+LEFT JOIN ud u ON u.d BETWEEN g.day - {window_days - 1} AND g.day
 GROUP BY g.day
 """
 
 
-__all__ += ["weekly_active_users", "WEEKLY_ACTIVE_USERS_SQL"]
+WEEKLY_ACTIVE_USERS_SQL = make_weekly_active_users_sql()
+
+
+__all__ += [
+    "weekly_active_users",
+    "make_weekly_active_users_sql",
+    "WEEKLY_ACTIVE_USERS_SQL",
+]

@@ -36,6 +36,14 @@ def _cents(col: pa.ChunkedArray) -> pa.Array:
     )
 
 
+def cents_np(values) -> "np.ndarray":
+    """numpy twin of :func:`_cents`: money → int64 cents rounding half
+    AWAY from zero like DuckDB ``round()`` (``np.round`` is half-to-even
+    and would drift on exact .5-cent boundaries)."""
+    v = np.asarray(values, dtype=np.float64) * 100.0
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
 def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q1-style pricing summary over lineitem (shipdate cutoff,
     groupby returnflag+linestatus).  Columns pruned at the read; the filter

@@ -713,10 +713,10 @@ def order_price_mad_by_priority(
         f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
     )
 
+    from ner_funtool_ray.pipelines.relational import cents_np
+
     def cents_of(batch: pa.Table) -> np.ndarray:
-        return np.round(np.asarray(batch["o_totalprice"]) * 100).astype(
-            np.int64
-        )
+        return cents_np(np.asarray(batch["o_totalprice"]))
 
     med = _grouped_median_value(ds, cents_of, "o_orderpriority", coarse_shift)
 
@@ -866,15 +866,13 @@ def lineitem_weighted_median_price(
         columns=["l_returnflag", "l_extendedprice", "l_quantity"],
     )
 
+    from ner_funtool_ray.pipelines.relational import cents_np
+
     def cents_of(batch: pa.Table) -> np.ndarray:
-        return np.round(
-            np.asarray(batch["l_extendedprice"]) * 100
-        ).astype(np.int64)
+        return cents_np(np.asarray(batch["l_extendedprice"]))
 
     def qc_of(batch: pa.Table) -> np.ndarray:
-        return np.round(np.asarray(batch["l_quantity"]) * 100).astype(
-            np.int64
-        )
+        return cents_np(np.asarray(batch["l_quantity"]))
 
     med = _grouped_weighted_median(
         ds, cents_of, qc_of, "l_returnflag", coarse_shift
@@ -964,10 +962,10 @@ def part_price_qty_slope(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def moments(batch: pa.Table) -> pa.Table:
-        x = np.round(np.asarray(batch["l_quantity"]) * 100).astype(np.int64)
-        y = np.round(np.asarray(batch["l_extendedprice"]) * 100).astype(
-            np.int64
-        )
+        from ner_funtool_ray.pipelines.relational import cents_np
+
+        x = cents_np(np.asarray(batch["l_quantity"]))
+        y = cents_np(np.asarray(batch["l_extendedprice"]))
         df = pd.DataFrame(
             {
                 "l_partkey": np.asarray(batch["l_partkey"]).astype(np.int64),

@@ -4,10 +4,12 @@ Ray's default read splits every file into ~2×CPU blocks; for small
 dimension/document tables that produces dozens of sub-100-row blocks whose
 per-block scheduling overhead dominates the pipeline (measured 17s → 0.7s
 on a 5k-row aggregate).  ``read_parquet_auto`` sizes ``override_num_blocks``
-from parquet row-count metadata: ~rows_per_block rows per block, capped so
-large tables still get full read parallelism.  At cluster scale the same
-formula yields many blocks (rows/row_per_block grows with the data) — this
-is a floor on block size, not a ceiling on parallelism.
+from parquet row-count metadata: ~rows_per_block rows per block, with a
+parallelism floor AND a ``mid_block_cap`` ceiling (default 64 ≈ 2× local
+CPUs) for sub-1M-row tables — over-splitting a 600k-row table into 4k-row
+blocks made per-task scheduling dominate compute-light scans.  Tables ≥
+1M rows defer to Ray's own target-block-size splitting, which scales
+block count with the data on a real cluster.
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ def read_parquet_auto(
     rows_per_block: int = 4000,
     min_rows_per_block: int = 500,
     max_blocks: int = 256,
+    mid_block_cap: int = 64,
     **kwargs,
 ) -> "ray.data.Dataset":
     if isinstance(paths, str):
@@ -65,17 +68,22 @@ def read_parquet_auto(
             # ≥ min_rows_per_block rows per block (500: small enough to fill a
             # 32-core node on a 5k-row table, big enough that per-block
             # scheduling stays negligible for matmul-shaped stages).
-            floor = min(64, rows // min_rows_per_block)
+            floor = min(mid_block_cap, rows // min_rows_per_block)
             # cap as well as floor: a 600k-row table would otherwise split
             # into 150 4k-row blocks whose per-task scheduling overhead
             # dominates compute-light scans (measured 2.1 s → 1.7 s on the
-            # sf0.1 lineitem read at 32 CPUs; 64 ≈ 2× local CPUs keeps
-            # full parallelism).  Tables ≥ 1M rows never reach here — they
-            # use Ray's target-block-size splitting, which is what scales
-            # on a real cluster.
+            # sf0.1 lineitem read at 32 CPUs; the default cap 64 ≈ 2×
+            # local CPUs keeps full parallelism — raise ``mid_block_cap``
+            # on a larger cluster).  Tables ≥ 1M rows never reach here —
+            # they use Ray's target-block-size splitting, which is what
+            # scales on a real cluster.
             n_blocks = max(
                 1,
-                min(max_blocks, 64, max(rows // rows_per_block, floor)),
+                min(
+                    max_blocks,
+                    mid_block_cap,
+                    max(rows // rows_per_block, floor),
+                ),
             )
     except Exception:
         n_blocks = None  # metadata unavailable → Ray default

@@ -934,7 +934,10 @@ def tfngram_cosine_pairs(
     exact int64; sqrt and / are IEEE-correctly-rounded on BOTH engines
     (sqrt is one of the five basic operations), so the score is
     bit-identical to the DuckDB twin.  The ``max_df`` stop-shingle cap
-    bounds Σdf² exactly as documented on the jaccard op."""
+    bounds Σdf² exactly as documented on the jaccard op.  (The registered
+    SQL twin covers the default ``ngram=2`` only — other shingle sizes
+    are outside the oracle contract, same caveat as ``late_days`` on
+    ``waiting_suppliers``.)"""
     from collections import Counter
 
     def index_rows(batch: pa.Table) -> pa.Table:
@@ -946,12 +949,13 @@ def tfngram_cosine_pairs(
             batch[id_col].to_pylist(), batch[text_col].to_pylist()
         ):
             toks = [t for t in text.split() if t]
-            if len(toks) >= 2:
+            if len(toks) >= ngram:
                 grams = Counter(
-                    f"{a} {b}" for a, b in zip(toks, toks[1:])
+                    " ".join(toks[i : i + ngram])
+                    for i in range(len(toks) - ngram + 1)
                 )
-            elif len(toks) == 1:
-                grams = Counter(toks)
+            elif toks:
+                grams = Counter([" ".join(toks)])
             else:
                 grams = Counter()
             n2 = sum(v * v for v in grams.values())
