@@ -1553,6 +1553,18 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_bigram_collocations(sf_dir: str):
+    from ner_funtool_ray.pipelines.analytic import bigram_collocations
+
+    return bigram_collocations(sf_dir)
+
+
+def _q_table_profile(sf_dir: str):
+    from ner_funtool_ray.pipelines.quality import table_profile
+
+    return table_profile(sf_dir)
+
+
 def _q_part_price_qty_slope(sf_dir: str):
     from ner_funtool_ray.pipelines.stats import part_price_qty_slope
 
@@ -1951,6 +1963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_lang": _q_top_terms_per_lang,
         "kmeans_lloyd": _q_kmeans_lloyd,
         "part_price_qty_slope": _q_part_price_qty_slope,
+        "bigram_collocations": _q_bigram_collocations,
+        "table_profile": _q_table_profile,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -2091,6 +2105,8 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_per_lang": _textops.TOP_TERMS_PER_LANG_SQL,
         "kmeans_lloyd": _emb.make_kmeans_lloyd_sql(),
         "part_price_qty_slope": _sta.PART_PRICE_QTY_SLOPE_SQL,
+        "bigram_collocations": _ana.BIGRAM_COLLOCATIONS_SQL,
+        "table_profile": _qual.TABLE_PROFILE_SQL,
         "source_shared_entity_pairs": _graph.make_shared_entity_sql(
             _TRIPLES_SQL
         ),

@@ -1695,3 +1695,109 @@ FROM u
 
 
 
+
+
+def bigram_collocations(
+    sf_dir: str, min_count: int = 30, k: int = 20
+) -> "ray.data.Dataset":
+    """Collocation / phrase mining → top-``k`` ``(bigram, cab, lift_ppm)``
+    by integer association lift — the phrase-vocabulary induction step of
+    corpus curation.  ``lift_ppm = c(ab)·N·10⁶ // (c(a)·c(b))`` is the
+    PMI exponential as an exact scaled integer (the same no-log trick as
+    ``entity_cooccurrence_lift``), so the twin hash-matches; candidates
+    need corpus count ≥ ``min_count``, ties order by (lift DESC, bigram).
+
+    One corpus pass: per-batch polars bigram/unigram count partials (the
+    ``_doc_bigram_tf`` machinery) ride a single bounded exchange keyed by
+    (kind, term) — VOCABULARY-sized, not corpus-sized — and the lift
+    assembly over the merged vocabulary runs on the driver in Python big
+    ints (HUGEINT in the twin)."""
+    import re as _re
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tf = _doc_bigram_tf(batch)
+        bg = tf.groupby("bg", sort=False)["tf"].sum().reset_index(name="c")
+        from collections import Counter
+
+        uni: Counter[str] = Counter()
+        for t in batch["text"].to_pylist():
+            uni.update(_re.findall(r"\w+", t or ""))
+        u = pd.DataFrame(
+            {"term": list(uni.keys()), "c": list(uni.values())}
+        )
+        u["kind"] = np.int8(1)
+        b = pd.DataFrame({"term": bg["bg"], "c": bg["c"]})
+        b["kind"] = np.int8(0)
+        out = pd.concat([b, u], ignore_index=True)
+        out["c"] = out["c"].astype(np.int64)
+        return pa.Table.from_pandas(
+            out[["kind", "term", "c"]], preserve_index=False
+        )
+
+    counts = bucketed_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["kind", "term"],
+        sum_cols={"c": "c"},
+        count_col=None,
+        driver_cap=2_000_000,
+    ).to_pandas()  # vocabulary-bounded by construction
+    uni = counts[counts["kind"] == 1].set_index("term")["c"]
+    big = counts[counts["kind"] == 0]
+    n_tokens = int(uni.sum())
+    rows = []
+    for r in big.itertuples():
+        cab = int(r.c)
+        if cab < min_count:
+            continue
+        a, b = r.term.split(" ", 1)
+        lift = (cab * n_tokens * 1_000_000) // (int(uni[a]) * int(uni[b]))
+        rows.append((r.term, cab, lift))
+    rows.sort(key=lambda t: (-t[2], t[0]))
+    rows = rows[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "bigram": pa.array([r[0] for r in rows], type=pa.string()),
+                "cab": pa.array([r[1] for r in rows], type=pa.int64()),
+                "lift_ppm": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+    )
+
+
+BIGRAM_COLLOCATIONS_SQL = r"""
+WITH toks AS (
+  SELECT regexp_extract_all(text, '\w+') AS l FROM documents
+),
+cu AS (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w
+),
+n AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM cu),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1]))
+           AS bg
+  FROM toks WHERE len(l) >= 2
+),
+cb AS (SELECT bg, count(*)::BIGINT AS cab FROM bg GROUP BY bg),
+scored AS (
+  SELECT cb.bg AS bigram, cb.cab,
+         CAST(CAST(cb.cab AS HUGEINT) * n.n * 1000000
+              // (CAST(ca.c AS HUGEINT) * CAST(cbb.c AS HUGEINT))
+              AS BIGINT) AS lift_ppm
+  FROM cb
+  JOIN cu ca ON ca.w = split_part(cb.bg, ' ', 1)
+  JOIN cu cbb ON cbb.w = split_part(cb.bg, ' ', 2), n
+  WHERE cb.cab >= 30
+),
+ranked AS (
+  SELECT bigram, cab, lift_ppm,
+         row_number() OVER (ORDER BY lift_ppm DESC, bigram) AS rn
+  FROM scored
+)
+SELECT bigram, cab, lift_ppm FROM ranked WHERE rn <= 20
+"""

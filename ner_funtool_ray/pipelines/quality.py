@@ -183,3 +183,114 @@ FROM {relation} c LEFT JOIN {parent_tbl} p ON c.{child_col} = p.{parent_col}
 
 
 FK_INTEGRITY_SQL = " UNION ALL ".join(_edge_sql(*e) for e in FK_EDGES)
+
+
+_PROFILE_COLUMNS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+
+def table_profile(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """ANALYZE-style column profiling of the orders table →
+    ``(column, n_rows, n_null, n_distinct)`` — the stats pass every
+    engine's optimizer and every data-quality monitor runs first.
+
+    Exact distinct counts without a distinct shuffle per column: each
+    batch emits its DISTINCT (column, serialized-value) pairs (the
+    combiner; serialization is injective per type, so string-distinct ==
+    native-distinct) which hash-bucket by value; a value lands in exactly
+    one bucket, so the per-bucket distinct counts SUM exactly per column
+    (the ``supplier_distinct_parts`` two-level argument).  Null/row
+    counts are column-bounded scalar partials merged on the driver."""
+    import zlib
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=list(_PROFILE_COLUMNS)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols_out, vals_out = [], []
+        meta = []
+        for c in _PROFILE_COLUMNS:
+            arr = batch[c]
+            n_null = int(arr.null_count)
+            vals = [v for v in set(str(x) for x in arr.to_pylist() if x is not None)]
+            cols_out.extend([c] * len(vals))
+            vals_out.extend(vals)
+            meta.append((c, batch.num_rows, n_null))
+        t1 = pd.DataFrame(
+            {"column": cols_out, "value": vals_out, "n_rows": np.int64(0),
+             "n_null": np.int64(0), "kind": np.int8(0)}
+        )
+        t2 = pd.DataFrame(
+            {"column": [m[0] for m in meta], "value": "",
+             "n_rows": np.array([m[1] for m in meta], dtype=np.int64),
+             "n_null": np.array([m[2] for m in meta], dtype=np.int64),
+             "kind": np.int8(1)}
+        )
+        out = pd.concat([t1, t2], ignore_index=True)
+        out["bucket"] = np.fromiter(
+            (
+                zlib.crc32(f"{c}\x00{v}".encode("utf-8")) % n_buckets
+                for c, v in zip(out["column"], out["value"])
+            ),
+            dtype=np.int64,
+            count=len(out),
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket_stats(group: pd.DataFrame) -> pa.Table:
+        d = group[group["kind"] == 0]
+        m = group[group["kind"] == 1]
+        dc = (
+            d.drop_duplicates(["column", "value"])
+            .groupby("column", sort=False)
+            .size()
+            .rename("n_distinct")
+            .reset_index()
+        )
+        dc["n_rows"] = np.int64(0)
+        dc["n_null"] = np.int64(0)
+        mc = (
+            m.groupby("column", sort=False)[["n_rows", "n_null"]]
+            .sum()
+            .reset_index()
+        )
+        mc["n_distinct"] = np.int64(0)
+        out = pd.concat([dc, mc], ignore_index=True)
+        return pa.Table.from_pandas(
+            out[["column", "n_rows", "n_null", "n_distinct"]],
+            preserve_index=False,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .to_pandas()  # column-bounded by construction
+        .groupby("column", sort=True)[["n_rows", "n_null", "n_distinct"]]
+        .sum()
+        .reset_index()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "column": pa.array(agg["column"], type=pa.string()),
+                "n_rows": pa.array(agg["n_rows"].to_numpy(np.int64)),
+                "n_null": pa.array(agg["n_null"].to_numpy(np.int64)),
+                "n_distinct": pa.array(agg["n_distinct"].to_numpy(np.int64)),
+            }
+        )
+    )
+
+
+TABLE_PROFILE_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS column, count(*)::BIGINT AS n_rows, "
+    f"(count(*) - count({c}))::BIGINT AS n_null, "
+    f"count(DISTINCT {c})::BIGINT AS n_distinct FROM orders"
+    for c in _PROFILE_COLUMNS
+)
+
+
+__all__ = ["fk_integrity_counts", "FK_INTEGRITY_SQL", "table_profile", "TABLE_PROFILE_SQL"]

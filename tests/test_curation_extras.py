@@ -378,3 +378,27 @@ def test_part_price_qty_slope_bruteforce():
         # cross-check against numpy's own least squares fit
         fit = np.polyfit(sub["x"].to_numpy(float), sub["y"].to_numpy(float), 1)
         assert abs(row["slope"] - fit[0]) < 1e-6 * max(1.0, abs(fit[0]))
+
+
+def test_bigram_collocations_ordered_and_thresholded():
+    from ner_funtool_ray.pipelines.analytic import bigram_collocations
+
+    df = bigram_collocations(SF).to_pandas()
+    assert len(df) == 20
+    assert (df["cab"] >= 30).all()
+    # deterministic (lift DESC, bigram) order
+    key = list(zip(-df["lift_ppm"], df["bigram"]))
+    assert key == sorted(key)
+
+
+def test_table_profile_matches_pandas():
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.quality import table_profile
+
+    got = table_profile(SF).to_pandas().set_index("column")
+    t = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    for c in got.index:
+        assert got.loc[c, "n_rows"] == len(t)
+        assert got.loc[c, "n_null"] == int(t[c].isna().sum())
+        assert got.loc[c, "n_distinct"] == t[c].nunique()
