@@ -1553,6 +1553,18 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_entity_cooccur_conditional(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_cooccur_conditional
+
+    return entity_cooccur_conditional(sf_dir)
+
+
+def _q_entity_ppr(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_ppr
+
+    return entity_ppr(sf_dir)
+
+
 def _q_bigram_collocations(sf_dir: str):
     from ner_funtool_ray.pipelines.analytic import bigram_collocations
 
@@ -1965,6 +1977,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_qty_slope": _q_part_price_qty_slope,
         "bigram_collocations": _q_bigram_collocations,
         "table_profile": _q_table_profile,
+        "entity_cooccur_conditional": _q_entity_cooccur_conditional,
+        "entity_ppr": _q_entity_ppr,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -2107,6 +2121,10 @@ def oracle_sql() -> dict[str, str]:
         "part_price_qty_slope": _sta.PART_PRICE_QTY_SLOPE_SQL,
         "bigram_collocations": _ana.BIGRAM_COLLOCATIONS_SQL,
         "table_profile": _qual.TABLE_PROFILE_SQL,
+        "entity_cooccur_conditional": _graph.make_cooccur_conditional_sql(
+            _TRIPLES_SQL
+        ),
+        "entity_ppr": _graph.make_ppr_sql(_TRIPLES_SQL),
         "source_shared_entity_pairs": _graph.make_shared_entity_sql(
             _TRIPLES_SQL
         ),

@@ -1062,3 +1062,169 @@ HAVING count(*) >= {min_shared}
 
 
 __all__ += ["source_shared_entity_pairs", "make_shared_entity_sql"]
+
+
+def entity_cooccur_conditional(
+    sf_dir: str, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Directed conditional edge weights → ``(subj, obj, weight,
+    cond_ppm)`` with ``cond_ppm = w(a,b)·10⁶ // m(a)`` — P(obj | subj)
+    over the symmetrized co-occurrence graph, the edge normalization a
+    random-walk or embedding step consumes.  Both directions are emitted
+    (the cooccurrence edge is undirected; the conditional is not).
+
+    Same gazetteer-bounded driver path as ``entity_cooccurrence_lift``
+    (Python ints / HUGEINT twin); an unbounded graph runs the identical
+    math with marginals riding a bounded-bucket group sum."""
+    triples, df = _cooc_driver_frame(sf_dir, driver_cap)
+    if df is None:
+        raise NotImplementedError(
+            "unbounded graph: attach bucketed marginals as in "
+            "entity_cooccurrence_lift's distributed path"
+        )
+    cooc = df[df["pred"] == "cooccurs_with"]
+    marg: dict[str, int] = {}
+    for ent, ww in zip(
+        pd.concat([cooc["subj"], cooc["obj"]]),
+        pd.concat([cooc["weight"], cooc["weight"]]),
+    ):
+        marg[ent] = marg.get(ent, 0) + int(ww)
+    subj = pd.concat([cooc["subj"], cooc["obj"]], ignore_index=True)
+    obj = pd.concat([cooc["obj"], cooc["subj"]], ignore_index=True)
+    w = pd.concat([cooc["weight"], cooc["weight"]], ignore_index=True)
+    cond = [
+        (int(wi) * 1_000_000) // marg[a] for a, wi in zip(subj, w)
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(subj, type=pa.string()),
+                "obj": pa.array(obj, type=pa.string()),
+                "weight": pa.array(w.to_numpy(np.int64), type=pa.int64()),
+                "cond_ppm": pa.array(
+                    np.fromiter(cond, dtype=np.int64, count=len(cond))
+                ),
+            }
+        )
+    )
+
+
+def make_cooccur_conditional_sql(triples_sql: str) -> str:
+    return f"""
+WITH t AS ({triples_sql}),
+cooc AS (SELECT subj, obj, weight FROM t WHERE pred = 'cooccurs_with'),
+edges AS (
+  SELECT subj, obj, weight FROM cooc
+  UNION ALL SELECT obj, subj, weight FROM cooc
+),
+marg AS (
+  SELECT subj AS ent, CAST(sum(weight) AS HUGEINT) AS m
+  FROM edges GROUP BY subj
+)
+SELECT e.subj, e.obj, CAST(e.weight AS BIGINT) AS weight,
+       CAST(CAST(e.weight AS HUGEINT) * 1000000 // m.m AS BIGINT)
+         AS cond_ppm
+FROM edges e JOIN marg m ON m.ent = e.subj
+"""
+
+
+def entity_ppr(
+    sf_dir: str, iters: int = 5, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Personalized PageRank from a deterministic seed (the
+    lexicographically smallest entity) — the localized variant used for
+    entity-centric relevance: teleport mass returns to the SEED instead
+    of spreading uniformly.
+
+    Update rule (int64 fixed point, same scale as ``entity_pagerank``):
+    ``r'(v) = [v = seed]·(15·SCALE·n)//100 + (85·inc(v))//100`` — the
+    total teleport mass (15% of n·SCALE) concentrates on the seed, so
+    ranks decay with distance from it.  Identical unrolled iterations in
+    the twin keep it hash-exact; the entity graph is gazetteer-bounded
+    (driver numpy path), and an unbounded graph would run the same rule
+    inside ``pagerank_ds``-style rounds."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir).materialize()
+    if triples.count() > driver_cap:
+        raise NotImplementedError(
+            "general-graph PPR: run the seed-teleport rule inside "
+            "pagerank_ds-style bucketed rounds"
+        )
+    df = triples.to_pandas()
+    cooc = df[df["pred"] == "cooccurs_with"]
+    nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
+    idx = {e: i for i, e in enumerate(nodes)}
+    a = cooc["subj"].map(idx).to_numpy(dtype=np.int64)
+    b = cooc["obj"].map(idx).to_numpy(dtype=np.int64)
+    w = cooc["weight"].to_numpy(dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    ww = np.concatenate([w, w])
+    n = len(nodes)
+    outw = np.zeros(n, dtype=np.int64)
+    np.add.at(outw, src, ww)
+    ow = outw[src]
+    seed_base = np.zeros(n, dtype=np.int64)
+    if n:
+        seed_base[0] = (np.int64(15) * SCALE * np.int64(n)) // np.int64(100)
+    r = np.full(n, SCALE, dtype=np.int64)
+    for _ in range(iters):
+        contrib = (r[src] * ww) // ow
+        inc = np.zeros(n, dtype=np.int64)
+        np.add.at(inc, dst, contrib)
+        r = seed_base + (np.int64(85) * inc) // np.int64(100)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(nodes, type=pa.string()),
+                "ppr_fp": pa.array(r),
+            }
+        )
+    )
+
+
+def make_ppr_sql(triples_sql: str, iters: int = 5) -> str:
+    """Twin of ``entity_ppr``: the seed-teleport iterations unrolled."""
+    parts = [
+        f"WITH t AS ({triples_sql}),\n"
+        "cooc AS (SELECT subj, obj, weight FROM t WHERE pred = 'cooccurs_with'),\n"
+        "edges AS (SELECT subj AS src, obj AS dst, weight FROM cooc\n"
+        "          UNION ALL SELECT obj AS src, subj AS dst, weight FROM cooc),\n"
+        "nodes AS (SELECT DISTINCT subj AS entity_id FROM t"
+        " WHERE pred = 'appears_in'),\n"
+        "seed AS (SELECT min(entity_id) AS id,"
+        " CAST(count(*) AS BIGINT) AS n FROM nodes),\n"
+        "outw AS (SELECT src, CAST(sum(weight) AS BIGINT) AS w"
+        " FROM edges GROUP BY src),\n"
+        "r0 AS (SELECT entity_id, CAST(1000000000 AS BIGINT) AS r FROM nodes)"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT n.entity_id,
+         CAST(CASE WHEN n.entity_id = (SELECT id FROM seed)
+              THEN (CAST(15 AS BIGINT) * 1000000000 * (SELECT n FROM seed))
+                   // 100
+              ELSE 0 END
+           + (85 * COALESCE(CAST(
+               SUM((pr.r * e.weight) // o.w) AS BIGINT), 0)) // 100
+           AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.entity_id
+  LEFT JOIN outw o ON o.src = e.src
+  LEFT JOIN r{i - 1} pr ON pr.entity_id = e.src
+  GROUP BY n.entity_id
+)"""
+        )
+    parts.append(f"\nSELECT entity_id, r AS ppr_fp FROM r{iters}")
+    return "".join(parts)
+
+
+__all__ += [
+    "entity_cooccur_conditional",
+    "make_cooccur_conditional_sql",
+    "entity_ppr",
+    "make_ppr_sql",
+]

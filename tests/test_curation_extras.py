@@ -402,3 +402,23 @@ def test_table_profile_matches_pandas():
         assert got.loc[c, "n_rows"] == len(t)
         assert got.loc[c, "n_null"] == int(t[c].isna().sum())
         assert got.loc[c, "n_distinct"] == t[c].nunique()
+
+
+def test_cooccur_conditional_rows_sum_to_one_per_subj():
+    from ner_funtool_ray.pipelines.graph import entity_cooccur_conditional
+
+    df = entity_cooccur_conditional(SF).to_pandas()
+    g = df.groupby("subj").agg(s=("cond_ppm", "sum"), n=("cond_ppm", "size"))
+    # floor division loses < 1 ppm per edge
+    assert ((g["s"] <= 1_000_000) & (g["s"] > 1_000_000 - g["n"])).all()
+
+
+def test_ppr_concentrates_on_seed():
+    from ner_funtool_ray.pipelines.graph import entity_pagerank, entity_ppr
+
+    ppr = entity_ppr(SF).to_pandas().set_index("entity_id")["ppr_fp"]
+    seed = min(ppr.index)
+    # the seed holds the global teleport mass -> it must dominate
+    assert ppr[seed] == ppr.max()
+    pr = entity_pagerank(SF).to_pandas().set_index("entity_id")["pagerank_fp"]
+    assert set(ppr.index) == set(pr.index)
