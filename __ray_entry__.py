@@ -1553,6 +1553,24 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_basket_pair_confidence(sf_dir: str):
+    from ner_funtool_ray.pipelines.mining import basket_pair_confidence
+
+    return basket_pair_confidence(sf_dir)
+
+
+def _q_source_lang_diversity(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import source_lang_diversity
+
+    return source_lang_diversity(sf_dir)
+
+
+def _q_source_dedup_report(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import source_dedup_report
+
+    return source_dedup_report(sf_dir)
+
+
 def _q_entity_cooccur_conditional(sf_dir: str):
     from ner_funtool_ray.pipelines.graph import entity_cooccur_conditional
 
@@ -1979,6 +1997,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": _q_table_profile,
         "entity_cooccur_conditional": _q_entity_cooccur_conditional,
         "entity_ppr": _q_entity_ppr,
+        "basket_pair_confidence": _q_basket_pair_confidence,
+        "source_lang_diversity": _q_source_lang_diversity,
+        "source_dedup_report": _q_source_dedup_report,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -2125,6 +2146,9 @@ def oracle_sql() -> dict[str, str]:
             _TRIPLES_SQL
         ),
         "entity_ppr": _graph.make_ppr_sql(_TRIPLES_SQL),
+        "basket_pair_confidence": _min.BASKET_PAIR_CONFIDENCE_SQL,
+        "source_lang_diversity": _textops.SOURCE_LANG_DIVERSITY_SQL,
+        "source_dedup_report": _textops.SOURCE_DEDUP_REPORT_SQL,
         "source_shared_entity_pairs": _graph.make_shared_entity_sql(
             _TRIPLES_SQL
         ),

@@ -700,3 +700,103 @@ __all__ += [
     "make_weekly_active_users_sql",
     "WEEKLY_ACTIVE_USERS_SQL",
 ]
+
+
+def basket_pair_confidence(
+    sf_dir: str, min_support: int = 2
+) -> "ray.data.Dataset":
+    """Association rules from the basket pairs →
+    ``(antecedent, consequent, support_pair, conf_ppm)``: confidence of
+    part→part co-purchase as an exact scaled integer,
+    ``conf_ppm = support(ab)·10⁶ // support(a)``, both rule directions
+    emitted (confidence is asymmetric).
+
+    Reuses the size-guarded ``basket_part_pairs`` plan for the pair
+    supports; the per-part marginals (distinct orders containing the
+    part) ride one bounded exchange and broadcast as a catalog-bounded
+    dict.  All integers → the twin is hash-exact."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    pairs = basket_part_pairs(sf_dir, min_support=min_support).to_pandas()
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def marg_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        g = (
+            df.groupby("l_partkey", sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # distinct (order, part) per batch; an order's rows can span batches,
+    # so the per-part count must dedupe globally — route through the
+    # distinct pair itself (two-level, like supplier_distinct_parts)
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    marg = (
+        bucketed_group_sum(
+            ds.map_batches(distinct_partial, batch_format="pyarrow"),
+            keys=["l_orderkey", "l_partkey"],
+            count_col="c",
+        )
+        .map_batches(marg_partial, batch_format="pyarrow")
+        .to_pandas()  # catalog-bounded
+        .groupby("l_partkey", sort=False)["n"]
+        .sum()
+        .to_dict()
+    )
+    a = pairs["part_a"].to_numpy(np.int64)
+    b = pairs["part_b"].to_numpy(np.int64)
+    s = pairs["n_orders"].to_numpy(np.int64)
+    ant = np.concatenate([a, b])
+    con = np.concatenate([b, a])
+    sup = np.concatenate([s, s])
+    conf = np.array(
+        [
+            (int(si) * 1_000_000) // marg[int(ai)]
+            for ai, si in zip(ant, sup)
+        ],
+        dtype=np.int64,
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "antecedent": pa.array(ant),
+                "consequent": pa.array(con),
+                "support_pair": pa.array(sup),
+                "conf_ppm": pa.array(conf),
+            }
+        )
+    )
+
+
+BASKET_PAIR_CONFIDENCE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*)::BIGINT AS support
+  FROM op x JOIN op y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+marg AS (
+  SELECT l_partkey, CAST(count(*) AS HUGEINT) AS n FROM op GROUP BY 1
+),
+rules AS (
+  SELECT a AS antecedent, b AS consequent, support FROM pairs
+  UNION ALL SELECT b, a, support FROM pairs
+)
+SELECT antecedent, consequent, support AS support_pair,
+       CAST(CAST(support AS HUGEINT) * 1000000 // m.n AS BIGINT)
+         AS conf_ppm
+FROM rules JOIN marg m ON m.l_partkey = antecedent
+"""
+
+
+__all__ += ["basket_pair_confidence", "BASKET_PAIR_CONFIDENCE_SQL"]

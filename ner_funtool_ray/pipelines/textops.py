@@ -422,3 +422,175 @@ r AS (
 )
 SELECT lang, word, cnt, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10
 """
+
+
+def source_lang_diversity(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus diversity report → ``(source, n_docs, sum_sq,
+    simpson_ppm)``: the Gini–Simpson language-diversity index per source
+    as an exact scaled integer, ``10⁶ − (Σc_l²·10⁶) // n²`` — the no-log
+    stand-in for Shannon entropy (same trick as the lift ops), so the
+    HUGEINT twin hash-matches.
+
+    Per-batch (source, lang) count partials ride one bounded exchange
+    (sources × languages rows); the index assembles per source on the
+    driver in Python ints."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    ds = _read_documents(sf_dir, ["source", "lang"])
+
+    counts = bucketed_group_sum(
+        ds, keys=["source", "lang"], count_col="c"
+    ).to_pandas()  # source × language bounded
+    rows = []
+    for src, sub in counts.groupby("source", sort=True):
+        n = int(sub["c"].sum())
+        ss = int((sub["c"].astype(object) ** 2).sum())
+        rows.append((src, n, ss, 1_000_000 - (ss * 1_000_000) // (n * n)))
+    import numpy as np
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], type=pa.string()),
+                "n_docs": pa.array(
+                    np.array([r[1] for r in rows], dtype=np.int64)
+                ),
+                "sum_sq": pa.array(
+                    np.array([r[2] for r in rows], dtype=np.int64)
+                ),
+                "simpson_ppm": pa.array(
+                    np.array([r[3] for r in rows], dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+SOURCE_LANG_DIVERSITY_SQL = """
+WITH c AS (
+  SELECT source, lang, count(*)::BIGINT AS c
+  FROM documents GROUP BY source, lang
+),
+s AS (
+  SELECT source,
+         CAST(sum(c) AS HUGEINT) AS n,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+  FROM c GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(ss AS BIGINT) AS sum_sq,
+       CAST(1000000 - (ss * 1000000) // (n * n) AS BIGINT) AS simpson_ppm
+FROM s
+"""
+
+
+def source_dedup_report(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-source duplication report → ``(source, n_docs, n_distinct,
+    dup_ppm)``: how much of each source survives exact dedup —
+    the per-domain health metric a curation run publishes.
+
+    Two-level exact distinct (the ``table_profile`` plan): per-batch
+    DISTINCT (source, fingerprint) pairs hash-bucket by fingerprint, so
+    per-bucket distinct counts sum exactly per source; doc counts are
+    scalar partials.  ``dup_ppm = (n − distinct)·10⁶ // n`` in exact
+    ints."""
+    import zlib
+
+    import numpy as np
+
+    from ner_funtool_ray.functions.text import fingerprint
+
+    ds = _read_documents(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs = batch["source"].to_pylist()
+        fps = [fingerprint(t) for t in batch["text"].to_pylist()]
+        d = pd.DataFrame({"source": srcs, "fp": fps}).drop_duplicates()
+        d["n"] = np.int64(0)
+        d["kind"] = np.int8(0)
+        m = (
+            pd.DataFrame({"source": srcs})
+            .groupby("source", sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        m["fp"] = ""
+        m["kind"] = np.int8(1)
+        out = pd.concat([d, m[["source", "fp", "n", "kind"]]], ignore_index=True)
+        out["bucket"] = np.fromiter(
+            (zlib.crc32(s.encode()) % n_buckets for s in out["fp"]),
+            dtype=np.int64,
+            count=len(out),
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket_stats(group: pd.DataFrame) -> pa.Table:
+        d = group[group["kind"] == 0]
+        m = group[group["kind"] == 1]
+        dc = (
+            d.drop_duplicates(["source", "fp"])
+            .groupby("source", sort=False)
+            .size()
+            .rename("n_distinct")
+            .reset_index()
+        )
+        dc["n_docs"] = np.int64(0)
+        mc = (
+            m.groupby("source", sort=False)["n"]
+            .sum()
+            .rename("n_docs")
+            .reset_index()
+        )
+        mc["n_distinct"] = np.int64(0)
+        out = pd.concat([dc, mc], ignore_index=True)
+        return pa.Table.from_pandas(
+            out[["source", "n_docs", "n_distinct"]], preserve_index=False
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .to_pandas()  # source-bounded
+        .groupby("source", sort=True)[["n_docs", "n_distinct"]]
+        .sum()
+        .reset_index()
+    )
+    n = agg["n_docs"].to_numpy(np.int64)
+    dist = agg["n_distinct"].to_numpy(np.int64)
+    dup = np.array(
+        [(int(a - b) * 1_000_000) // int(a) for a, b in zip(n, dist)],
+        dtype=np.int64,
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(agg["source"], type=pa.string()),
+                "n_docs": pa.array(n),
+                "n_distinct": pa.array(dist),
+                "dup_ppm": pa.array(dup),
+            }
+        )
+    )
+
+
+SOURCE_DEDUP_REPORT_SQL = """
+WITH f AS (
+  SELECT source,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+s AS (
+  SELECT source,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(count(DISTINCT fp) AS HUGEINT) AS d
+  FROM f GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(d AS BIGINT) AS n_distinct,
+       CAST((n - d) * 1000000 // n AS BIGINT) AS dup_ppm
+FROM s
+"""

@@ -422,3 +422,33 @@ def test_ppr_concentrates_on_seed():
     assert ppr[seed] == ppr.max()
     pr = entity_pagerank(SF).to_pandas().set_index("entity_id")["pagerank_fp"]
     assert set(ppr.index) == set(pr.index)
+
+
+def test_basket_confidence_bounds_and_symmetric_support():
+    from ner_funtool_ray.pipelines.mining import basket_pair_confidence
+
+    df = basket_pair_confidence(SF).to_pandas()
+    assert df["conf_ppm"].between(1, 1_000_000).all()
+    # every rule has its reverse with identical pair support
+    fwd = {(r.antecedent, r.consequent): r.support_pair for r in df.itertuples()}
+    for (a, b), s in fwd.items():
+        assert fwd[(b, a)] == s
+
+
+def test_source_reports_consistent():
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.textops import (
+        source_dedup_report,
+        source_lang_diversity,
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    div = source_lang_diversity(SF).to_pandas().set_index("source")
+    rep = source_dedup_report(SF).to_pandas().set_index("source")
+    by_src = docs.groupby("source").size()
+    for src, n in by_src.items():
+        assert div.loc[src, "n_docs"] == n
+        assert rep.loc[src, "n_docs"] == n
+        assert 0 <= div.loc[src, "simpson_ppm"] < 1_000_000
+        assert rep.loc[src, "n_distinct"] <= n
