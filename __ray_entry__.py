@@ -1553,6 +1553,24 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_event_debounce(sf_dir: str):
+    from ner_funtool_ray.pipelines.sequence import event_debounce
+
+    return event_debounce(sf_dir)
+
+
+def _q_mention_contexts(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import mention_contexts
+
+    return mention_contexts(sf_dir)
+
+
+def _q_kg_negative_samples(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import kg_negative_samples
+
+    return kg_negative_samples(sf_dir)
+
+
 def _q_basket_pair_confidence(sf_dir: str):
     from ner_funtool_ray.pipelines.mining import basket_pair_confidence
 
@@ -2000,6 +2018,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pair_confidence": _q_basket_pair_confidence,
         "source_lang_diversity": _q_source_lang_diversity,
         "source_dedup_report": _q_source_dedup_report,
+        "event_debounce": _q_event_debounce,
+        "mention_contexts": _q_mention_contexts,
+        "kg_negative_samples": _q_kg_negative_samples,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -2149,6 +2170,9 @@ def oracle_sql() -> dict[str, str]:
         "basket_pair_confidence": _min.BASKET_PAIR_CONFIDENCE_SQL,
         "source_lang_diversity": _textops.SOURCE_LANG_DIVERSITY_SQL,
         "source_dedup_report": _textops.SOURCE_DEDUP_REPORT_SQL,
+        "event_debounce": _seq.EVENT_DEBOUNCE_SQL,
+        "mention_contexts": _textops.make_mention_contexts_sql(),
+        "kg_negative_samples": _graph.make_negative_samples_sql(_TRIPLES_SQL),
         "source_shared_entity_pairs": _graph.make_shared_entity_sql(
             _TRIPLES_SQL
         ),

@@ -1228,3 +1228,75 @@ __all__ += [
     "entity_ppr",
     "make_ppr_sql",
 ]
+
+
+def kg_negative_samples(
+    sf_dir: str, k: int = 2, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Deterministic negative sampling for KG-embedding training →
+    ``(subj, obj, neg_obj, i)``: for every co-occurrence edge, ``k``
+    corrupted tails drawn by md5 from the entity vocabulary — the
+    contrastive-pair generation step of TransE-style training, made
+    engine-reproducible (``md5_number_lower`` replaces the RNG, the same
+    recipe the linker and every LSH structure use).
+
+    ``neg = nodes[md5(subj|obj|i) % n]`` may collide with the true tail —
+    standard for uniform negative sampling and kept (filtering would
+    need a second pass; training treats it as label noise).  The entity
+    vocabulary is gazetteer-bounded, so generation is driver-side here;
+    at scale the nodes array broadcasts and edges stream through
+    ``map_batches`` with the identical hash rule."""
+    from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir).materialize()
+    if triples.count() > driver_cap:
+        raise NotImplementedError(
+            "unbounded graph: broadcast the node array and stream edges"
+        )
+    df = triples.to_pandas()
+    cooc = df[df["pred"] == "cooccurs_with"]
+    nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
+    n = len(nodes)
+    subj_out, obj_out, neg_out, i_out = [], [], [], []
+    for i in range(1, k + 1):
+        keys = [f"{s}|{o}|{i}" for s, o in zip(cooc["subj"], cooc["obj"])]
+        h = md5_number_lower_batch(keys)
+        idx = (h % np.uint64(n)).astype(np.int64)
+        subj_out.extend(cooc["subj"])
+        obj_out.extend(cooc["obj"])
+        neg_out.extend(nodes[idx])
+        i_out.extend([i] * len(cooc))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(subj_out, type=pa.string()),
+                "obj": pa.array(obj_out, type=pa.string()),
+                "neg_obj": pa.array(neg_out, type=pa.string()),
+                "i": pa.array(np.array(i_out, dtype=np.int64)),
+            }
+        )
+    )
+
+
+def make_negative_samples_sql(triples_sql: str, k: int = 2) -> str:
+    return f"""
+WITH t AS ({triples_sql}),
+cooc AS (SELECT subj, obj FROM t WHERE pred = 'cooccurs_with'),
+nodes AS (
+  SELECT list(entity_id ORDER BY entity_id) AS l,
+         CAST(count(*) AS UBIGINT) AS n
+  FROM (SELECT DISTINCT subj AS entity_id FROM t
+        WHERE pred = 'appears_in')
+)
+SELECT c.subj, c.obj,
+       nodes.l[CAST(
+         md5_number_lower(c.subj || '|' || c.obj || '|' || i.i) % nodes.n
+         AS BIGINT) + 1] AS neg_obj,
+       CAST(i.i AS BIGINT) AS i
+FROM cooc c
+CROSS JOIN (SELECT unnest(range(1, {k + 1})) AS i) i, nodes
+"""
+
+
+__all__ += ["kg_negative_samples", "make_negative_samples_sql"]

@@ -229,3 +229,95 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
 FROM d WHERE gap IS NOT NULL
 GROUP BY user_id
 """
+
+
+def event_debounce(
+    sf_dir: str, gap_minutes: int = 5, n_buckets: int = 32
+) -> "ray.data.Dataset":
+    """Windowed deduplication (debounce) report → ``(user_id, n_events,
+    n_kept)``: per user, how many events survive dropping repeats of the
+    same event TYPE within ``gap_minutes`` of the previously KEPT
+    occurrence... simplified to the standard lag rule — an event is kept
+    iff it is the first of its (user, type) or arrives more than the gap
+    after the PREVIOUS event of that (user, type) (lag-based, matching
+    the window twin exactly; ties on ts break by event_id on both
+    engines).
+
+    One user-hash exchange co-locates each user's events; the lag diff is
+    a vectorized sort+diff per (user, type) run inside the bucket."""
+    gap_us = gap_minutes * 60_000_000
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+
+    def side(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_id": np.asarray(batch["event_id"]).astype(np.int64),
+                "user_id": np.asarray(batch["user_id"]).astype(np.int64),
+                "event_type": np.asarray(batch["event_type"]),
+                "t": np.asarray(batch["ts"])
+                .astype("datetime64[us]")
+                .astype(np.int64),
+            }
+        )
+        df["bucket"] = df["user_id"] % n_buckets
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def debounce(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(
+            ["user_id", "event_type", "t", "event_id"], kind="mergesort"
+        )
+        same = (
+            (g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1])
+            & (g["event_type"].to_numpy()[1:] == g["event_type"].to_numpy()[:-1])
+        )
+        dt = g["t"].to_numpy()[1:] - g["t"].to_numpy()[:-1]
+        kept = np.ones(len(g), dtype=bool)
+        kept[1:] = ~same | (dt > gap_us)
+        out = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "kept": kept.astype(np.int64)}
+        )
+        agg = (
+            out.groupby("user_id", sort=False)
+            .agg(n_events=("kept", "size"), n_kept=("kept", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    parts = (
+        ds.map_batches(side, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(debounce, batch_format="pandas")
+    )
+    return bucketed_group_sum(
+        parts,
+        ["user_id"],
+        sum_cols={"n_events": "n_events", "n_kept": "n_kept"},
+        count_col=None,
+        driver_cap=2_000_000,
+    )
+
+
+EVENT_DEBOUNCE_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events
+),
+lagged AS (
+  SELECT user_id,
+         CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > {5 * 60_000_000}
+              THEN 1 ELSE 0 END AS kept
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t, event_id)
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(kept)::BIGINT AS n_kept
+FROM lagged GROUP BY user_id
+"""
+
+
+

@@ -594,3 +594,75 @@ SELECT source,
        CAST((n - d) * 1000000 // n AS BIGINT) AS dup_ppm
 FROM s
 """
+
+
+def mention_contexts(sf_dir: str, window: int = 3) -> "ray.data.Dataset":
+    """KWIC (keyword-in-context) extraction → ``(doc_id, pos, entity,
+    left_ctx, right_ctx)``: every gazetteer-term token occurrence with
+    its ±``window``-token context — the snippet table an annotation or
+    weak-supervision step consumes downstream of NER.
+
+    Embarrassingly parallel (per-doc, no shuffle at any scale): the term
+    set broadcasts, matching is one vectorized ``np.isin`` per document's
+    token array, and only the sparse hits pay the per-hit join cost.
+    Tokenization is the repo-wide ``\\w+`` so the list-slice twin sees
+    identical positions."""
+    import re as _re
+
+    import numpy as np
+
+    from ner_funtool_ray.config import GAZETTEER
+
+    terms = np.array(sorted(GAZETTEER), dtype=object)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ids, poss, ents, lefts, rights = [], [], [], [], []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = np.array(_re.findall(r"\w+", text or ""), dtype=object)
+            if not len(toks):
+                continue
+            hits = np.nonzero(np.isin(toks, terms))[0]
+            for i in hits:
+                ids.append(did)
+                poss.append(int(i) + 1)  # 1-based, matching SQL subscripts
+                ents.append(toks[i])
+                lefts.append(" ".join(toks[max(0, i - window) : i]))
+                rights.append(" ".join(toks[i + 1 : i + 1 + window]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "pos": pa.array(poss, type=pa.int64()),
+                "entity": pa.array(ents, type=pa.string()),
+                "left_ctx": pa.array(lefts, type=pa.string()),
+                "right_ctx": pa.array(rights, type=pa.string()),
+            }
+        )
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        extract, batch_format="pyarrow"
+    )
+
+
+def make_mention_contexts_sql(window: int = 3) -> str:
+    from ner_funtool_ray.config import GAZETTEER
+
+    terms = ", ".join(f"'{t}'" for t in sorted(GAZETTEER))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+') AS l FROM documents
+),
+pos AS (
+  SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM toks
+),
+hit AS (SELECT doc_id, l, i FROM pos WHERE l[i] IN ({terms}))
+SELECT doc_id, CAST(i AS BIGINT) AS pos, l[i] AS entity,
+       coalesce(array_to_string(
+         list_slice(l, greatest(1, i - {window}), i - 1), ' '), '')
+         AS left_ctx,
+       coalesce(array_to_string(
+         list_slice(l, i + 1, least(len(l), i + {window})), ' '), '')
+         AS right_ctx
+FROM hit
+"""

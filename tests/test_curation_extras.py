@@ -452,3 +452,51 @@ def test_source_reports_consistent():
         assert rep.loc[src, "n_docs"] == n
         assert 0 <= div.loc[src, "simpson_ppm"] < 1_000_000
         assert rep.loc[src, "n_distinct"] <= n
+
+
+def test_event_debounce_bounds():
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.sequence import event_debounce
+
+    df = event_debounce(SF).to_pandas()
+    assert (df["n_kept"] <= df["n_events"]).all()
+    assert (df["n_kept"] >= 1).all()
+    ev = pq.read_table(f"{SF}/events.parquet")
+    assert int(df["n_events"].sum()) == ev.num_rows
+    # gap=0 keeps strictly-later events; a huge gap keeps one per (u, type)
+    wide = event_debounce(SF, gap_minutes=10**9).to_pandas()
+    assert (wide["n_kept"] <= df["n_kept"]).all()
+
+
+def test_mention_contexts_positions_valid():
+    import pyarrow.parquet as pq
+    import re
+
+    from ner_funtool_ray.pipelines.textops import mention_contexts
+
+    df = mention_contexts(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas().set_index("doc_id")
+    sample = df.sample(min(30, len(df)), random_state=0)
+    for r in sample.itertuples():
+        toks = re.findall(r"\w+", docs.loc[r.doc_id, "text"])
+        assert toks[r.pos - 1] == r.entity
+        assert r.left_ctx == " ".join(toks[max(0, r.pos - 4) : r.pos - 1])
+
+
+def test_kg_negative_samples_deterministic_and_in_vocab():
+    from ner_funtool_ray.pipelines.graph import kg_negative_samples
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    a = kg_negative_samples(SF).to_pandas()
+    b = kg_negative_samples(SF).to_pandas()
+    key = ["subj", "obj", "i"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    tr = kg_from_sf_dir(SF).to_pandas()
+    vocab = set(tr.loc[tr["pred"] == "appears_in", "subj"])
+    assert set(a["neg_obj"]) <= vocab
+    cooc = tr[tr["pred"] == "cooccurs_with"]
+    assert len(a) == 2 * len(cooc)
