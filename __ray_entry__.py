@@ -1553,6 +1553,18 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_incremental_dedup_new(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import incremental_dedup_new
+
+    return incremental_dedup_new(sf_dir)
+
+
+def _q_bpe_top_pairs(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import bpe_top_pairs
+
+    return bpe_top_pairs(sf_dir)
+
+
 def _q_event_debounce(sf_dir: str):
     from ner_funtool_ray.pipelines.sequence import event_debounce
 
@@ -2021,6 +2033,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_debounce": _q_event_debounce,
         "mention_contexts": _q_mention_contexts,
         "kg_negative_samples": _q_kg_negative_samples,
+        "incremental_dedup_new": _q_incremental_dedup_new,
+        "bpe_top_pairs": _q_bpe_top_pairs,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -2173,6 +2187,8 @@ def oracle_sql() -> dict[str, str]:
         "event_debounce": _seq.EVENT_DEBOUNCE_SQL,
         "mention_contexts": _textops.make_mention_contexts_sql(),
         "kg_negative_samples": _graph.make_negative_samples_sql(_TRIPLES_SQL),
+        "incremental_dedup_new": _cur.INCREMENTAL_DEDUP_NEW_SQL,
+        "bpe_top_pairs": _cur.BPE_TOP_PAIRS_SQL,
         "source_shared_entity_pairs": _graph.make_shared_entity_sql(
             _TRIPLES_SQL
         ),

@@ -770,3 +770,140 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 <
 
 
 __all__ += ["mixture_sample", "MIXTURE_SAMPLE_SQL"]
+
+
+def incremental_dedup_new(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental dedup against a history index → the NEW documents
+    whose content fingerprint already exists in the HISTORY partition —
+    the nightly-ingest shape: dedupe today's crawl against everything
+    already accepted, without re-clustering the archive.
+
+    The deterministic md5 split (``md5_number_lower(doc_id) % 2``) stands
+    in for the history/new partition boundary; the key is the
+    BAG-OF-WORDS fingerprint (md5 of the sorted distinct token set —
+    exact text dups don't exist in the synthetic corpus, token-set dups
+    do, and the shape-level key is what real incremental dedup uses for
+    template spam anyway); the history fingerprint set builds as
+    per-batch distinct partials and broadcasts under the same size-guard
+    convention as ``minhash_dedup_corpus``'s keep-list; the new partition
+    streams with one set-probe per batch.  Output: ``(doc_id,
+    fingerprint)`` of the duplicate new docs."""
+    import hashlib
+    import re as _re
+
+    from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
+
+    def fingerprint(text: str) -> str:
+        toks = sorted(set(_re.findall(r"\w+", text or "")))
+        return hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest()
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = [str(d) for d in batch["doc_id"].to_pylist()]
+        half = md5_number_lower_batch(ids) % np.uint64(2)
+        fps = [fingerprint(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(fps, type=pa.string()),
+                "is_new": pa.array(half.astype(np.int8)),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+    hist = set()
+    for b in tagged.iter_batches(batch_format="pyarrow"):
+        m = np.asarray(b["is_new"]) == 0
+        hist.update(np.asarray(b["fingerprint"].to_pandas())[m])
+    hist_ref = ray.put(hist)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        h = ray.get(hist_ref)
+        is_new = np.asarray(batch["is_new"]) == 1
+        fps = batch["fingerprint"].to_pylist()
+        dup = np.array([f in h for f in fps]) & is_new
+        out = batch.filter(pa.array(dup))
+        return out.select(["doc_id", "fingerprint"])
+
+    return tagged.map_batches(probe, batch_format="pyarrow")
+
+
+INCREMENTAL_DEDUP_NEW_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_distinct(regexp_extract_all(text, '\w+'))), ' '))
+           AS fp,
+         md5_number_lower(CAST(doc_id AS VARCHAR)) % 2 AS half
+  FROM documents
+),
+hist AS (SELECT DISTINCT fp FROM f WHERE half = 0)
+SELECT doc_id, fp AS fingerprint
+FROM f JOIN hist USING (fp)
+WHERE half = 1
+"""
+
+
+def bpe_top_pairs(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Tokenizer induction: the FIRST byte-pair-encoding merge
+    candidates → top-``k`` ``(pair, cnt)`` adjacent-character pairs over
+    the corpus, weighted by word frequency (exactly the statistic BPE's
+    first merge maximizes).  Ties order by the pair string.
+
+    The only corpus-sized pass is the word count (the ``vocab_count``
+    exchange); the character-pair expansion runs over the DISTINCT
+    vocabulary — vocabulary × word-length bounded — so it merges on the
+    driver.  The twin reproduces the same expansion with list slicing."""
+    from collections import Counter
+
+    from ner_funtool_ray.pipelines.textops import vocab_count
+
+    vocab = vocab_count(sf_dir, min_count=1).to_pandas()
+    pairs: Counter[str] = Counter()
+    for w, c in zip(vocab["word"], vocab["cnt"]):
+        for a, b in zip(w, w[1:]):
+            pairs[a + b] += int(c)
+    rows = sorted(pairs.items(), key=lambda t: (-t[1], t[0]))[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "pair": pa.array([r[0] for r in rows], type=pa.string()),
+                "cnt": pa.array(
+                    np.array([r[1] for r in rows], dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+BPE_TOP_PAIRS_SQL = r"""
+WITH w AS (
+  SELECT word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(regexp_extract_all(text, '\w+')) AS word
+        FROM documents)
+  GROUP BY word
+),
+p AS (
+  SELECT word[i : i + 1] AS pair, cnt
+  FROM w, (SELECT unnest(range(1, 100)) AS i) i
+  WHERE i < length(word)
+),
+c AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM p GROUP BY pair),
+r AS (
+  SELECT pair, cnt,
+         row_number() OVER (ORDER BY cnt DESC, pair) AS rn
+  FROM c
+)
+SELECT pair, cnt FROM r WHERE rn <= 20
+"""
+
+
+__all__ += [
+    "incremental_dedup_new",
+    "INCREMENTAL_DEDUP_NEW_SQL",
+    "bpe_top_pairs",
+    "BPE_TOP_PAIRS_SQL",
+]

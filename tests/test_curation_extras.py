@@ -500,3 +500,49 @@ def test_kg_negative_samples_deterministic_and_in_vocab():
     assert set(a["neg_obj"]) <= vocab
     cooc = tr[tr["pred"] == "cooccurs_with"]
     assert len(a) == 2 * len(cooc)
+
+
+def test_incremental_dedup_new_only_flags_cross_half():
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
+    from ner_funtool_ray.pipelines.curation import incremental_dedup_new
+
+    got = incremental_dedup_new(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    half = md5_number_lower_batch([str(d) for d in docs["doc_id"]]) % 2
+
+    def fp(t):
+        return hashlib.md5(
+            " ".join(sorted(set(re.findall(r"\w+", t)))).encode()
+        ).hexdigest()
+
+    docs["fp"] = docs["text"].map(fp)
+    hist = set(docs.loc[half == 0, "fp"])
+    expect = docs.loc[(half == 1) & docs["fp"].isin(hist), "doc_id"]
+    assert set(got["doc_id"]) == set(expect)
+
+
+def test_bpe_top_pairs_first_merge_property():
+    """The top pair IS the frequency-maximal adjacent pair over the
+    corpus (brute-force on the raw text)."""
+    from collections import Counter
+    import re
+
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.curation import bpe_top_pairs
+
+    got = bpe_top_pairs(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    c = Counter()
+    for t in docs["text"]:
+        for w in re.findall(r"\w+", t):
+            for a, b in zip(w, w[1:]):
+                c[a + b] += 1
+    best = sorted(c.items(), key=lambda x: (-x[1], x[0]))[0]
+    assert (got.iloc[0]["pair"], got.iloc[0]["cnt"]) == best
+    assert len(got) == 20
