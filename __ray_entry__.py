@@ -1553,6 +1553,18 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_orders_above_p99(sf_dir: str):
+    from ner_funtool_ray.pipelines.stats import orders_above_p99
+
+    return orders_above_p99(sf_dir)
+
+
+def _q_entity_neighbor_jaccard(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_neighbor_jaccard
+
+    return entity_neighbor_jaccard(sf_dir)
+
+
 def _q_incremental_dedup_new(sf_dir: str):
     from ner_funtool_ray.pipelines.curation import incremental_dedup_new
 
@@ -2035,6 +2047,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples": _q_kg_negative_samples,
         "incremental_dedup_new": _q_incremental_dedup_new,
         "bpe_top_pairs": _q_bpe_top_pairs,
+        "orders_above_p99": _q_orders_above_p99,
+        "entity_neighbor_jaccard": _q_entity_neighbor_jaccard,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -2189,6 +2203,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": _graph.make_negative_samples_sql(_TRIPLES_SQL),
         "incremental_dedup_new": _cur.INCREMENTAL_DEDUP_NEW_SQL,
         "bpe_top_pairs": _cur.BPE_TOP_PAIRS_SQL,
+        "orders_above_p99": _sta.ORDERS_ABOVE_P99_SQL,
+        "entity_neighbor_jaccard": _graph.make_neighbor_jaccard_sql(
+            _TRIPLES_SQL
+        ),
         "source_shared_entity_pairs": _graph.make_shared_entity_sql(
             _TRIPLES_SQL
         ),

@@ -1300,3 +1300,92 @@ CROSS JOIN (SELECT unnest(range(1, {k + 1})) AS i) i, nodes
 
 
 __all__ += ["kg_negative_samples", "make_negative_samples_sql"]
+
+
+def entity_neighbor_jaccard(
+    sf_dir: str, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Link-prediction features → ``(a, b, inter, union_n, jac_ppm)``:
+    Jaccard similarity of the neighbor sets of every entity pair that
+    SHARES at least one neighbor (the candidate rule — J > 0 implies a
+    common neighbor, so recall is 1.0, the ``ngram_jaccard_pairs``
+    argument on graphs).  ``jac_ppm`` is the exact scaled integer
+    ``inter·10⁶ // union``.
+
+    The entity graph is gazetteer-bounded → driver expansion over the
+    common-neighbor inverted index (per middle node, the pair triangle);
+    an unbounded graph runs the identical plan inside middle-node-bucketed
+    ``map_groups``."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir).materialize()
+    if triples.count() > driver_cap:
+        raise NotImplementedError(
+            "unbounded graph: middle-node-bucketed pair expansion"
+        )
+    df = triples.to_pandas()
+    cooc = df[df["pred"] == "cooccurs_with"]
+    neigh: dict[str, set] = {}
+    for s, o in zip(cooc["subj"], cooc["obj"]):
+        neigh.setdefault(s, set()).add(o)
+        neigh.setdefault(o, set()).add(s)
+    # inverted index: middle node -> entities having it as neighbor
+    inv: dict[str, list] = {}
+    for e, ns in neigh.items():
+        for m in ns:
+            inv.setdefault(m, []).append(e)
+    pairs = set()
+    for m, ents in inv.items():
+        ents = sorted(ents)
+        for i in range(len(ents)):
+            for j in range(i + 1, len(ents)):
+                pairs.add((ents[i], ents[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        inter = len(neigh[a] & neigh[b])
+        union = len(neigh[a] | neigh[b])
+        rows.append((a, b, inter, union, (inter * 1_000_000) // union))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([r[0] for r in rows], type=pa.string()),
+                "b": pa.array([r[1] for r in rows], type=pa.string()),
+                "inter": pa.array(
+                    np.array([r[2] for r in rows], dtype=np.int64)
+                ),
+                "union_n": pa.array(
+                    np.array([r[3] for r in rows], dtype=np.int64)
+                ),
+                "jac_ppm": pa.array(
+                    np.array([r[4] for r in rows], dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+def make_neighbor_jaccard_sql(triples_sql: str) -> str:
+    return f"""
+WITH t AS ({triples_sql}),
+cooc AS (SELECT subj, obj FROM t WHERE pred = 'cooccurs_with'),
+nb AS (
+  SELECT subj AS e, obj AS m FROM cooc
+  UNION SELECT obj, subj FROM cooc
+),
+deg AS (SELECT e, count(*)::BIGINT AS d FROM nb GROUP BY e),
+pairs AS (
+  SELECT x.e AS a, y.e AS b, count(*)::BIGINT AS inter
+  FROM nb x JOIN nb y ON x.m = y.m AND x.e < y.e
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, p.inter,
+       CAST(da.d + db.d - p.inter AS BIGINT) AS union_n,
+       CAST(CAST(p.inter AS HUGEINT) * 1000000
+            // (da.d + db.d - p.inter) AS BIGINT) AS jac_ppm
+FROM pairs p
+JOIN deg da ON da.e = p.a
+JOIN deg db ON db.e = p.b
+"""
+
+
+__all__ += ["entity_neighbor_jaccard", "make_neighbor_jaccard_sql"]

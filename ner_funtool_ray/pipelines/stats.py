@@ -1044,3 +1044,92 @@ WHERE n >= 2 AND n*sxx - sx*sx != 0
 
 
 __all__ += ["part_price_qty_slope", "PART_PRICE_QTY_SLOPE_SQL"]
+
+
+def orders_above_p99(
+    sf_dir: str, q_num: int = 99, q_den: int = 100
+) -> "ray.data.Dataset":
+    """Quantile join-back (tail-anomaly filter) →
+    ``(o_orderpriority, p99_cents, n_above)``: each priority's EXACT p99
+    price and how many of its orders lie STRICTLY above it — the
+    fan-out pattern where a computed quantile feeds back into a filter
+    over the same table.
+
+    Pass 1-2: the rank-parameterized two-pass histogram refinement
+    (`order_price_quantile_by_priority`) yields the per-group threshold —
+    group-vocabulary-sized, so it broadcasts as a dict; pass 3 streams
+    the table once more with a vectorized threshold probe and
+    group-bounded count partials.  All integers, hash-exact."""
+    thr = {
+        r.o_orderpriority: int(r.p90_cents)
+        for r in order_price_quantile_by_priority(
+            sf_dir, q_num=q_num, q_den=q_den
+        )
+        .to_pandas()
+        .itertuples()
+    }
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    from ner_funtool_ray.pipelines.relational import cents_np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch["o_orderpriority"])
+        cents = cents_np(np.asarray(batch["o_totalprice"]))
+        u, inv = np.unique(g, return_inverse=True)
+        t = np.array([thr[p] for p in u], dtype=np.int64)[inv]
+        above = cents > t
+        df = (
+            pd.DataFrame({"o_orderpriority": g, "n_above": above.astype(np.int64)})
+            .groupby("o_orderpriority", sort=False)["n_above"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # priority-vocabulary bounded
+        .groupby("o_orderpriority", sort=True)["n_above"]
+        .sum()
+    )
+    keys = sorted(thr)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderpriority": pa.array(keys, type=pa.string()),
+                "p99_cents": pa.array(
+                    np.array([thr[k] for k in keys], dtype=np.int64)
+                ),
+                "n_above": pa.array(
+                    np.array([int(counts[k]) for k in keys], dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+ORDERS_ABOVE_P99_SQL = """
+WITH u AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, cents,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM u
+), thr AS (
+  SELECT o_orderpriority, cents AS p99_cents
+  FROM ranked WHERE rn = (99 * n + 100 - 1) // 100
+)
+SELECT t.o_orderpriority, t.p99_cents,
+       CAST(sum(CASE WHEN u.cents > t.p99_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above
+FROM u JOIN thr t USING (o_orderpriority)
+GROUP BY t.o_orderpriority, t.p99_cents
+"""
+
+
+__all__ += ["orders_above_p99", "ORDERS_ABOVE_P99_SQL"]

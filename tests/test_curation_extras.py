@@ -546,3 +546,43 @@ def test_bpe_top_pairs_first_merge_property():
     best = sorted(c.items(), key=lambda x: (-x[1], x[0]))[0]
     assert (got.iloc[0]["pair"], got.iloc[0]["cnt"]) == best
     assert len(got) == 20
+
+
+def test_orders_above_p99_bruteforce():
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.stats import orders_above_p99
+
+    got = orders_above_p99(SF).to_pandas().set_index("o_orderpriority")
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    ).to_pandas()
+    t["cents"] = np.round(t["o_totalprice"] * 100).astype(np.int64)
+    for pr, sub in t.groupby("o_orderpriority"):
+        s = np.sort(sub["cents"].to_numpy())
+        n = len(s)
+        thr = int(s[(99 * n + 99) // 100 - 1])
+        assert got.loc[pr, "p99_cents"] == thr
+        assert got.loc[pr, "n_above"] == int((sub["cents"] > thr).sum())
+
+
+def test_neighbor_jaccard_bruteforce():
+    from ner_funtool_ray.pipelines.graph import entity_neighbor_jaccard
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    got = entity_neighbor_jaccard(SF).to_pandas()
+    tr = kg_from_sf_dir(SF).to_pandas()
+    cooc = tr[tr["pred"] == "cooccurs_with"]
+    neigh = {}
+    for s, o in zip(cooc["subj"], cooc["obj"]):
+        neigh.setdefault(s, set()).add(o)
+        neigh.setdefault(o, set()).add(s)
+    ents = sorted(neigh)
+    expect = {}
+    for i, a in enumerate(ents):
+        for b in ents[i + 1 :]:
+            inter = len(neigh[a] & neigh[b])
+            if inter:
+                expect[(a, b)] = inter
+    assert {(r.a, r.b): int(r.inter) for r in got.itertuples()} == expect
+    assert (got["jac_ppm"] == got["inter"] * 1_000_000 // got["union_n"]).all()
