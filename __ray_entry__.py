@@ -1553,6 +1553,24 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_entity_resource_allocation(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_resource_allocation
+
+    return entity_resource_allocation(sf_dir)
+
+
+def _q_entity_clustering_coefficient(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_clustering_coefficient
+
+    return entity_clustering_coefficient(sf_dir)
+
+
+def _q_entity_kcore(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_kcore
+
+    return entity_kcore(sf_dir)
+
+
 def _q_orders_above_p99(sf_dir: str):
     from ner_funtool_ray.pipelines.stats import orders_above_p99
 
@@ -2049,6 +2067,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_top_pairs": _q_bpe_top_pairs,
         "orders_above_p99": _q_orders_above_p99,
         "entity_neighbor_jaccard": _q_entity_neighbor_jaccard,
+        "entity_resource_allocation": _q_entity_resource_allocation,
+        "entity_clustering_coefficient": _q_entity_clustering_coefficient,
+        "entity_kcore": _q_entity_kcore,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -2207,6 +2228,13 @@ def oracle_sql() -> dict[str, str]:
         "entity_neighbor_jaccard": _graph.make_neighbor_jaccard_sql(
             _TRIPLES_SQL
         ),
+        "entity_resource_allocation": _graph.make_resource_allocation_sql(
+            _TRIPLES_SQL
+        ),
+        "entity_clustering_coefficient": (
+            _graph.make_clustering_coefficient_sql(_TRIPLES_SQL)
+        ),
+        "entity_kcore": _graph.make_kcore_sql(_TRIPLES_SQL),
         "source_shared_entity_pairs": _graph.make_shared_entity_sql(
             _TRIPLES_SQL
         ),

@@ -1389,3 +1389,232 @@ JOIN deg db ON db.e = p.b
 
 
 __all__ += ["entity_neighbor_jaccard", "make_neighbor_jaccard_sql"]
+
+
+def entity_resource_allocation(
+    sf_dir: str, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Resource-allocation link-prediction index → ``(a, b, ra_ppm)``:
+    for entity pairs sharing a neighbor, ``Σ_m 10⁶ // deg(m)`` over the
+    common neighbors — the no-log cousin of Adamic–Adar (1/deg instead of
+    1/log deg), chosen because it stays in exact integers on both
+    engines.  Per-middle-floor semantics: each common neighbor
+    contributes its own floored term, mirrored exactly by the twin's
+    per-row division before the SUM."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir).materialize()
+    if triples.count() > driver_cap:
+        raise NotImplementedError(
+            "unbounded graph: middle-node-bucketed pair expansion"
+        )
+    df = triples.to_pandas()
+    cooc = df[df["pred"] == "cooccurs_with"]
+    neigh: dict[str, set] = {}
+    for s, o in zip(cooc["subj"], cooc["obj"]):
+        neigh.setdefault(s, set()).add(o)
+        neigh.setdefault(o, set()).add(s)
+    deg = {e: len(ns) for e, ns in neigh.items()}
+    inv: dict[str, list] = {}
+    for e, ns in neigh.items():
+        for m in ns:
+            inv.setdefault(m, []).append(e)
+    scores: dict[tuple, int] = {}
+    for m, ents in inv.items():
+        term = 1_000_000 // deg[m]
+        ents = sorted(ents)
+        for i in range(len(ents)):
+            for j in range(i + 1, len(ents)):
+                k = (ents[i], ents[j])
+                scores[k] = scores.get(k, 0) + term
+    rows = sorted(scores.items())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([k[0] for k, _ in rows], type=pa.string()),
+                "b": pa.array([k[1] for k, _ in rows], type=pa.string()),
+                "ra_ppm": pa.array(
+                    np.array([v for _, v in rows], dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+def make_resource_allocation_sql(triples_sql: str) -> str:
+    return f"""
+WITH t AS ({triples_sql}),
+cooc AS (SELECT subj, obj FROM t WHERE pred = 'cooccurs_with'),
+nb AS (
+  SELECT subj AS e, obj AS m FROM cooc
+  UNION SELECT obj, subj FROM cooc
+),
+deg AS (SELECT e AS ent, count(*)::BIGINT AS d FROM nb GROUP BY e),
+pairs AS (
+  SELECT x.e AS a, y.e AS b, x.m AS m
+  FROM nb x JOIN nb y ON x.m = y.m AND x.e < y.e
+)
+SELECT p.a, p.b,
+       CAST(sum(1000000 // d.d) AS BIGINT) AS ra_ppm
+FROM pairs p JOIN deg d ON d.ent = p.m
+GROUP BY p.a, p.b
+"""
+
+
+def entity_clustering_coefficient(
+    sf_dir: str, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Local clustering coefficient → ``(entity_id, degree, triangles,
+    cc_ppm)`` with ``cc_ppm = 2·tri·10⁶ // (d·(d−1))`` for d ≥ 2 (nodes
+    of degree < 2 report 0) — the neighborhood-density feature, exact
+    ints via the same diag(A³)/2 triangle core the triangle-count op
+    uses."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir).materialize()
+    if triples.count() > driver_cap:
+        raise NotImplementedError("unbounded graph: see triangle op")
+    df = triples.to_pandas()
+    cooc = df[df["pred"] == "cooccurs_with"]
+    nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
+    idx = {e: i for i, e in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n), dtype=np.int64)
+    for s, o in zip(cooc["subj"], cooc["obj"]):
+        A[idx[s], idx[o]] = 1
+        A[idx[o], idx[s]] = 1
+    np.fill_diagonal(A, 0)
+    tri = np.diag(A @ A @ A) // 2
+    d = A.sum(axis=1)
+    cc = np.where(
+        d >= 2, (2 * tri * 1_000_000) // np.maximum(d * (d - 1), 1), 0
+    ).astype(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(nodes, type=pa.string()),
+                "degree": pa.array(d.astype(np.int64)),
+                "triangles": pa.array(tri.astype(np.int64)),
+                "cc_ppm": pa.array(cc),
+            }
+        )
+    )
+
+
+def make_clustering_coefficient_sql(triples_sql: str) -> str:
+    return f"""
+WITH t AS ({triples_sql}),
+cooc AS (SELECT DISTINCT subj, obj FROM t WHERE pred = 'cooccurs_with'),
+nb AS (
+  SELECT subj AS e, obj AS m FROM cooc
+  UNION SELECT obj, subj FROM cooc
+),
+nodes AS (SELECT DISTINCT subj AS entity_id FROM t
+          WHERE pred = 'appears_in'),
+deg AS (
+  SELECT n.entity_id, CAST(count(nb.m) AS BIGINT) AS degree
+  FROM nodes n LEFT JOIN nb ON nb.e = n.entity_id
+  GROUP BY n.entity_id
+),
+tri AS (
+  SELECT n.entity_id,
+         CAST(count(*) // 2 AS BIGINT) AS triangles
+  FROM nodes n
+  JOIN nb x ON x.e = n.entity_id
+  JOIN nb y ON y.e = n.entity_id AND y.m <> x.m
+  JOIN nb z ON z.e = x.m AND z.m = y.m
+  GROUP BY n.entity_id
+)
+SELECT d.entity_id, d.degree,
+       COALESCE(tri.triangles, 0) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN CAST(2 * COALESCE(tri.triangles, 0) * 1000000
+                      // (d.degree * (d.degree - 1)) AS BIGINT)
+            ELSE 0 END AS cc_ppm
+FROM deg d LEFT JOIN tri ON tri.entity_id = d.entity_id
+"""
+
+
+def entity_kcore(
+    sf_dir: str, k: int = 2, rounds: int = 6, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Bounded-round k-core peeling → ``(entity_id, in_core)``: nodes
+    surviving ``rounds`` rounds of "drop every node with fewer than
+    ``k`` neighbors among survivors" — the dense-subgraph backbone used
+    to prune noisy KG fringes.  As with BFS/CC, the twin unrolls the
+    IDENTICAL rounds, so both engines agree even before the peel
+    converges; the entity graph's bounded size makes the numpy path the
+    production one."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir).materialize()
+    if triples.count() > driver_cap:
+        raise NotImplementedError(
+            "unbounded graph: per-round bucketed degree filter"
+        )
+    df = triples.to_pandas()
+    cooc = df[df["pred"] == "cooccurs_with"]
+    nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
+    idx = {e: i for i, e in enumerate(nodes)}
+    a = cooc["subj"].map(idx).to_numpy(dtype=np.int64)
+    b = cooc["obj"].map(idx).to_numpy(dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    alive = np.ones(len(nodes), dtype=bool)
+    for _ in range(rounds):
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        m = alive[src] & alive[dst]
+        np.add.at(deg, src[m], 1)
+        alive = alive & (deg >= k)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(nodes, type=pa.string()),
+                "in_core": pa.array(alive.astype(np.int64)),
+            }
+        )
+    )
+
+
+def make_kcore_sql(triples_sql: str, k: int = 2, rounds: int = 6) -> str:
+    parts = [
+        f"WITH t AS ({triples_sql}),\n"
+        "cooc AS (SELECT DISTINCT subj, obj FROM t"
+        " WHERE pred = 'cooccurs_with'),\n"
+        "edges AS (SELECT subj AS src, obj AS dst FROM cooc\n"
+        "          UNION ALL SELECT obj, subj FROM cooc),\n"
+        "nodes AS (SELECT DISTINCT subj AS entity_id FROM t"
+        " WHERE pred = 'appears_in'),\n"
+        "a0 AS (SELECT entity_id, 1 AS alive FROM nodes)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+a{i} AS MATERIALIZED (
+  SELECT n.entity_id,
+         CASE WHEN n.alive = 1 AND COALESCE(dg.d, 0) >= {k}
+              THEN 1 ELSE 0 END AS alive
+  FROM a{i - 1} n
+  LEFT JOIN (
+    SELECT e.src AS entity_id, count(*) AS d
+    FROM edges e
+    JOIN a{i - 1} s ON s.entity_id = e.src AND s.alive = 1
+    JOIN a{i - 1} d2 ON d2.entity_id = e.dst AND d2.alive = 1
+    GROUP BY e.src
+  ) dg ON dg.entity_id = n.entity_id
+)"""
+        )
+    parts.append(
+        f"\nSELECT entity_id, CAST(alive AS BIGINT) AS in_core FROM a{rounds}"
+    )
+    return "".join(parts)
+
+
+__all__ += [
+    "entity_resource_allocation",
+    "make_resource_allocation_sql",
+    "entity_clustering_coefficient",
+    "make_clustering_coefficient_sql",
+    "entity_kcore",
+    "make_kcore_sql",
+]

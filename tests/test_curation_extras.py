@@ -586,3 +586,29 @@ def test_neighbor_jaccard_bruteforce():
                 expect[(a, b)] = inter
     assert {(r.a, r.b): int(r.inter) for r in got.itertuples()} == expect
     assert (got["jac_ppm"] == got["inter"] * 1_000_000 // got["union_n"]).all()
+
+
+def test_graph_feature_invariants():
+    from ner_funtool_ray.pipelines.graph import (
+        entity_clustering_coefficient,
+        entity_kcore,
+        entity_resource_allocation,
+        entity_triangle_counts,
+    )
+
+    cc = entity_clustering_coefficient(SF).to_pandas()
+    assert cc["cc_ppm"].between(0, 1_000_000).all()
+    # triangles agree with the standalone triangle op
+    tri = entity_triangle_counts(SF).to_pandas().set_index("entity_id")
+    merged = cc.set_index("entity_id").join(tri, rsuffix="_t")
+    assert (merged["triangles"] == merged.iloc[:, -1]).all()
+
+    core = entity_kcore(SF).to_pandas()
+    # core membership implies degree >= 2 in the original graph
+    deg = cc.set_index("entity_id")["degree"]
+    in_core = core[core["in_core"] == 1]["entity_id"]
+    assert (deg[in_core] >= 2).all()
+
+    ra = entity_resource_allocation(SF).to_pandas()
+    assert (ra["ra_ppm"] > 0).all()
+    assert (ra["a"] < ra["b"]).all()
