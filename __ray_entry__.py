@@ -1553,6 +1553,12 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_label_centroid_distances(sf_dir: str):
+    from ner_funtool_ray.pipelines.embedding import label_centroid_distances
+
+    return label_centroid_distances(sf_dir)
+
+
 def _q_entity_resource_allocation(sf_dir: str):
     from ner_funtool_ray.pipelines.graph import entity_resource_allocation
 
@@ -2067,6 +2073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_top_pairs": _q_bpe_top_pairs,
         "orders_above_p99": _q_orders_above_p99,
         "entity_neighbor_jaccard": _q_entity_neighbor_jaccard,
+        "label_centroid_distances": _q_label_centroid_distances,
         "entity_resource_allocation": _q_entity_resource_allocation,
         "entity_clustering_coefficient": _q_entity_clustering_coefficient,
         "entity_kcore": _q_entity_kcore,
@@ -2228,6 +2235,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_neighbor_jaccard": _graph.make_neighbor_jaccard_sql(
             _TRIPLES_SQL
         ),
+        "label_centroid_distances": _emb.LABEL_CENTROID_DISTANCES_SQL,
         "entity_resource_allocation": _graph.make_resource_allocation_sql(
             _TRIPLES_SQL
         ),

@@ -360,3 +360,62 @@ c{it} AS (
         f" FROM c{iters}"
     )
     return "".join(parts)
+
+
+def label_centroid_distances(sf_dir: str) -> "ray.data.Dataset":
+    """Cluster-separation diagnostics → ``(label_a, label_b, dist2)``:
+    exact integer squared-L2 distance between every pair of per-label
+    centroids, with centroids requantized by TRUNCATING integer division
+    (the ``kmeans_lloyd`` convention — DuckDB's ``//`` truncates).
+
+    Builds on ``label_centroids``' exact (n, Σq) pairs: the centroid
+    table is labels × dim (bounded), so the pairwise matrix assembles on
+    the driver; the only corpus pass is the centroid aggregation
+    itself."""
+    cent = label_centroids(sf_dir).to_pandas()  # label-bounded
+    piv_s = cent.pivot(index="label", columns="dim", values="sum_fp").sort_index()
+    n_per = cent[cent["dim"] == 1].set_index("label")["n"].sort_index()
+    s_mat = piv_s.to_numpy(np.int64)
+    n_col = n_per.to_numpy(np.int64)[:, None]
+    q = np.where(s_mat >= 0, s_mat // n_col, -((-s_mat) // n_col))
+    labels = piv_s.index.to_numpy(np.int64)
+    la, lb, d2 = [], [], []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            diff = q[i] - q[j]
+            la.append(int(labels[i]))
+            lb.append(int(labels[j]))
+            d2.append(int((diff * diff).sum()))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "label_a": pa.array(np.array(la, dtype=np.int64)),
+                "label_b": pa.array(np.array(lb, dtype=np.int64)),
+                "dist2": pa.array(np.array(d2, dtype=np.int64)),
+            }
+        )
+    )
+
+
+LABEL_CENTROID_DISTANCES_SQL = f"""
+WITH q AS (
+  SELECT label, i.i AS dim,
+         CAST(floor(CAST(embedding[i.i] AS DOUBLE) * {float(_FP)}) AS BIGINT)
+           AS qx
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+),
+c AS (
+  SELECT label, dim,
+         CAST(sum(qx) // count(*) AS BIGINT) AS qc
+  FROM q GROUP BY label, dim
+)
+SELECT CAST(a.label AS BIGINT) AS label_a,
+       CAST(b.label AS BIGINT) AS label_b,
+       CAST(sum((a.qc - b.qc) * (a.qc - b.qc)) AS BIGINT) AS dist2
+FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+GROUP BY a.label, b.label
+"""
+
+
+__all__ += ["label_centroid_distances", "LABEL_CENTROID_DISTANCES_SQL"]
