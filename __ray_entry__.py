@@ -1553,6 +1553,18 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_rate_limit_violators(sf_dir: str):
+    from ner_funtool_ray.pipelines.sequence import rate_limit_violators
+
+    return rate_limit_violators(sf_dir)
+
+
+def _q_gap_median_by_type(sf_dir: str):
+    from ner_funtool_ray.pipelines.sequence import gap_median_by_type
+
+    return gap_median_by_type(sf_dir)
+
+
 def _q_label_centroid_distances(sf_dir: str):
     from ner_funtool_ray.pipelines.embedding import label_centroid_distances
 
@@ -2074,6 +2086,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_p99": _q_orders_above_p99,
         "entity_neighbor_jaccard": _q_entity_neighbor_jaccard,
         "label_centroid_distances": _q_label_centroid_distances,
+        "rate_limit_violators": _q_rate_limit_violators,
+        "gap_median_by_type": _q_gap_median_by_type,
         "entity_resource_allocation": _q_entity_resource_allocation,
         "entity_clustering_coefficient": _q_entity_clustering_coefficient,
         "entity_kcore": _q_entity_kcore,
@@ -2236,6 +2250,8 @@ def oracle_sql() -> dict[str, str]:
             _TRIPLES_SQL
         ),
         "label_centroid_distances": _emb.LABEL_CENTROID_DISTANCES_SQL,
+        "rate_limit_violators": _seq.RATE_LIMIT_VIOLATORS_SQL,
+        "gap_median_by_type": _seq.GAP_MEDIAN_BY_TYPE_SQL,
         "entity_resource_allocation": _graph.make_resource_allocation_sql(
             _TRIPLES_SQL
         ),

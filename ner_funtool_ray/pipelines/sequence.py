@@ -321,3 +321,150 @@ FROM lagged GROUP BY user_id
 
 
 
+
+
+def rate_limit_violators(
+    sf_dir: str, threshold: int = 5
+) -> "ray.data.Dataset":
+    """Abuse/rate-limit detection → ``(user_id, day, n)``: (user, day)
+    cells whose event count reaches ``threshold`` — the per-principal
+    windowed-count check every ingestion edge runs.
+
+    Pure partial-then-bounded-merge: per-batch (user, day) count partials
+    ride one int-key exchange (`bucketed_group_sum`), then a vectorized
+    filter.  No distinct, no sort."""
+    from ner_funtool_ray.pipelines.mining import _ts_us
+
+    _DAY = 86_400_000_000
+    ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "user_id": np.asarray(batch["user_id"]).astype(np.int64),
+                    "day": _ts_us(batch["ts"]) // _DAY,
+                }
+            ),
+            preserve_index=False,
+        )
+
+    counts = bucketed_group_sum(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        keys=["user_id", "day"],
+        count_col="n",
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch["n"], pa.scalar(threshold))
+        )
+
+    return counts.map_batches(keep, batch_format="pyarrow")
+
+
+RATE_LIMIT_VIOLATORS_SQL = """
+SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2 HAVING count(*) >= 5
+"""
+
+
+def gap_median_by_type(
+    sf_dir: str, coarse_shift: int = 24, n_buckets: int = 32
+) -> "ray.data.Dataset":
+    """Latency-style analytics → ``(event_type, median_gap_us)``: the
+    EXACT median inter-event gap (microseconds) per event type, over the
+    per-(user, type) consecutive-event differences — p50 "time between
+    actions", the streaming-telemetry summary.
+
+    Phase 1 computes the gaps where they live: one user-hash exchange
+    co-locates each user's events, a vectorized sort+diff per (user,
+    type) run emits (type, gap) rows — one row per event minus one per
+    run, never a cross product.  Phase 2 is the two-pass histogram
+    refinement (`stats._grouped_median_value`) over those rows — gaps
+    span microseconds to weeks, hence the wider ``coarse_shift``."""
+    from ner_funtool_ray.pipelines.mining import _ts_us
+    from ner_funtool_ray.pipelines.stats import _grouped_median_value
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def side(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": np.asarray(batch["user_id"]).astype(np.int64),
+                "event_type": np.asarray(batch["event_type"]),
+                "t": _ts_us(batch["ts"]),
+            }
+        )
+        df["bucket"] = df["user_id"] % n_buckets
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def gaps(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(
+            ["user_id", "event_type", "t"], kind="mergesort"
+        )
+        same = (
+            (g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1])
+            & (
+                g["event_type"].to_numpy()[1:]
+                == g["event_type"].to_numpy()[:-1]
+            )
+        )
+        dt = g["t"].to_numpy()[1:] - g["t"].to_numpy()[:-1]
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    g["event_type"].to_numpy()[1:][same], type=pa.string()
+                ),
+                "gap": pa.array(dt[same], type=pa.int64()),
+            }
+        )
+
+    gap_ds = (
+        ds.map_batches(side, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pandas")
+        .materialize()
+    )
+    med = _grouped_median_value(
+        gap_ds,
+        lambda b: np.asarray(b["gap"]).astype(np.int64),
+        "event_type",
+        coarse_shift,
+    )
+    keys = sorted(med)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(keys, type=pa.string()),
+                "median_gap_us": pa.array(
+                    np.array([med[k] for k in keys], dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+GAP_MEDIAN_BY_TYPE_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+),
+g AS (
+  SELECT event_type, t - lag(t) OVER w AS gap
+  FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t)
+  QUALIFY gap IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, gap,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM g
+)
+SELECT event_type, gap AS median_gap_us
+FROM ranked WHERE rn = (n + 1) // 2
+"""

@@ -612,3 +612,32 @@ def test_graph_feature_invariants():
     ra = entity_resource_allocation(SF).to_pandas()
     assert (ra["ra_ppm"] > 0).all()
     assert (ra["a"] < ra["b"]).all()
+
+
+def test_gap_median_bruteforce():
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.sequence import gap_median_by_type
+
+    got = gap_median_by_type(SF).to_pandas().set_index("event_type")
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_type", "ts"]
+    ).to_pandas()
+    ev["t"] = ev["ts"].values.astype("datetime64[us]").astype(np.int64)
+    gaps = {}
+    for (_, ty), sub in ev.groupby(["user_id", "event_type"]):
+        t = np.sort(sub["t"].to_numpy())
+        if len(t) > 1:
+            gaps.setdefault(ty, []).extend(np.diff(t).tolist())
+    for ty, gl in gaps.items():
+        s = np.sort(np.array(gl))
+        assert got.loc[ty, "median_gap_us"] == int(s[(len(s) + 1) // 2 - 1])
+
+
+def test_rate_limit_violators_threshold():
+    from ner_funtool_ray.pipelines.sequence import rate_limit_violators
+
+    df = rate_limit_violators(SF).to_pandas()
+    assert (df["n"] >= 5).all()
+    loose = rate_limit_violators(SF, threshold=1).to_pandas()
+    assert len(loose) > len(df)
