@@ -1553,6 +1553,18 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_customer_revenue_gini(sf_dir: str):
+    from ner_funtool_ray.pipelines.distribution import customer_revenue_gini
+
+    return customer_revenue_gini(sf_dir)
+
+
+def _q_event_type_drift(sf_dir: str):
+    from ner_funtool_ray.pipelines.distribution import event_type_drift
+
+    return event_type_drift(sf_dir)
+
+
 def _q_rate_limit_violators(sf_dir: str):
     from ner_funtool_ray.pipelines.sequence import rate_limit_violators
 
@@ -2088,6 +2100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_distances": _q_label_centroid_distances,
         "rate_limit_violators": _q_rate_limit_violators,
         "gap_median_by_type": _q_gap_median_by_type,
+        "customer_revenue_gini": _q_customer_revenue_gini,
+        "event_type_drift": _q_event_type_drift,
         "entity_resource_allocation": _q_entity_resource_allocation,
         "entity_clustering_coefficient": _q_entity_clustering_coefficient,
         "entity_kcore": _q_entity_kcore,
@@ -2252,6 +2266,8 @@ def oracle_sql() -> dict[str, str]:
         "label_centroid_distances": _emb.LABEL_CENTROID_DISTANCES_SQL,
         "rate_limit_violators": _seq.RATE_LIMIT_VIOLATORS_SQL,
         "gap_median_by_type": _seq.GAP_MEDIAN_BY_TYPE_SQL,
+        "customer_revenue_gini": _dist.CUSTOMER_REVENUE_GINI_SQL,
+        "event_type_drift": _dist.EVENT_TYPE_DRIFT_SQL,
         "entity_resource_allocation": _graph.make_resource_allocation_sql(
             _TRIPLES_SQL
         ),

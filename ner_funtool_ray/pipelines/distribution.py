@@ -393,3 +393,183 @@ WHERE rn = 1
 
 
 __all__ += ["cheapest_supplier_per_part", "CHEAPEST_SUPPLIER_SQL"]
+
+
+def customer_revenue_gini(sf_dir: str) -> "ray.data.Dataset":
+    """Revenue-concentration metric → one row ``(n, total_cents,
+    gini_ppm)``: the Gini coefficient of per-customer order revenue as an
+    exact scaled integer, ``G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)`` over
+    the ascending-sorted revenues.
+
+    Per-customer revenues come from the usual int-key partial exchange
+    (customer-bounded output); the rank-weighted sum runs on the driver
+    in Python big ints — ties in revenue make Σi·x₍ᵢ₎ order-invariant
+    (equal x across a run of consecutive ranks sums to x·Σi however the
+    run is permuted), so no tiebreak is needed on either engine."""
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    per_cust = bucketed_group_sum(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        keys=["o_custkey"],
+        sum_cols={"rev": "cents"},
+        count_col=None,
+        driver_cap=2_000_000,
+    ).to_pandas()  # customer-bounded
+    x = np.sort(per_cust["rev"].to_numpy(np.int64))
+    n = len(x)
+    total = int(x.sum())
+    weighted = sum(int(i + 1) * int(v) for i, v in enumerate(x))
+    gini_ppm = (
+        ((2 * weighted - (n + 1) * total) * 1_000_000) // (n * total)
+        if n and total
+        else 0
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], type=pa.int64()),
+                "total_cents": pa.array([total], type=pa.int64()),
+                "gini_ppm": pa.array([gini_ppm], type=pa.int64()),
+            }
+        )
+    )
+
+
+CUSTOMER_REVENUE_GINI_SQL = """
+WITH c AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT rev, row_number() OVER (ORDER BY rev) AS i FROM c
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(rev) AS HUGEINT) AS total,
+         CAST(sum(CAST(i AS HUGEINT) * rev) AS HUGEINT) AS weighted
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(total AS BIGINT) AS total_cents,
+       CAST(((2 * weighted - (n + 1) * total) * 1000000) // (n * total)
+            AS BIGINT) AS gini_ppm
+FROM s
+"""
+
+
+def event_type_drift(sf_dir: str) -> "ray.data.Dataset":
+    """Distribution-drift monitoring → ``(day, tv_num, t_prev, t_cur)``
+    per dense-calendar day after the first: the total-variation-distance
+    NUMERATOR ``Σ_type |c_prev·T_cur − c_cur·T_prev|`` between
+    consecutive days' event-type distributions, with both totals
+    alongside (the caller divides by ``2·T_prev·T_cur`` for the TV
+    distance — left as exact integers so the twin hash-matches; no
+    float, no logs, unlike PSI).
+
+    (type, day) count partials ride one bounded exchange; the day-pair
+    assembly is calendar × type-vocabulary bounded → driver Python ints
+    (HUGEINT twin).  The grid is dense over the observed span, so
+    zero-event days yield zero numerators rather than skipped pairs."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["ts"]).astype("datetime64[us]").astype(
+            np.int64
+        ) // _DAY_US
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {"event_type": np.asarray(batch["event_type"]), "day": d}
+            ),
+            preserve_index=False,
+        )
+
+    counts = bucketed_group_sum(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        keys=["event_type", "day"],
+        count_col="c",
+    ).to_pandas()  # vocabulary × calendar bounded
+    piv = (
+        counts.pivot(index="day", columns="event_type", values="c")
+        .fillna(0)
+        .astype(np.int64)
+        .sort_index()
+    )
+    lo, hi = int(piv.index.min()), int(piv.index.max())
+    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    piv = piv.reindex(grid, fill_value=0)
+    rows = []
+    for i in range(1, len(grid)):
+        prev = piv.iloc[i - 1]
+        cur = piv.iloc[i]
+        tp, tc = int(prev.sum()), int(cur.sum())
+        num = sum(
+            abs(int(a) * tc - int(b) * tp) for a, b in zip(prev, cur)
+        )
+        rows.append((int(grid[i]), num, tp, tc))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array([r[0] for r in rows], type=pa.int64()),
+                "tv_num": pa.array([r[1] for r in rows], type=pa.int64()),
+                "t_prev": pa.array([r[2] for r in rows], type=pa.int64()),
+                "t_cur": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+    )
+
+
+EVENT_TYPE_DRIFT_SQL = f"""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+days AS (
+  SELECT unnest(range((SELECT min(day) FROM c),
+                      (SELECT max(day) FROM c) + 1)) AS day
+),
+types AS (SELECT DISTINCT event_type FROM c),
+grid AS (
+  SELECT d.day, t.event_type, coalesce(c.c, 0) AS c
+  FROM days d CROSS JOIN types t
+  LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+),
+tot AS (SELECT day, CAST(sum(c) AS HUGEINT) AS t FROM grid GROUP BY day),
+paired AS (
+  SELECT g2.day,
+         abs(CAST(g1.c AS HUGEINT) * t2.t - CAST(g2.c AS HUGEINT) * t1.t)
+           AS term,
+         t1.t AS t_prev, t2.t AS t_cur
+  FROM grid g1
+  JOIN grid g2 ON g2.day = g1.day + 1
+              AND g2.event_type = g1.event_type
+  JOIN tot t1 ON t1.day = g1.day
+  JOIN tot t2 ON t2.day = g2.day
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(sum(term) AS BIGINT) AS tv_num,
+       CAST(min(t_prev) AS BIGINT) AS t_prev,
+       CAST(min(t_cur) AS BIGINT) AS t_cur
+FROM paired GROUP BY day
+"""
+
+
+__all__ += [
+    "customer_revenue_gini",
+    "CUSTOMER_REVENUE_GINI_SQL",
+    "event_type_drift",
+    "EVENT_TYPE_DRIFT_SQL",
+]

@@ -641,3 +641,28 @@ def test_rate_limit_violators_threshold():
     assert (df["n"] >= 5).all()
     loose = rate_limit_violators(SF, threshold=1).to_pandas()
     assert len(loose) > len(df)
+
+
+def test_gini_bruteforce_and_bounds():
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.distribution import customer_revenue_gini
+
+    row = customer_revenue_gini(SF).to_pandas().iloc[0]
+    assert 0 <= row["gini_ppm"] < 1_000_000
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]).to_pandas()
+    t["c"] = np.round(t["o_totalprice"] * 100).astype(np.int64)
+    rev = np.sort(t.groupby("o_custkey")["c"].sum().to_numpy())
+    n, total = len(rev), int(rev.sum())
+    weighted = int((np.arange(1, n + 1, dtype=object) * rev.astype(object)).sum())
+    assert row["gini_ppm"] == ((2 * weighted - (n + 1) * total) * 1_000_000) // (n * total)
+
+
+def test_event_type_drift_dense_and_bounded():
+    from ner_funtool_ray.pipelines.distribution import event_type_drift
+
+    df = event_type_drift(SF).to_pandas()
+    assert (np.diff(df["day"]) == 1).all()
+    # TV distance = tv_num / (2 t_prev t_cur) in [0, 1]
+    assert (df["tv_num"] <= 2 * df["t_prev"] * df["t_cur"]).all()
+    assert (df["tv_num"] >= 0).all()
