@@ -1553,6 +1553,18 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_fuzzy_gazetteer_matches(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import fuzzy_gazetteer_matches
+
+    return fuzzy_gazetteer_matches(sf_dir)
+
+
+def _q_event_type_weekly_counts(sf_dir: str):
+    from ner_funtool_ray.pipelines.mining import event_type_weekly_counts
+
+    return event_type_weekly_counts(sf_dir)
+
+
 def _q_customer_revenue_gini(sf_dir: str):
     from ner_funtool_ray.pipelines.distribution import customer_revenue_gini
 
@@ -2102,6 +2114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_median_by_type": _q_gap_median_by_type,
         "customer_revenue_gini": _q_customer_revenue_gini,
         "event_type_drift": _q_event_type_drift,
+        "fuzzy_gazetteer_matches": _q_fuzzy_gazetteer_matches,
+        "event_type_weekly_counts": _q_event_type_weekly_counts,
         "entity_resource_allocation": _q_entity_resource_allocation,
         "entity_clustering_coefficient": _q_entity_clustering_coefficient,
         "entity_kcore": _q_entity_kcore,
@@ -2268,6 +2282,8 @@ def oracle_sql() -> dict[str, str]:
         "gap_median_by_type": _seq.GAP_MEDIAN_BY_TYPE_SQL,
         "customer_revenue_gini": _dist.CUSTOMER_REVENUE_GINI_SQL,
         "event_type_drift": _dist.EVENT_TYPE_DRIFT_SQL,
+        "fuzzy_gazetteer_matches": _textops.make_fuzzy_gazetteer_sql(),
+        "event_type_weekly_counts": _min.EVENT_TYPE_WEEKLY_COUNTS_SQL,
         "entity_resource_allocation": _graph.make_resource_allocation_sql(
             _TRIPLES_SQL
         ),

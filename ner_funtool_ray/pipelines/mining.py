@@ -800,3 +800,86 @@ FROM rules JOIN marg m ON m.l_partkey = antecedent
 
 
 __all__ += ["basket_pair_confidence", "BASKET_PAIR_CONFIDENCE_SQL"]
+
+
+def event_type_weekly_counts(
+    sf_dir: str, window_days: int = 7
+) -> "ray.data.Dataset":
+    """Trailing time-range window aggregate → ``(event_type, day,
+    trailing_n)``: per type and dense-calendar day, the event count over
+    the ``window_days`` days ending that day — the RANGE-window
+    complement of the per-key ROWS window op.
+
+    Daily (type, day) partials ride one bounded exchange; the trailing
+    sum is a vectorized cumsum difference over the dense day grid —
+    calendar × type-vocabulary bounded, so it runs on the driver."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_type": np.asarray(batch["event_type"]),
+                    "day": _ts_us(batch["ts"]) // _DAY_US,
+                }
+            ),
+            preserve_index=False,
+        )
+
+    counts = bucketed_group_sum(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        keys=["event_type", "day"],
+        count_col="c",
+    ).to_pandas()  # vocabulary × calendar bounded
+    lo, hi = int(counts["day"].min()), int(counts["day"].max())
+    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    out_t, out_d, out_n = [], [], []
+    for ty, sub in counts.groupby("event_type", sort=True):
+        daily = (
+            sub.set_index("day")["c"].reindex(grid, fill_value=0).to_numpy(np.int64)
+        )
+        cum = np.concatenate([[0], np.cumsum(daily)])
+        trail = cum[1:] - cum[np.maximum(0, np.arange(len(grid)) - window_days + 1)]
+        out_t.extend([ty] * len(grid))
+        out_d.extend(grid.tolist())
+        out_n.extend(trail.tolist())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(out_t, type=pa.string()),
+                "day": pa.array(np.array(out_d, dtype=np.int64)),
+                "trailing_n": pa.array(np.array(out_n, dtype=np.int64)),
+            }
+        )
+    )
+
+
+EVENT_TYPE_WEEKLY_COUNTS_SQL = f"""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+days AS (
+  SELECT unnest(range((SELECT min(day) FROM c),
+                      (SELECT max(day) FROM c) + 1)) AS day
+),
+types AS (SELECT DISTINCT event_type FROM c),
+grid AS (
+  SELECT t.event_type, d.day, coalesce(c.c, 0) AS c
+  FROM days d CROSS JOIN types t
+  LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_n
+FROM grid
+"""
+
+
+__all__ += ["event_type_weekly_counts", "EVENT_TYPE_WEEKLY_COUNTS_SQL"]

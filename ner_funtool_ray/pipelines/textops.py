@@ -666,3 +666,88 @@ SELECT doc_id, CAST(i AS BIGINT) AS pos, l[i] AS entity,
          AS right_ctx
 FROM hit
 """
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain DP Levenshtein (gazetteer terms and tokens are short)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+        prev = cur
+    return prev[lb]
+
+
+def fuzzy_gazetteer_matches(
+    sf_dir: str, max_dist: int = 1
+) -> "ray.data.Dataset":
+    """Typo-tolerant dictionary matching → ``(term, token, dist, cnt)``:
+    corpus tokens within edit distance ``max_dist`` of a gazetteer term
+    (the fuzzy-entity-recall step a high-precision exact matcher misses),
+    with the token's corpus frequency.  Exact-match rows (dist 0) are
+    included so the output is the full match table.
+
+    The only corpus-sized pass is the word count (``vocab_count``
+    exchange); the DP runs over VOCABULARY × gazetteer with length
+    blocking (|len(a) − len(b)| ≤ max_dist prunes most cells) on the
+    driver.  DuckDB's ``levenshtein`` agrees with the plain DP, so the
+    twin is hash-exact."""
+    from ner_funtool_ray.config import GAZETTEER
+
+    vocab = vocab_count(sf_dir, min_count=1).to_pandas()
+    terms = sorted(GAZETTEER)
+    rows = []
+    for w, c in zip(vocab["word"], vocab["cnt"]):
+        lw = len(w)
+        for t in terms:
+            if abs(len(t) - lw) > max_dist:
+                continue
+            d = _levenshtein(t, w)
+            if d <= max_dist:
+                rows.append((t, w, d, int(c)))
+    rows.sort()
+    import numpy as np
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "term": pa.array([r[0] for r in rows], type=pa.string()),
+                "token": pa.array([r[1] for r in rows], type=pa.string()),
+                "dist": pa.array(
+                    np.array([r[2] for r in rows], dtype=np.int64)
+                ),
+                "cnt": pa.array(
+                    np.array([r[3] for r in rows], dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+def make_fuzzy_gazetteer_sql(max_dist: int = 1) -> str:
+    from ner_funtool_ray.config import GAZETTEER
+
+    terms = ", ".join(f"('{t}')" for t in sorted(GAZETTEER))
+    return rf"""
+WITH w AS (
+  SELECT word, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(regexp_extract_all(text, '\w+')) AS word
+        FROM documents)
+  GROUP BY word
+),
+g AS (SELECT * FROM (VALUES {terms}) AS g(term))
+SELECT g.term, w.word AS token,
+       CAST(levenshtein(g.term, w.word) AS BIGINT) AS dist,
+       w.cnt
+FROM g JOIN w ON abs(length(g.term) - length(w.word)) <= {max_dist}
+            AND levenshtein(g.term, w.word) <= {max_dist}
+"""

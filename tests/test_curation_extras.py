@@ -666,3 +666,32 @@ def test_event_type_drift_dense_and_bounded():
     # TV distance = tv_num / (2 t_prev t_cur) in [0, 1]
     assert (df["tv_num"] <= 2 * df["t_prev"] * df["t_cur"]).all()
     assert (df["tv_num"] >= 0).all()
+
+
+def test_fuzzy_gazetteer_includes_exact_and_respects_distance():
+    from ner_funtool_ray.pipelines.textops import _levenshtein, fuzzy_gazetteer_matches
+
+    df = fuzzy_gazetteer_matches(SF).to_pandas()
+    assert (df["dist"] <= 1).all()
+    exact = df[df["dist"] == 0]
+    assert (exact["term"] == exact["token"]).all()
+    for r in df.sample(min(15, len(df)), random_state=0).itertuples():
+        assert _levenshtein(r.term, r.token) == r.dist
+
+
+def test_event_type_weekly_counts_window_property():
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.mining import event_type_weekly_counts
+
+    df = event_type_weekly_counts(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts"]).to_pandas()
+    day = ev["ts"].values.astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+    ev = ev.assign(day=day)
+    for r in df.sample(min(20, len(df)), random_state=1).itertuples():
+        exp = (
+            (ev["event_type"] == r.event_type)
+            & (ev["day"] >= r.day - 6)
+            & (ev["day"] <= r.day)
+        ).sum()
+        assert r.trailing_n == exp
