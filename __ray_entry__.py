@@ -1553,6 +1553,14 @@ def _q_monthly_revenue_delta(sf_dir: str):
     return monthly_revenue_delta(sf_dir)
 
 
+def _q_ensemble_report(sf_dir: str):
+    """Model-ensemble agreement audit (BiLSTM vs transformer paths) —
+    weight-dependent like every ner_* query, so rows-only."""
+    from ner_funtool_ray.pipelines.tagging import ensemble_mentions
+
+    return ensemble_mentions(sf_dir)
+
+
 def _q_fuzzy_gazetteer_matches(sf_dir: str):
     from ner_funtool_ray.pipelines.textops import fuzzy_gazetteer_matches
 
@@ -2155,6 +2163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngram_coverage": _q_doc_dup_ngram_coverage,
         # CLUE submit writer surface over the model path (rows-only)
         "ner_clue_submit": _q_clue_submit,
+        "ner_ensemble_report": _q_ensemble_report,
         # multimodal plumbing (binary payload columns synthesized
         # deterministically — no image column in the testdata; rows-only)
         "mm_image_features": _q_mm_image_features,

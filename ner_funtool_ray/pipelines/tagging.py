@@ -212,3 +212,88 @@ def entity_metrics_report(sf_dir: str, cascade: bool = False) -> pd.DataFrame:
 
     p, r, f1 = entity_metrics(tagged.map_batches(project, batch_format="pyarrow"))
     return pd.DataFrame({"precision": [p], "recall": [r], "f1": [f1]})
+
+
+def ensemble_mentions(sf_dir: str, n_buckets: int = 16) -> "ray.data.Dataset":
+    """Model-ensemble diagnostics → per ``entity_type``:
+    ``(entity_type, n_bilstm, n_bert, n_agree)`` where ``n_agree`` counts
+    spans BOTH model paths emit with the same (row, sentence, offsets,
+    type) — the inter-model agreement audit a serving ensemble publishes
+    (with the repo's seeded stand-in weights the agreement is small by
+    construction; the report's SHAPE, not its magnitude, is the
+    contract, which is why this is the rows-only surface).
+
+    Distributed intersection: both mention tables hash-bucket by
+    ``row_id`` (a span lives in exactly one bucket), the per-bucket
+    inner merge on (row_id, sent_id, start, end, entity_type) counts the
+    agreed spans, and the per-type partials merge in one tiny groupby —
+    mention tables are corpus-mention-sized, never joined on the
+    driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    cols = ["row_id", "sent_id", "start", "end", "surface", "entity_type"]
+
+    def side(kind: int):
+        def f(batch: pa.Table) -> pa.Table:
+            df = batch.select(cols).to_pandas()
+            df["kind"] = np.int8(kind)
+            df["bucket"] = (
+                df["row_id"].to_numpy().astype(np.uint64)
+                % np.uint64(n_buckets)
+            ).astype(np.int64)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return f
+
+    # materialize each side BEFORE the union: the two model actor pools
+    # would otherwise start concurrently and can starve each other of
+    # CPUs at low core counts (observed deadlock at num_cpus=8)
+    a = (
+        model_mentions(sf_dir)
+        .map_batches(side(0), batch_format="pyarrow")
+        .materialize()
+    )
+    b = (
+        model_mentions(sf_dir, model="bert")
+        .map_batches(side(1), batch_format="pyarrow")
+        .materialize()
+    )
+
+    key = ["row_id", "sent_id", "start", "end", "entity_type"]
+
+    def agree(group: pd.DataFrame) -> pa.Table:
+        x = group[group["kind"] == 0].drop_duplicates(key)
+        y = group[group["kind"] == 1].drop_duplicates(key)
+        m = x[key].merge(y[key], on=key, how="inner")
+        parts = []
+        for df, col in ((x, "n_bilstm"), (y, "n_bert"), (m, "n_agree")):
+            c = (
+                df.groupby("entity_type", sort=False)
+                .size()
+                .rename(col)
+                .reset_index()
+            )
+            parts.append(c.set_index("entity_type"))
+        out = (
+            pd.concat(parts, axis=1)
+            .fillna(0)
+            .astype(np.int64)
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    per_bucket = (
+        a.union(b).groupby("bucket").map_groups(agree, batch_format="pandas")
+    )
+    return bucketed_group_sum(
+        per_bucket,
+        ["entity_type"],
+        sum_cols={"n_bilstm": "n_bilstm", "n_bert": "n_bert",
+                  "n_agree": "n_agree"},
+        count_col=None,
+        driver_cap=2_000_000,
+    )

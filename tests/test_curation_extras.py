@@ -695,3 +695,13 @@ def test_event_type_weekly_counts_window_property():
             & (ev["day"] <= r.day)
         ).sum()
         assert r.trailing_n == exp
+
+
+def test_ensemble_report_counts_consistent():
+    from ner_funtool_ray.pipelines.tagging import ensemble_mentions, model_mentions
+
+    rep = ensemble_mentions(SF).to_pandas()
+    assert (rep["n_agree"] <= rep[["n_bilstm", "n_bert"]].min(axis=1)).all()
+    a = model_mentions(SF).to_pandas()
+    key = ["row_id", "sent_id", "start", "end", "entity_type"]
+    assert int(rep["n_bilstm"].sum()) == len(a.drop_duplicates(key))
