@@ -772,7 +772,9 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 <
 __all__ += ["mixture_sample", "MIXTURE_SAMPLE_SQL"]
 
 
-def incremental_dedup_new(sf_dir: str) -> "ray.data.Dataset":
+def incremental_dedup_new(
+    sf_dir: str, broadcast_limit: int = 5_000_000, n_buckets: int = 32
+) -> "ray.data.Dataset":
     """Incremental dedup against a history index → the NEW documents
     whose content fingerprint already exists in the HISTORY partition —
     the nightly-ingest shape: dedupe today's crawl against everything
@@ -783,15 +785,19 @@ def incremental_dedup_new(sf_dir: str) -> "ray.data.Dataset":
     BAG-OF-WORDS fingerprint (md5 of the sorted distinct token set —
     exact text dups don't exist in the synthetic corpus, token-set dups
     do, and the shape-level key is what real incremental dedup uses for
-    template spam anyway); the history fingerprint set builds as
-    per-batch distinct partials and broadcasts under the same size-guard
-    convention as ``minhash_dedup_corpus``'s keep-list; the new partition
-    streams with one set-probe per batch.  Output: ``(doc_id,
-    fingerprint)`` of the duplicate new docs."""
+    template spam anyway).  Size-guarded plan (the history side is
+    corpus-proportional by construction): under the parquet-metadata
+    guard the history fingerprint set broadcasts once and the new
+    partition streams with a set probe; above it, BOTH sides hash-bucket
+    by fingerprint (a fingerprint lives in one bucket) and the per-bucket
+    semi-join emits the duplicate new docs.  Output: ``(doc_id,
+    fingerprint)``."""
     import hashlib
     import re as _re
+    import zlib
 
     from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
+    from ner_funtool_ray.sources.io import parquet_num_rows
 
     def fingerprint(text: str) -> str:
         toks = sorted(set(_re.findall(r"\w+", text or "")))
@@ -814,21 +820,56 @@ def incremental_dedup_new(sf_dir: str) -> "ray.data.Dataset":
         )
 
     tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
-    hist = set()
-    for b in tagged.iter_batches(batch_format="pyarrow"):
-        m = np.asarray(b["is_new"]) == 0
-        hist.update(np.asarray(b["fingerprint"].to_pandas())[m])
-    hist_ref = ray.put(hist)
 
-    def probe(batch: pa.Table) -> pa.Table:
-        h = ray.get(hist_ref)
-        is_new = np.asarray(batch["is_new"]) == 1
+    if parquet_num_rows(f"{sf_dir}/documents.parquet") <= broadcast_limit:
+        hist = set()
+        for b in tagged.iter_batches(batch_format="pyarrow"):
+            m = np.asarray(b["is_new"]) == 0
+            hist.update(np.asarray(b["fingerprint"].to_pandas())[m])
+        hist_ref = ray.put(hist)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            h = ray.get(hist_ref)
+            is_new = np.asarray(batch["is_new"]) == 1
+            fps = batch["fingerprint"].to_pylist()
+            dup = (
+                np.fromiter(
+                    (f in h for f in fps), dtype=bool, count=len(fps)
+                )
+                & is_new
+            )
+            out = batch.filter(pa.array(dup))
+            return out.select(["doc_id", "fingerprint"])
+
+        return tagged.map_batches(probe, batch_format="pyarrow")
+
+    # bucketed fallback: fingerprints co-locate, per-bucket semi-join
+    def add_bucket(batch: pa.Table) -> pa.Table:
         fps = batch["fingerprint"].to_pylist()
-        dup = np.array([f in h for f in fps]) & is_new
-        out = batch.filter(pa.array(dup))
-        return out.select(["doc_id", "fingerprint"])
+        return batch.append_column(
+            "bucket",
+            pa.array(
+                np.fromiter(
+                    (zlib.crc32(f.encode()) % n_buckets for f in fps),
+                    dtype=np.int64,
+                    count=len(fps),
+                )
+            ),
+        )
 
-    return tagged.map_batches(probe, batch_format="pyarrow")
+    def semi(group: pd.DataFrame) -> pa.Table:
+        hist = set(group.loc[group["is_new"] == 0, "fingerprint"])
+        new = group[group["is_new"] == 1]
+        keep = new["fingerprint"].isin(hist).to_numpy()
+        return pa.Table.from_pandas(
+            new.loc[keep, ["doc_id", "fingerprint"]], preserve_index=False
+        )
+
+    return (
+        tagged.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(semi, batch_format="pandas")
+    )
 
 
 INCREMENTAL_DEDUP_NEW_SQL = r"""
@@ -887,8 +928,12 @@ WITH w AS (
   GROUP BY word
 ),
 p AS (
+  -- position range sized from the actual vocabulary (a fixed cap would
+  -- silently drop pairs of very long tokens)
   SELECT word[i : i + 1] AS pair, cnt
-  FROM w, (SELECT unnest(range(1, 100)) AS i) i
+  FROM w,
+       (SELECT unnest(range(1, (SELECT max(length(word)) FROM w) + 1))
+          AS i) i
   WHERE i < length(word)
 ),
 c AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM p GROUP BY pair),

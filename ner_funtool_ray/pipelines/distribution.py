@@ -481,35 +481,10 @@ def event_type_drift(sf_dir: str) -> "ray.data.Dataset":
     assembly is calendar × type-vocabulary bounded → driver Python ints
     (HUGEINT twin).  The grid is dense over the observed span, so
     zero-event days yield zero numerators rather than skipped pairs."""
-    ds = read_parquet_auto(
-        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
-    )
+    from ner_funtool_ray.pipelines.mining import dense_daily_type_counts
 
-    def cells(batch: pa.Table) -> pa.Table:
-        d = np.asarray(batch["ts"]).astype("datetime64[us]").astype(
-            np.int64
-        ) // _DAY_US
-        return pa.Table.from_pandas(
-            pd.DataFrame(
-                {"event_type": np.asarray(batch["event_type"]), "day": d}
-            ),
-            preserve_index=False,
-        )
-
-    counts = bucketed_group_sum(
-        ds.map_batches(cells, batch_format="pyarrow"),
-        keys=["event_type", "day"],
-        count_col="c",
-    ).to_pandas()  # vocabulary × calendar bounded
-    piv = (
-        counts.pivot(index="day", columns="event_type", values="c")
-        .fillna(0)
-        .astype(np.int64)
-        .sort_index()
-    )
-    lo, hi = int(piv.index.min()), int(piv.index.max())
-    grid = np.arange(lo, hi + 1, dtype=np.int64)
-    piv = piv.reindex(grid, fill_value=0)
+    piv = dense_daily_type_counts(sf_dir)
+    grid = piv.index.to_numpy(np.int64)
     rows = []
     for i in range(1, len(grid)):
         prev = piv.iloc[i - 1]

@@ -724,9 +724,11 @@ def basket_pair_confidence(
     )
 
     def marg_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates()
+        # rows arriving here are already distinct (order, part) pairs —
+        # the bucketed_group_sum below guarantees it
         g = (
-            df.groupby("l_partkey", sort=False)
+            batch.to_pandas()
+            .groupby("l_partkey", sort=False)
             .size()
             .rename("n")
             .reset_index()
@@ -802,17 +804,12 @@ FROM rules JOIN marg m ON m.l_partkey = antecedent
 __all__ += ["basket_pair_confidence", "BASKET_PAIR_CONFIDENCE_SQL"]
 
 
-def event_type_weekly_counts(
-    sf_dir: str, window_days: int = 7
-) -> "ray.data.Dataset":
-    """Trailing time-range window aggregate → ``(event_type, day,
-    trailing_n)``: per type and dense-calendar day, the event count over
-    the ``window_days`` days ending that day — the RANGE-window
-    complement of the per-key ROWS window op.
-
-    Daily (type, day) partials ride one bounded exchange; the trailing
-    sum is a vectorized cumsum difference over the dense day grid —
-    calendar × type-vocabulary bounded, so it runs on the driver."""
+def dense_daily_type_counts(sf_dir: str) -> "pd.DataFrame":
+    """Shared machinery for the calendar-dense (event_type, day) count
+    grid: per-batch cells ride one bounded exchange, the pivot reindexes
+    onto the dense day span with zero fill.  Vocabulary × calendar
+    bounded → a driver frame by construction (consumers:
+    ``event_type_weekly_counts``, ``distribution.event_type_drift``)."""
     from ner_funtool_ray.stages.groupagg import bucketed_group_sum
 
     ds = read_parquet_auto(
@@ -834,14 +831,33 @@ def event_type_weekly_counts(
         ds.map_batches(cells, batch_format="pyarrow"),
         keys=["event_type", "day"],
         count_col="c",
-    ).to_pandas()  # vocabulary × calendar bounded
-    lo, hi = int(counts["day"].min()), int(counts["day"].max())
-    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    ).to_pandas()
+    piv = (
+        counts.pivot(index="day", columns="event_type", values="c")
+        .fillna(0)
+        .astype(np.int64)
+        .sort_index()
+    )
+    lo, hi = int(piv.index.min()), int(piv.index.max())
+    return piv.reindex(np.arange(lo, hi + 1, dtype=np.int64), fill_value=0)
+
+
+def event_type_weekly_counts(
+    sf_dir: str, window_days: int = 7
+) -> "ray.data.Dataset":
+    """Trailing time-range window aggregate → ``(event_type, day,
+    trailing_n)``: per type and dense-calendar day, the event count over
+    the ``window_days`` days ending that day — the RANGE-window
+    complement of the per-key ROWS window op.
+
+    Daily (type, day) partials ride one bounded exchange; the trailing
+    sum is a vectorized cumsum difference over the dense day grid —
+    calendar × type-vocabulary bounded, so it runs on the driver."""
+    piv = dense_daily_type_counts(sf_dir)
+    grid = piv.index.to_numpy(np.int64)
     out_t, out_d, out_n = [], [], []
-    for ty, sub in counts.groupby("event_type", sort=True):
-        daily = (
-            sub.set_index("day")["c"].reindex(grid, fill_value=0).to_numpy(np.int64)
-        )
+    for ty in sorted(piv.columns):
+        daily = piv[ty].to_numpy(np.int64)
         cum = np.concatenate([[0], np.cumsum(daily)])
         trail = cum[1:] - cum[np.maximum(0, np.arange(len(grid)) - window_days + 1)]
         out_t.extend([ty] * len(grid))

@@ -215,7 +215,10 @@ def table_profile(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
         for c in _PROFILE_COLUMNS:
             arr = batch[c]
             n_null = int(arr.null_count)
-            vals = [v for v in set(str(x) for x in arr.to_pylist() if x is not None)]
+            # vectorized per-batch distinct on NATIVE values first (the
+            # hot path); only the small distinct set gets serialized
+            uniq = pd.unique(arr.to_pandas().dropna())
+            vals = [str(x) for x in uniq]
             cols_out.extend([c] * len(vals))
             vals_out.extend(vals)
             meta.append((c, batch.num_rows, n_null))

@@ -333,9 +333,8 @@ def rate_limit_violators(
     Pure partial-then-bounded-merge: per-batch (user, day) count partials
     ride one int-key exchange (`bucketed_group_sum`), then a vectorized
     filter.  No distinct, no sort."""
-    from ner_funtool_ray.pipelines.mining import _ts_us
+    from ner_funtool_ray.pipelines.mining import _DAY_US as _DAY, _ts_us
 
-    _DAY = 86_400_000_000
     ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def cells(batch: pa.Table) -> pa.Table:

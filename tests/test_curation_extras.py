@@ -705,3 +705,15 @@ def test_ensemble_report_counts_consistent():
     a = model_mentions(SF).to_pandas()
     key = ["row_id", "sent_id", "start", "end", "entity_type"]
     assert int(rep["n_bilstm"].sum()) == len(a.drop_duplicates(key))
+
+
+def test_incremental_dedup_fallback_parity():
+    from ner_funtool_ray.pipelines.curation import incremental_dedup_new
+
+    fast = incremental_dedup_new(SF).to_pandas()
+    slow = incremental_dedup_new(SF, broadcast_limit=0).to_pandas()
+    key = ["doc_id", "fingerprint"]
+    pd.testing.assert_frame_equal(
+        fast.sort_values(key).reset_index(drop=True),
+        slow.sort_values(key).reset_index(drop=True),
+    )
