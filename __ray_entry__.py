@@ -1561,6 +1561,12 @@ def _q_ensemble_report(sf_dir: str):
     return ensemble_mentions(sf_dir)
 
 
+def _q_events_dow_hour_heatmap(sf_dir: str):
+    from ner_funtool_ray.pipelines.mining import events_dow_hour_heatmap
+
+    return events_dow_hour_heatmap(sf_dir)
+
+
 def _q_fuzzy_gazetteer_matches(sf_dir: str):
     from ner_funtool_ray.pipelines.textops import fuzzy_gazetteer_matches
 
@@ -2124,6 +2130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_drift": _q_event_type_drift,
         "fuzzy_gazetteer_matches": _q_fuzzy_gazetteer_matches,
         "event_type_weekly_counts": _q_event_type_weekly_counts,
+        "events_dow_hour_heatmap": _q_events_dow_hour_heatmap,
         "entity_resource_allocation": _q_entity_resource_allocation,
         "entity_clustering_coefficient": _q_entity_clustering_coefficient,
         "entity_kcore": _q_entity_kcore,
@@ -2293,6 +2300,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type_drift": _dist.EVENT_TYPE_DRIFT_SQL,
         "fuzzy_gazetteer_matches": _textops.make_fuzzy_gazetteer_sql(),
         "event_type_weekly_counts": _min.EVENT_TYPE_WEEKLY_COUNTS_SQL,
+        "events_dow_hour_heatmap": _min.EVENTS_DOW_HOUR_HEATMAP_SQL,
         "entity_resource_allocation": _graph.make_resource_allocation_sql(
             _TRIPLES_SQL
         ),

@@ -899,3 +899,46 @@ FROM grid
 
 
 __all__ += ["event_type_weekly_counts", "EVENT_TYPE_WEEKLY_COUNTS_SQL"]
+
+
+def events_dow_hour_heatmap(sf_dir: str) -> "ray.data.Dataset":
+    """Seasonality heatmap → ``(dow, hour, n)``: event counts per
+    (day-of-week, hour-of-day) cell — the 7×24 activity profile every
+    operations dashboard opens with.  Per-batch cell partials ride one
+    bounded exchange (≤168 rows per block); dow uses the epoch-day
+    formula ``(days + 4) % 7`` (0 = Sunday), which matches DuckDB's
+    ``dayofweek`` exactly."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        t = _ts_us(batch["ts"])
+        days = t // _DAY_US
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "dow": (days + 4) % 7,
+                    "hour": (t // 3_600_000_000) % 24,
+                }
+            ),
+            preserve_index=False,
+        )
+
+    return bucketed_group_sum(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        keys=["dow", "hour"],
+        count_col="n",
+        driver_cap=2_000_000,
+    )
+
+
+EVENTS_DOW_HOUR_HEATMAP_SQL = f"""
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+__all__ += ["events_dow_hour_heatmap", "EVENTS_DOW_HOUR_HEATMAP_SQL"]
