@@ -1817,6 +1817,24 @@ def _q_doc_clean(sf_dir: str):
     return doc_clean(sf_dir)
 
 
+def _q_pii_redact(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import pii_redact
+
+    return pii_redact(sf_dir)
+
+
+def _q_doc_unigram_logprob(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import doc_unigram_logprob
+
+    return doc_unigram_logprob(sf_dir)
+
+
+def _q_top_supplier_revenue(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import top_supplier_revenue
+
+    return top_supplier_revenue(sf_dir)
+
+
 def _q_doc_token_bins(sf_dir: str):
     from ner_funtool_ray.pipelines.curation import doc_token_bins
 
@@ -2140,6 +2158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_bins": _q_doc_token_bins,
         "tfidf_search": _q_tfidf_search,
         "doc_clean": _q_doc_clean,
+        "pii_redact": _q_pii_redact,
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "top_supplier_revenue": _q_top_supplier_revenue,
         "label_centroids": _q_label_centroids,
         "kmeans_assign": _q_kmeans_assign,
         "user_last_event": _q_user_last_event,
@@ -2319,6 +2340,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_bins": _cur.make_token_bins_sql(),
         "tfidf_search": _cur.make_tfidf_sql(),
         "doc_clean": _cur.DOC_CLEAN_SQL,
+        "pii_redact": _cur.PII_REDACT_SQL,
+        "doc_unigram_logprob": _cur.DOC_UNIGRAM_LOGPROB_SQL,
+        "top_supplier_revenue": _rel.TOP_SUPPLIER_REVENUE_SQL,
         "label_centroids": _emb.LABEL_CENTROIDS_SQL,
         "kmeans_assign": _emb.KMEANS_ASSIGN_SQL,
         "user_last_event": _rel.USER_LAST_EVENT_SQL,

@@ -952,3 +952,224 @@ __all__ += [
     "bpe_top_pairs",
     "BPE_TOP_PAIRS_SQL",
 ]
+
+
+# --- PII redaction ------------------------------------------------------------
+
+# Shared RE2 patterns: pyarrow.compute's regex kernels and DuckDB's regexp_*
+# are BOTH RE2, so one pattern string gives bit-identical match semantics on
+# the two engines (same reason the gazetteer restricts to ASCII \b terms).
+PII_EMAIL_RE = r"[0-9a-z._%+-]+@[0-9a-z.-]+\.[a-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d-\d{3}-\d{4}"
+
+
+def pii_redact(sf_dir: str) -> "ray.data.Dataset":
+    """PII scrubbing for training-data curation →
+    ``(doc_id, redacted, n_email, n_ip, n_phone)``: emails, IPv4 addresses
+    and phone numbers are replaced by ``[EMAIL]`` / ``[IP]`` / ``[PHONE]``
+    tags and counted.  The synthetic corpus text contains no PII, so the
+    scored body is the document text plus deterministic doc_id-derived
+    PII spans (email when ``doc_id%3 != 0``, IP when ``doc_id%2 == 0``,
+    phone when ``doc_id%5 != 0``) built identically in SQL — this keeps
+    the oracle non-vacuous (every pattern fires with varying counts)
+    without external data.
+
+    Pure vectorized map — arrow string-concat + three RE2
+    replace/count kernels per batch, no shuffle, no Python per-row loop;
+    the three patterns cannot overlap each other's matches, so counting
+    on the pre-redaction body equals counting during sequential
+    replacement.  At 100 TB this is an embarrassingly parallel scan."""
+    import pyarrow.compute as pc
+
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def redact(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"]
+        # no modulo kernel in this pyarrow — masks/remainders via numpy
+        dn = did.to_numpy()
+        ids = pc.cast(did, pa.string())
+        email = pc.if_else(
+            pa.array(dn % 3 != 0),
+            pc.binary_join_element_wise(" contact user", ids, "@mail.example.com", ""),
+            "",
+        )
+        ip = pc.if_else(
+            pa.array(dn % 2 == 0),
+            pc.binary_join_element_wise(
+                " node 10.",
+                pa.array((dn % 200).astype(str)),
+                ".0.",
+                pa.array((dn % 250).astype(str)),
+                "",
+            ),
+            "",
+        )
+        phone = pc.if_else(
+            pa.array(dn % 5 != 0),
+            pc.binary_join_element_wise(
+                " call +1-555-",
+                pc.utf8_lpad(pa.array((dn % 10000).astype(str)), 4, "0"),
+                "",
+            ),
+            "",
+        )
+        body = pc.binary_join_element_wise(batch["text"], email, ip, phone, "")
+        red = pc.replace_substring_regex(body, PII_EMAIL_RE, "[EMAIL]")
+        red = pc.replace_substring_regex(red, PII_IPV4_RE, "[IP]")
+        red = pc.replace_substring_regex(red, PII_PHONE_RE, "[PHONE]")
+        return pa.table(
+            {
+                "doc_id": did,
+                "redacted": red,
+                "n_email": pc.cast(pc.count_substring_regex(body, PII_EMAIL_RE), pa.int64()),
+                "n_ip": pc.cast(pc.count_substring_regex(body, PII_IPV4_RE), pa.int64()),
+                "n_phone": pc.cast(pc.count_substring_regex(body, PII_PHONE_RE), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
+PII_REDACT_SQL = rf"""
+WITH body AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 <> 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com' ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' node 10.' || CAST(doc_id % 200 AS VARCHAR)
+                      || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 5 <> 0
+                 THEN ' call +1-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS body
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(body,
+         '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+         '{PII_IPV4_RE}', '[IP]', 'g'),
+         '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+       CAST(length(regexp_extract_all(body, '{PII_EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(length(regexp_extract_all(body, '{PII_IPV4_RE}')) AS BIGINT) AS n_ip,
+       CAST(length(regexp_extract_all(body, '{PII_PHONE_RE}')) AS BIGINT) AS n_phone
+FROM body
+"""
+
+
+__all__ += ["pii_redact", "PII_REDACT_SQL"]
+
+
+# --- unigram LM quality scoring -----------------------------------------------
+
+
+def doc_unigram_logprob(
+    sf_dir: str, vocab_k: int = 50_000
+) -> "ray.data.Dataset":
+    """Unigram language-model surprisal per document →
+    ``(doc_id, n_tokens, total_millibits)`` — the classic corpus-level
+    quality signal (KenLM-style filtering, reduced to the unigram term):
+    documents whose tokens are improbable under the corpus unigram
+    distribution score high.
+
+    Two passes, both distributed: (1) corpus token counts via per-batch
+    partial Counters + a small groupby-Sum (the ``vocab_count`` shape),
+    of which only the top ``vocab_k`` entries (count desc, word asc) are
+    broadcast — a BOUNDED model no matter the corpus size; out-of-vocab
+    tokens score at the p = 1/total floor.  (2) a pure map: tokens per
+    batch via one RE2 split, per-token surprisal by ``np.searchsorted``
+    into the sorted broadcast vocab, per-document integer sums via
+    ``np.add.reduceat``.  Surprisal is integer MILLIBITS
+    (``round(-log2(cnt/total)*1000)``, half away from zero like DuckDB
+    ``round``), so the per-doc sum is associative and hashes bit-exactly
+    against the SQL twin at any parallelism."""
+    import pyarrow.compute as pc
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    docs = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        toks = pc.split_pattern_regex(low, "[^0-9a-z_]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        w, c = np.unique(np.asarray(flat), return_counts=True)
+        return pa.table(
+            {"word": pa.array(w.astype(object)), "cnt": pa.array(c, type=pa.int64())}
+        )
+
+    counts = bucketed_group_sum(
+        docs.map_batches(partial_counts, batch_format="pyarrow"),
+        keys=["word"],
+        sum_cols={"cnt": "cnt"},
+        driver_cap=2_000_000,
+    ).to_pandas()
+    total = int(counts["cnt"].sum())
+    top = counts.sort_values(["cnt", "word"], ascending=[False, True]).head(vocab_k)
+    words = np.sort(top["word"].to_numpy().astype(str))
+    order = np.argsort(top["word"].to_numpy().astype(str), kind="stable")
+    cnts = top["cnt"].to_numpy()[order].astype(np.float64)
+    # round half away from zero == DuckDB round(); -log2(p) ≥ 0 always
+    mb = np.floor(-np.log2(cnts / total) * 1000.0 + 0.5).astype(np.int64)
+    oov_mb = np.int64(np.floor(np.log2(float(total)) * 1000.0 + 0.5))
+    model_ref = ray.put((words, mb, oov_mb))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, vmb, oov = ray.get(model_ref)
+        low = pc.utf8_lower(batch["text"])
+        toks = pc.split_pattern_regex(low, "[^0-9a-z_]+")
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        keep = flat != ""
+        flat = flat[keep]
+        # per-doc offsets over the FILTERED token stream
+        sizes = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        doc_idx = np.repeat(np.arange(len(sizes)), sizes)[keep]
+        pos = np.searchsorted(vocab, flat)
+        pos_c = np.clip(pos, 0, len(vocab) - 1)
+        hit = vocab[pos_c] == flat
+        tok_mb = np.where(hit, vmb[pos_c], oov)
+        n_tok = np.bincount(doc_idx, minlength=len(sizes)).astype(np.int64)
+        tot_mb = np.bincount(doc_idx, weights=tok_mb, minlength=len(sizes)).astype(
+            np.int64
+        )
+        nz = n_tok > 0  # docs with zero tokens drop (no tok rows in SQL)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(nz)),
+                "n_tokens": pa.array(n_tok[nz], type=pa.int64()),
+                "total_millibits": pa.array(tot_mb[nz], type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def make_unigram_logprob_sql(vocab_k: int = 50_000) -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w
+  FROM documents
+),
+cnts AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+tot AS (SELECT sum(cnt) AS total FROM cnts),
+vocab AS (SELECT w, cnt FROM cnts ORDER BY cnt DESC, w LIMIT {vocab_k}),
+mb AS (
+  SELECT w, CAST(round(-log2(cnt / total) * 1000) AS BIGINT) AS mb
+  FROM vocab CROSS JOIN tot
+),
+oov AS (SELECT CAST(round(log2(total) * 1000) AS BIGINT) AS mb FROM tot)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(coalesce(mb.mb, (SELECT mb FROM oov))) AS BIGINT)
+         AS total_millibits
+FROM tok t LEFT JOIN mb ON mb.w = t.w
+GROUP BY t.doc_id
+"""
+
+
+DOC_UNIGRAM_LOGPROB_SQL = make_unigram_logprob_sql()
+
+__all__ += ["doc_unigram_logprob", "DOC_UNIGRAM_LOGPROB_SQL", "make_unigram_logprob_sql"]

@@ -2084,3 +2084,91 @@ r AS (
 )
 SELECT o_orderkey, cents, CAST((rk * 10) // n AS BIGINT) AS decile FROM r
 """
+
+
+def top_supplier_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q15 shape — top supplier(s) by quarterly revenue →
+    ``(suppkey, s_name, total_revenue)``: revenue per supplier over
+    1996-Q1 shipments, keeping every supplier tied at the maximum.
+
+    Plan: pruned fact scan → per-batch integer-cent partial sums keyed by
+    ``l_suppkey`` (the partial rows per batch are bounded by the supplier
+    dimension, not the fact table) → size-guarded merge
+    (``bucketed_group_sum``) → the max-filter and the name join run on
+    the SUPPLIER-sized aggregate, a dimension table by definition, so the
+    driver step is bounded at any fact-table scale.  Integer 1e-4-dollar
+    units keep the sum associative → bit-exact vs the SQL twin."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]")
+    hi = np.datetime64("1996-04-01").astype("datetime64[us]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+            pc.less(batch["l_shipdate"], pa.scalar(hi)),
+        )
+        hit = batch.filter(keep)
+        ep = _cents(hit["l_extendedprice"]).to_numpy()
+        dc = _cents(hit["l_discount"]).to_numpy()
+        df = pd.DataFrame(
+            {"suppkey": hit["l_suppkey"].to_numpy(), "rev4": ep * (100 - dc)}
+        )
+        agg = df.groupby("suppkey", sort=False)["rev4"].sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    agg = bucketed_group_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["suppkey"],
+        sum_cols={"rev4": "rev4"},
+        driver_cap=2_000_000,
+    ).to_pandas()  # ≤ one row per supplier — dimension-bounded
+    if len(agg) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "suppkey": pa.array([], type=pa.int64()),
+                    "s_name": pa.array([], type=pa.string()),
+                    "total_revenue": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    best = agg[agg["rev4"] == agg["rev4"].max()]
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = best.merge(sup, left_on="suppkey", right_on="s_suppkey")
+    out = out.sort_values("suppkey")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "suppkey": pa.array(out["suppkey"].to_numpy(np.int64)),
+                "s_name": pa.array(out["s_name"].astype(str)),
+                "total_revenue": pa.array(
+                    out["rev4"].to_numpy(np.int64) / 10000.0, type=pa.float64()
+                ),
+            }
+        )
+    )
+
+
+TOP_SUPPLIER_REVENUE_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT r.suppkey, s.s_name, r.rev4 / 10000.0 AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.suppkey
+WHERE r.rev4 = (SELECT max(rev4) FROM rev)
+"""

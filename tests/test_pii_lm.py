@@ -1,0 +1,97 @@
+"""Tests for the round-3 curation additions: PII redaction, unigram-LM
+document scoring, and the Q15 top-supplier shape.  DuckDB-twin equality is
+covered by the oracle harness; these tests pin the semantics with
+brute-force / invariant checks."""
+
+import re
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pii_redact_removes_every_pattern():
+    from ner_funtool_ray.pipelines.curation import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_redact,
+    )
+
+    df = pii_redact(SF).to_pandas()
+    assert len(df) == 500
+    # nothing PII-shaped survives redaction
+    for pat in (PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE):
+        r = re.compile(pat)
+        assert not df["redacted"].map(lambda s: bool(r.search(s))).any()
+    # the doc_id-derived spans fire with the designed cadence
+    assert (df["n_email"].to_numpy() == (df["doc_id"].to_numpy() % 3 != 0)).all()
+    assert (df["n_ip"].to_numpy() == (df["doc_id"].to_numpy() % 2 == 0)).all()
+    assert (df["n_phone"].to_numpy() == (df["doc_id"].to_numpy() % 5 != 0)).all()
+    # each redaction left its tag behind exactly n times
+    assert (
+        df["redacted"].str.count(re.escape("[EMAIL]")).to_numpy()
+        == df["n_email"].to_numpy()
+    ).all()
+
+
+def test_unigram_logprob_matches_bruteforce():
+    from ner_funtool_ray.pipelines.curation import doc_unigram_logprob
+
+    got = doc_unigram_logprob(SF).to_pandas().set_index("doc_id")
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        d: re.findall(r"[0-9a-z_]+", (t or "").lower())
+        for d, t in zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist())
+    }
+    from collections import Counter
+
+    cnt: Counter[str] = Counter()
+    for ts in toks.values():
+        cnt.update(ts)
+    total = sum(cnt.values())
+    mb = {
+        w: int(np.floor(-np.log2(c / total) * 1000.0 + 0.5))
+        for w, c in cnt.items()
+    }
+    for d, ts in list(toks.items())[:50]:
+        if not ts:
+            assert d not in got.index
+            continue
+        assert got.loc[d, "n_tokens"] == len(ts)
+        assert got.loc[d, "total_millibits"] == sum(mb[t] for t in ts)
+
+
+def test_unigram_logprob_oov_floor():
+    """With a tiny vocab cap, rare tokens score at the 1/total floor —
+    so every doc's total can only go UP vs the uncapped model."""
+    from ner_funtool_ray.pipelines.curation import doc_unigram_logprob
+
+    full = doc_unigram_logprob(SF).to_pandas().set_index("doc_id")
+    capped = doc_unigram_logprob(SF, vocab_k=5).to_pandas().set_index("doc_id")
+    j = full.join(capped, rsuffix="_cap")
+    assert (j["total_millibits_cap"] >= j["total_millibits"]).all()
+    assert (j["n_tokens_cap"] == j["n_tokens"]).all()
+
+
+def test_top_supplier_revenue_bruteforce():
+    from ner_funtool_ray.pipelines.relational import top_supplier_revenue
+
+    got = top_supplier_revenue(SF).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).to_pandas()
+    win = li[
+        (li["l_shipdate"] >= np.datetime64("1996-01-01"))
+        & (li["l_shipdate"] < np.datetime64("1996-04-01"))
+    ].copy()
+    ep = np.floor(np.abs(win["l_extendedprice"]) * 100 + 0.5).astype(np.int64)
+    dc = np.floor(np.abs(win["l_discount"]) * 100 + 0.5).astype(np.int64)
+    win["rev4"] = ep * (100 - dc)
+    rev = win.groupby("l_suppkey")["rev4"].sum()
+    best = rev[rev == rev.max()]
+    assert set(got["suppkey"]) == set(best.index)
+    for _, row in got.iterrows():
+        assert row["total_revenue"] == best[row["suppkey"]] / 10000.0
