@@ -1835,6 +1835,12 @@ def _q_top_supplier_revenue(sf_dir: str):
     return top_supplier_revenue(sf_dir)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    from ner_funtool_ray.pipelines.embedding import semantic_dedup
+
+    return semantic_dedup(sf_dir)
+
+
 def _q_doc_token_bins(sf_dir: str):
     from ner_funtool_ray.pipelines.curation import doc_token_bins
 
@@ -2161,6 +2167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "top_supplier_revenue": _q_top_supplier_revenue,
+        "semantic_dedup": _q_semantic_dedup,
         "label_centroids": _q_label_centroids,
         "kmeans_assign": _q_kmeans_assign,
         "user_last_event": _q_user_last_event,
@@ -2343,6 +2350,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _cur.PII_REDACT_SQL,
         "doc_unigram_logprob": _cur.DOC_UNIGRAM_LOGPROB_SQL,
         "top_supplier_revenue": _rel.TOP_SUPPLIER_REVENUE_SQL,
+        "semantic_dedup": _emb.SEMANTIC_DEDUP_SQL,
         "label_centroids": _emb.LABEL_CENTROIDS_SQL,
         "kmeans_assign": _emb.KMEANS_ASSIGN_SQL,
         "user_last_event": _rel.USER_LAST_EVENT_SQL,

@@ -18,6 +18,7 @@ integer matmul).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -419,3 +420,140 @@ GROUP BY a.label, b.label
 
 
 __all__ += ["label_centroid_distances", "LABEL_CENTROID_DISTANCES_SQL"]
+
+
+# --- semantic dedup (SemDeDup) ------------------------------------------------
+
+# Coarser fixed-point scale for the cosine-threshold predicate: with
+# |x| < 1 and dim 64, |q| < 2^10 keeps dot <= 2^26 and 100*dot^2 <= 2^59,
+# so EVERY intermediate of the squared-cosine test fits int64 on the numpy
+# side (DuckDB sums are HUGEINT regardless).  The assignment step keeps the
+# finer 2^20 scale so it is identical to ``kmeans_assign``.
+_FP_SEM = 1 << 10
+
+
+def semantic_dedup(
+    sf_dir: str, k: int = 8, t2_num: int = 4, t2_den: int = 25
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, public arXiv 2303.09540) →
+    ``(vec_id, centroid_id, kept)``: cluster the embedding space, then
+    inside each cluster drop every vector that has a LOWER-id neighbor
+    with cosine similarity ≥ t (keep-lowest-id greedy — the paper keeps
+    one representative per semantic duplicate group; lowest id is the
+    deterministic choice both engines can name).
+
+    Exactness: cos(x,y) ≥ t is evaluated as the all-integer predicate
+    ``dot ≥ 0 AND t2_den·dot² ≥ t2_num·|x|²·|y|²`` over ``2^10``
+    fixed-point components (t² = t2_num/t2_den, default 0.16 → t = 0.4 — low enough that the
+    synthetic corpus yields real drops, so the oracle check is never
+    vacuous),
+    so there is no float-rounding hazard and the DuckDB twin hashes
+    bit-exactly.
+
+    Ray shape: centroid assignment is embarrassingly parallel (broadcast
+    centroid block, one matmul per batch — the ``kmeans_assign`` stage);
+    the ONLY shuffle is the groupby(centroid_id) over the embedding
+    table, and the per-cluster work is the paper's O(m²/k) pairwise pass.
+    At 100 TB, ``k`` scales with the corpus (SemDeDup uses ~10⁵ clusters)
+    to bound both cluster width and pairwise cost."""
+    path = f"{sf_dir}/embeddings.parquet"
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    head = head.filter(pc.less(head["vec_id"], k)).sort_by("vec_id")
+    if head.num_rows != k:
+        raise ValueError(f"expected vec_ids 0..{k-1} for centroid init")
+    cent = _quantized(head)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        q = _quantized(batch)
+        d2 = (
+            (q * q).sum(axis=1, dtype=np.int64)[:, None]
+            - 2 * (q @ c.T)
+            + (c * c).sum(axis=1, dtype=np.int64)[None, :]
+        )
+        best = np.argmin(d2, axis=1)
+        return batch.append_column("centroid_id", pa.array(best.astype(np.int64)))
+
+    def prune(group: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(group["vec_id"].to_numpy())
+        g = group.iloc[order]
+        ids = g["vec_id"].to_numpy(np.int64)
+        mat = np.vstack(g["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(mat * float(_FP_SEM)).astype(np.int64)
+        dot = q @ q.T
+        n2 = np.diag(dot).copy()
+        near = (dot >= 0) & (
+            np.int64(t2_den) * dot * dot >= np.int64(t2_num) * np.outer(n2, n2)
+        )
+        # dominated ⟺ some strictly-lower-id row is near (strict lower
+        # triangle, diagonal excluded)
+        dominated = np.tril(near, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "centroid_id": g["centroid_id"].to_numpy(np.int64),
+                "kept": (~dominated).astype(np.int64),
+            }
+        )
+
+    ds = read_parquet_auto(path, columns=["vec_id", "embedding"])
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("centroid_id")
+        .map_groups(prune, batch_format="pandas")
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH q AS (
+  SELECT vec_id, i.i AS dim,
+         CAST(floor(CAST(embedding[i.i] AS DOUBLE) * {float(_FP)}) AS BIGINT) AS qx
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+),
+c AS (SELECT vec_id AS cid, dim, qx AS qc FROM q WHERE vec_id < 8),
+d AS (
+  SELECT q.vec_id, c.cid,
+         CAST(sum((q.qx - c.qc) * (q.qx - c.qc)) AS BIGINT) AS dist2
+  FROM q JOIN c ON q.dim = c.dim
+  GROUP BY q.vec_id, c.cid
+),
+a AS (
+  SELECT vec_id, cid AS centroid_id
+  FROM (SELECT vec_id, cid, dist2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        FROM d)
+  WHERE rn = 1
+),
+-- coarser 2^10 fixed point for the overflow-safe cosine predicate
+s AS (
+  SELECT vec_id, i.i AS dim,
+         CAST(floor(CAST(embedding[i.i] AS DOUBLE) * {float(_FP_SEM)}) AS BIGINT)
+           AS qx
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i) i
+),
+n2 AS (SELECT vec_id, CAST(sum(qx * qx) AS BIGINT) AS n2 FROM s GROUP BY vec_id),
+pr AS (
+  SELECT ax.vec_id AS hi
+  FROM a ax
+  JOIN a ay ON ax.centroid_id = ay.centroid_id AND ay.vec_id < ax.vec_id
+  JOIN s sx ON sx.vec_id = ax.vec_id
+  JOIN s sy ON sy.vec_id = ay.vec_id AND sy.dim = sx.dim
+  JOIN n2 nx ON nx.vec_id = ax.vec_id
+  JOIN n2 ny ON ny.vec_id = ay.vec_id
+  GROUP BY ax.vec_id, ay.vec_id, nx.n2, ny.n2
+  HAVING sum(sx.qx * sy.qx) >= 0
+     AND 25 * sum(sx.qx * sy.qx) * sum(sx.qx * sy.qx) >= 4 * nx.n2 * ny.n2
+),
+dup AS (SELECT DISTINCT hi FROM pr)
+SELECT a.vec_id, a.centroid_id,
+       CAST(CASE WHEN dup.hi IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM a LEFT JOIN dup ON dup.hi = a.vec_id
+"""
+
+__all__ += ["semantic_dedup", "SEMANTIC_DEDUP_SQL"]

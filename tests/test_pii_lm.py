@@ -95,3 +95,36 @@ def test_top_supplier_revenue_bruteforce():
     assert set(got["suppkey"]) == set(best.index)
     for _, row in got.iterrows():
         assert row["total_revenue"] == best[row["suppkey"]] / 10000.0
+
+
+def test_semantic_dedup_bruteforce():
+    """Brute-force twin of the within-cluster lowest-id-domination rule."""
+    from ner_funtool_ray.pipelines.embedding import _FP_SEM, semantic_dedup
+
+    got = semantic_dedup(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"]).astype(np.int64)
+    mat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    assign = got.set_index("vec_id")["centroid_id"]
+    q = np.floor(mat * float(_FP_SEM)).astype(np.int64)
+    dot = q @ q.T
+    n2 = np.diag(dot)
+    near = (dot >= 0) & (25 * dot * dot >= 4 * np.outer(n2, n2))
+    same_cluster = (
+        assign[ids].to_numpy()[:, None] == assign[ids].to_numpy()[None, :]
+    )
+    dominated = (np.tril(near & same_cluster, k=-1)).any(axis=1)
+    kept = got.set_index("vec_id")["kept"]
+    assert (kept[ids].to_numpy() == (~dominated).astype(np.int64)).all()
+    assert dominated.sum() > 0  # non-vacuous at the default threshold
+
+
+def test_semantic_dedup_keeps_one_per_dup_pair():
+    from ner_funtool_ray.pipelines.embedding import semantic_dedup
+
+    df = semantic_dedup(SF).to_pandas()
+    assert set(df["kept"].unique()) <= {0, 1}
+    # every vector appears exactly once
+    assert df["vec_id"].is_unique and len(df) == 500
