@@ -1841,6 +1841,12 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(sf_dir)
 
 
+def _q_curated_documents(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import curated_documents
+
+    return curated_documents(sf_dir)
+
+
 def _q_doc_token_bins(sf_dir: str):
     from ner_funtool_ray.pipelines.curation import doc_token_bins
 
@@ -2168,6 +2174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "semantic_dedup": _q_semantic_dedup,
+        "curated_documents": _q_curated_documents,
         "label_centroids": _q_label_centroids,
         "kmeans_assign": _q_kmeans_assign,
         "user_last_event": _q_user_last_event,
@@ -2351,6 +2358,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_unigram_logprob": _cur.DOC_UNIGRAM_LOGPROB_SQL,
         "top_supplier_revenue": _rel.TOP_SUPPLIER_REVENUE_SQL,
         "semantic_dedup": _emb.SEMANTIC_DEDUP_SQL,
+        "curated_documents": _cur.make_curated_sql(_MINHASH_CLUSTERS_SQL),
         "label_centroids": _emb.LABEL_CENTROIDS_SQL,
         "kmeans_assign": _emb.KMEANS_ASSIGN_SQL,
         "user_last_event": _rel.USER_LAST_EVENT_SQL,

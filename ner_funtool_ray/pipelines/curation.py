@@ -1173,3 +1173,140 @@ GROUP BY t.doc_id
 DOC_UNIGRAM_LOGPROB_SQL = make_unigram_logprob_sql()
 
 __all__ += ["doc_unigram_logprob", "DOC_UNIGRAM_LOGPROB_SQL", "make_unigram_logprob_sql"]
+
+
+# --- end-to-end curation verdict ----------------------------------------------
+
+
+def curated_documents(
+    sf_dir: str, surprisal_thr_mb: int = 5_100, dup_threshold: float = 0.8
+) -> "ray.data.Dataset":
+    """The APPLY-side composite: one verdict row per document →
+    ``(doc_id, reason_mask, keep)`` fusing the four curation signals a
+    production LM-data pipeline runs together —
+
+    - bit 1: Gopher quality-rule violation (``quality_filter`` flags ≠ 0)
+    - bit 2: non-canonical MinHash-LSH near-dup cluster member
+    - bit 4: benchmark contamination (shares eval n-grams)
+    - bit 8: unigram surprisal above ``surprisal_thr_mb`` millibits/token
+      (integer cross-multiplied — no division)
+
+    ``keep = 1`` ⟺ mask 0.  Each signal keeps its own (already
+    size-guarded, already tested) distributed plan; fusion itself adds NO
+    new all-to-all beyond one bounded group-sum: every signal emits
+    sparse ``(doc_id, bit)`` partials, the full id list contributes
+    ``(doc_id, 0)``, and one ``bucketed_group_sum`` ORs them (bits are
+    disjoint, so sum == bitwise-or).  At 100 TB the four signal scans
+    pipeline independently; the merge shuffles only doc-id-sized rows."""
+    import pyarrow.compute as pc
+
+    from ner_funtool_ray.stages.dedup import minhash_lsh_clusters
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    def bitify(ds: "ray.data.Dataset", mask_expr) -> "ray.data.Dataset":
+        return ds.map_batches(mask_expr, batch_format="pyarrow")
+
+    qf = bitify(
+        quality_filter(sf_dir),
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "m": pc.cast(pc.greater(b["flags"], 0), pa.int64()),
+            }
+        ),
+    )
+    docs = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    dup = bitify(
+        minhash_lsh_clusters(docs, threshold=dup_threshold),
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "m": pc.multiply(
+                    pc.cast(pc.not_equal(b["doc_id"], b["cluster_id"]), pa.int64()),
+                    2,
+                ),
+            }
+        ),
+    )
+    ct = bitify(
+        benchmark_contamination(sf_dir),
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "m": pc.multiply(pc.cast(pc.greater(b["n_shared"], 0), pa.int64()), 4),
+            }
+        ),
+    )
+    thr = int(surprisal_thr_mb)
+    lm = bitify(
+        doc_unigram_logprob(sf_dir),
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "m": pc.multiply(
+                    pc.cast(
+                        pc.greater(
+                            b["total_millibits"],
+                            pc.multiply(b["n_tokens"], thr),
+                        ),
+                        pa.int64(),
+                    ),
+                    8,
+                ),
+            }
+        ),
+    )
+    base = docs.select_columns(["doc_id"]).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "m": pa.array(np.zeros(b.num_rows, np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    mask = bucketed_group_sum(
+        base.union(qf, dup, ct, lm),
+        keys=["doc_id"],
+        sum_cols={"m": "m"},
+        driver_cap=2_000_000,
+    )
+    return mask.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "reason_mask": b["m"],
+                "keep": pc.cast(pc.equal(b["m"], 0), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def make_curated_sql(
+    clusters_sql: str, surprisal_thr_mb: int = 5_100
+) -> str:
+    return f"""
+WITH qf AS ({QUALITY_FILTER_SQL}),
+cl AS ({clusters_sql}),
+ct AS ({make_contamination_sql()}),
+lm AS ({DOC_UNIGRAM_LOGPROB_SQL}),
+m AS (
+  SELECT d.doc_id,
+         (CASE WHEN qf.flags > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN cl2.doc_id IS NOT NULL THEN 2 ELSE 0 END)
+       + (CASE WHEN ct.doc_id IS NOT NULL AND ct.n_shared > 0
+               THEN 4 ELSE 0 END)
+       + (CASE WHEN lm.total_millibits > {int(surprisal_thr_mb)} * lm.n_tokens
+               THEN 8 ELSE 0 END) AS reason_mask
+  FROM documents d
+  LEFT JOIN qf ON qf.doc_id = d.doc_id
+  LEFT JOIN (SELECT DISTINCT doc_id FROM cl WHERE doc_id <> cluster_id) cl2
+         ON cl2.doc_id = d.doc_id
+  LEFT JOIN ct ON ct.doc_id = d.doc_id
+  LEFT JOIN lm ON lm.doc_id = d.doc_id
+)
+SELECT doc_id, CAST(reason_mask AS BIGINT) AS reason_mask,
+       CAST(CASE WHEN reason_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m
+"""
+
+
+__all__ += ["curated_documents", "make_curated_sql"]

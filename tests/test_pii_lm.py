@@ -128,3 +128,32 @@ def test_semantic_dedup_keeps_one_per_dup_pair():
     assert set(df["kept"].unique()) <= {0, 1}
     # every vector appears exactly once
     assert df["vec_id"].is_unique and len(df) == 500
+
+
+def test_curated_documents_bits_consistent_with_components():
+    """The composite mask must agree bit-for-bit with the standalone
+    component operators it fuses."""
+    from ner_funtool_ray.pipelines.curation import (
+        benchmark_contamination,
+        curated_documents,
+        doc_unigram_logprob,
+        quality_filter,
+    )
+
+    cur = curated_documents(SF).to_pandas().set_index("doc_id")
+    assert len(cur) == 500
+    assert ((cur["keep"] == 1) == (cur["reason_mask"] == 0)).all()
+
+    qf = quality_filter(SF).to_pandas().set_index("doc_id")
+    assert ((cur["reason_mask"] & 1) > 0).equals(qf["flags"] > 0)
+
+    ct = benchmark_contamination(SF).to_pandas()
+    contaminated = set(ct.loc[ct["n_shared"] > 0, "doc_id"])
+    assert set(cur.index[(cur["reason_mask"] & 4) > 0]) == contaminated
+
+    lm = doc_unigram_logprob(SF).to_pandas().set_index("doc_id")
+    hot = set(lm.index[lm["total_millibits"] > 5_100 * lm["n_tokens"]])
+    assert set(cur.index[(cur["reason_mask"] & 8) > 0]) == hot
+    # every bit fires somewhere at this scale (non-vacuous composite)
+    for bit in (1, 2, 4, 8):
+        assert ((cur["reason_mask"] & bit) > 0).any(), bit
