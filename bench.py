@@ -115,6 +115,8 @@ def run_bench() -> dict:
         "benchmark_contamination",  # decontamination broadcast semi-join
         "local_supplier_volume",  # TPC-H Q5: 3-fact join chain, broadcast plan
         "waiting_suppliers",      # TPC-H Q21: per-order verdict semi-join
+        "curated_documents",      # fused 4-signal curation verdict (apply side)
+        "semantic_dedup",         # SemDeDup: cluster + in-cluster cosine prune
     ]
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

@@ -1101,14 +1101,31 @@ def doc_unigram_logprob(
             {"word": pa.array(w.astype(object)), "cnt": pa.array(c, type=pa.int64())}
         )
 
-    counts = bucketed_group_sum(
+    counts_ds = bucketed_group_sum(
         docs.map_batches(partial_counts, batch_format="pyarrow"),
         keys=["word"],
         sum_cols={"cnt": "cnt"},
         driver_cap=2_000_000,
-    ).to_pandas()
-    total = int(counts["cnt"].sum())
-    top = counts.sort_values(["cnt", "word"], ascending=[False, True]).head(vocab_k)
+    )
+    total_raw = counts_ds.sum("cnt")  # None on an empty/token-free corpus
+    if not total_raw:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "total_millibits": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    total = int(total_raw)
+    # only the top-K crosses to the driver — the vocab table (already far
+    # smaller than the corpus) sorts distributed, never materializes whole
+    top = (
+        counts_ds.sort(["cnt", "word"], descending=[True, False])
+        .limit(vocab_k)
+        .to_pandas()
+    )
     words = np.sort(top["word"].to_numpy().astype(str))
     order = np.argsort(top["word"].to_numpy().astype(str), kind="stable")
     cnts = top["cnt"].to_numpy()[order].astype(np.float64)

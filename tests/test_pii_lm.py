@@ -157,3 +157,29 @@ def test_curated_documents_bits_consistent_with_components():
     # every bit fires somewhere at this scale (non-vacuous composite)
     for bit in (1, 2, 4, 8):
         assert ((cur["reason_mask"] & bit) > 0).any(), bit
+
+
+def test_new_curation_ops_empty_corpus(tmp_path):
+    """Empty-Dataset traps (the r2 ADVICE theme): zero-row documents must
+    yield zero-row results, not KeyError/TypeError."""
+    import pyarrow as pa
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+            "lang": pa.array([], type=pa.string()),
+            "source": pa.array([], type=pa.string()),
+            "n_chars": pa.array([], type=pa.int64()),
+        }
+    )
+    pq.write_table(empty, str(tmp_path / "documents.parquet"))
+    from ner_funtool_ray.pipelines.curation import (
+        curated_documents,
+        doc_unigram_logprob,
+        pii_redact,
+    )
+
+    assert pii_redact(str(tmp_path)).count() == 0
+    assert doc_unigram_logprob(str(tmp_path)).count() == 0
+    assert curated_documents(str(tmp_path)).count() == 0
