@@ -987,6 +987,18 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, threshold=0.5)
 
 
+def _q_ngram_jaccard_prefix(sf_dir: str):
+    # identical RESULT to ngram_jaccard_pairs (same SQL oracle), PPJoin
+    # prefix-filtered PLAN: exact recall with no max_df knob
+    from ner_funtool_ray.sources.io import read_parquet_auto
+    from ner_funtool_ray.stages.dedup import ngram_jaccard_pairs_prefix
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ngram_jaccard_pairs_prefix(ds, threshold=0.5)
+
+
 def _q_ngram_clusters(sf_dir: str):
     from ner_funtool_ray.sources.io import read_parquet_auto
     from ner_funtool_ray.stages.dedup import ngram_clusters
@@ -2048,6 +2060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "neardup_embedding": _q_neardup_embedding,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "ngram_clusters": _q_ngram_clusters,
         "ann_multiquery_topk": _q_ann_multiquery,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -2229,6 +2242,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_counts": _LANG_SOURCE_SQL,
         "topk_cosine": _TOPK_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "ngram_jaccard_prefix": _NGRAM_JACCARD_SQL,
         "ngram_clusters": _NGRAM_CLUSTERS_SQL,
         "neardup_embedding": _NEARDUP_EMB_SQL,
         "ann_multiquery_topk": _ANN_MULTIQUERY_SQL,

@@ -1057,3 +1057,287 @@ def tfngram_cosine_pairs(
     )
 
 
+
+
+def ngram_jaccard_pairs_prefix(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.5,
+    ngram: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT word-ngram Jaccard pairs via PPJoin-style PREFIX FILTERING
+    (Xiao et al., WWW 2008 — public algorithm) → identical result set to
+    :func:`ngram_jaccard_pairs` (same SQL oracle), different plan.
+
+    Why: the inverted-index plan's candidate volume is Σ df²/2 over ALL
+    shingles — the one shape in this repo that explodes on skewed vocab
+    (61 s / 36M emissions at sf0.1).  Prefix filtering only indexes each
+    document's first ``n − ⌈t·n⌉ + 1`` shingles under a GLOBAL total
+    order (crc32 — order choice affects only candidate count, never
+    correctness): if J(A,B) ≥ t, the order-minimal common shingle
+    provably lands in both prefixes, so recall stays exactly 1.0 with no
+    ``max_df`` knob.  Candidates are then verified EXACTLY against the
+    full shingle sets.
+
+    Plan (all stages bucket-bounded):
+    1. per doc: shingles sorted by (crc32, shingle); prefix rows →
+       shingle-bucketed candidate generation (distinct pairs only — no
+       counting, so stop-shingles cost prefix-df², a t-fraction of df²);
+    2. global pair-dedup (bucketed groupby);
+    3. two bucketed joins attach each side's full shingle set
+       (sets ride as one separator-joined string per doc);
+    4. exact set intersection per candidate → jaccard ≥ t filter.
+    """
+    t = float(threshold)
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        sh_out: list[str] = []
+        id_out: list[int] = []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            sh = sorted(
+                word_ngrams(text, ngram),
+                key=lambda s: (zlib.crc32(s.encode("utf-8")), s),
+            )
+            n = len(sh)
+            if n == 0:
+                continue
+            # floor(t*n) <= ceil(t*n): a longer-than-needed prefix is
+            # still correct (more candidates, never fewer)
+            p = n - int(np.floor(t * n)) + 1
+            for s in sh[:p]:
+                sh_out.append(s)
+                id_out.append(doc_id)
+        return pa.table(
+            {
+                "s": pa.array(sh_out, type=pa.string()),
+                "doc_id": pa.array(id_out, type=pa.int64()),
+                "bucket": pa.array(_crc_bucket(sh_out, n_buckets)),
+            }
+        )
+
+    def cand_pairs(group: pd.DataFrame) -> pa.Table:
+        a_l: list[np.ndarray] = []
+        b_l: list[np.ndarray] = []
+        counts = group["s"].value_counts()
+        multi = counts[counts > 1].index
+        for _s, sub in group[group["s"].isin(multi)].groupby("s", sort=False):
+            ids = np.unique(sub["doc_id"].to_numpy(np.int64))
+            k = len(ids)
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, k=1)
+            a_l.append(ids[iu])
+            b_l.append(ids[ju])
+        if not a_l:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {"a": np.concatenate(a_l), "b": np.concatenate(b_l)}
+        ).drop_duplicates()  # in-bucket combiner before the pair shuffle
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def add_pbucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pbucket",
+            pa.array(
+                _pair_bucket(
+                    np.asarray(batch["a"]), np.asarray(batch["b"]), n_buckets
+                )
+            ),
+        )
+
+    def dedupe(group: pd.DataFrame) -> pd.DataFrame:
+        return group[["a", "b"]].drop_duplicates()
+
+    cands = (
+        docs.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cand_pairs, batch_format="pandas")
+        .map_batches(add_pbucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(dedupe, batch_format="pandas")
+    )
+
+    SEP = "\x1f"
+
+    # semi-join pushdown (the shipping_priority idiom): only docs that
+    # appear in some candidate pair ship their full shingle set through
+    # the verify joins — the set payload is candidate-proportional, not
+    # corpus-proportional.  Size-guarded: above the cap, ship everything.
+    cands = cands.materialize()
+    cand_ids_ref = None
+    if cands.count() <= 5_000_000:
+        cd = cands.to_pandas()
+        cand_ids_ref = ray.put(
+            np.unique(np.concatenate([cd["a"].to_numpy(np.int64),
+                                      cd["b"].to_numpy(np.int64)]))
+            if len(cd)
+            else np.array([], dtype=np.int64)
+        )
+
+    def set_rows(batch: pa.Table) -> pa.Table:
+        if cand_ids_ref is not None:
+            keep = np.isin(
+                np.asarray(batch[id_col]).astype(np.int64),
+                ray.get(cand_ids_ref),
+            )
+            batch = batch.filter(pa.array(keep))
+        ids: list[int] = []
+        joined: list[str] = []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            sh = word_ngrams(text, ngram)
+            if not sh:
+                continue
+            ids.append(doc_id)
+            joined.append(SEP.join(sh))
+        return pa.table(
+            {
+                "key": pa.array(ids, type=pa.int64()),
+                "sh": pa.array(joined, type=pa.string()),
+                "kind": pa.array(np.ones(len(ids), dtype=np.int8)),
+                "a": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "b": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "jbucket": pa.array(
+                    np.asarray(ids, dtype=np.int64) % np.int64(n_buckets)
+                ),
+            }
+        )
+
+    sets = docs.map_batches(set_rows, batch_format="pyarrow")
+
+    def tag_cand(key_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = np.asarray(batch[key_col]).astype(np.int64)
+            n = len(key)
+            cols = {
+                "key": pa.array(key),
+                "sh": batch["sh"]
+                if "sh" in batch.column_names
+                else pa.array([""] * n, type=pa.string()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "a": batch["a"],
+                "b": batch["b"],
+                "jbucket": pa.array(key % np.int64(n_buckets)),
+            }
+            return pa.table(cols)
+
+        return fn
+
+    def attach(side: str):
+        # join candidate rows (kind 0) to set rows (kind 1) on key within
+        # the bucket; the attached set replaces/extends the sh payload
+        def fn(group: pd.DataFrame) -> pd.DataFrame:
+            lut = group.loc[group["kind"] == 1].set_index("key")["sh"]
+            cand = group.loc[group["kind"] == 0].copy()
+            if cand.empty:
+                return pd.DataFrame(
+                    {
+                        "a": pd.Series(dtype=np.int64),
+                        "b": pd.Series(dtype=np.int64),
+                        "sh": pd.Series(dtype=object),
+                        "sh_a": pd.Series(dtype=object),
+                    }
+                )
+            attached = cand[side].map(lut)
+            ok = attached.notna()  # docs with zero shingles have no sets
+            cand = cand[ok]
+            if side == "a":
+                return pd.DataFrame(
+                    {
+                        "a": cand["a"].to_numpy(np.int64),
+                        "b": cand["b"].to_numpy(np.int64),
+                        "sh": [""] * len(cand),
+                        "sh_a": attached[ok].to_numpy(),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "a": cand["a"].to_numpy(np.int64),
+                    "b": cand["b"].to_numpy(np.int64),
+                    "sh": cand["sh_a"].to_numpy(),  # carried A-sets
+                    "sh_b": attached[ok].to_numpy(),
+                }
+            )
+
+        return fn
+
+    with_a = (
+        cands.map_batches(tag_cand("a"), batch_format="pyarrow")
+        .union(sets)
+        .groupby("jbucket")
+        .map_groups(attach("a"), batch_format="pandas")
+    )
+
+    def retag_b(batch: pa.Table) -> pa.Table:
+        # column order matches the widened set rows exactly so the union
+        # has ONE schema (no block-level divergence)
+        b = np.asarray(batch["b"]).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(b),
+                "sh": batch["sh"],  # unused slot (cand side)
+                "kind": pa.array(np.zeros(len(b), dtype=np.int8)),
+                "a": batch["a"],
+                "b": batch["b"],
+                "jbucket": pa.array(b % np.int64(n_buckets)),
+                "sh_a": batch["sh_a"],
+            }
+        )
+
+    def widen_sets(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "sh_a", pa.array([""] * batch.num_rows, type=pa.string())
+        )
+
+    verified_in = (
+        with_a.map_batches(retag_b, batch_format="pyarrow")
+        .union(sets.map_batches(widen_sets, batch_format="pyarrow"))
+        .groupby("jbucket")
+        .map_groups(attach("b"), batch_format="pandas")
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        a_out: list[int] = []
+        b_out: list[int] = []
+        j_out: list[float] = []
+        memo: dict[str, frozenset] = {}  # docs recur across pairs
+
+        def as_set(joined: str) -> frozenset:
+            v = memo.get(joined)
+            if v is None:
+                v = memo.setdefault(joined, frozenset(joined.split(SEP)))
+            return v
+
+        for a, b, sa, sb in zip(
+            batch["a"].to_pylist(),
+            batch["b"].to_pylist(),
+            batch["sh"].to_pylist(),
+            batch["sh_b"].to_pylist(),
+        ):
+            A = as_set(sa)
+            B = as_set(sb)
+            inter = len(A & B)
+            j = inter / (len(A) + len(B) - inter)
+            if j >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(j)
+        return pa.table(
+            {
+                "a": pa.array(a_out, type=pa.int64()),
+                "b": pa.array(b_out, type=pa.int64()),
+                "jaccard": pa.array(j_out, type=pa.float64()),
+            }
+        )
+
+    return verified_in.map_batches(score, batch_format="pyarrow")

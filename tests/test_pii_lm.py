@@ -183,3 +183,68 @@ def test_new_curation_ops_empty_corpus(tmp_path):
     assert pii_redact(str(tmp_path)).count() == 0
     assert doc_unigram_logprob(str(tmp_path)).count() == 0
     assert curated_documents(str(tmp_path)).count() == 0
+
+
+def test_prefix_jaccard_identical_to_counting_plan():
+    """The PPJoin prefix plan must produce the IDENTICAL exact pair set."""
+    import pandas as pd
+
+    from ner_funtool_ray.sources.io import read_parquet_auto
+    from ner_funtool_ray.stages.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    for thr in (0.5, 0.8):
+        docs = read_parquet_auto(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        old = (
+            ngram_jaccard_pairs(docs, threshold=thr)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        docs2 = read_parquet_auto(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        new = (
+            ngram_jaccard_pairs_prefix(docs2, threshold=thr)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(old, new)
+        assert len(old) > 0 or thr > 0.5  # t=0.5 is non-vacuous here
+
+
+def test_prefix_jaccard_recall_safe_beyond_max_df():
+    """A pair whose ONLY shared shingle is a stop-shingle is LOST by the
+    counting plan once max_df binds; the prefix plan keeps exact recall
+    with no knob."""
+    import ray.data
+
+    from ner_funtool_ray.stages.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    import pyarrow as pa
+
+    stop = "alpha beta"
+    texts = [stop, stop] + [
+        f"{stop} junk{i} junk{i}b junk{i}c" for i in range(2, 400)
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(400), type=pa.int64()), "text": texts}
+    )
+    capped = ngram_jaccard_pairs(
+        ray.data.from_arrow(tbl), threshold=0.9, max_df=100
+    ).to_pandas()
+    exact = ngram_jaccard_pairs_prefix(
+        ray.data.from_arrow(tbl), threshold=0.9
+    ).to_pandas()
+    assert len(capped) == 0  # the cap silently dropped the identical pair
+    assert len(exact) == 1
+    assert (exact.iloc[0]["a"], exact.iloc[0]["b"]) == (0, 1)
+    assert exact.iloc[0]["jaccard"] == 1.0
