@@ -248,3 +248,47 @@ def test_prefix_jaccard_recall_safe_beyond_max_df():
     assert len(exact) == 1
     assert (exact.iloc[0]["a"], exact.iloc[0]["b"]) == (0, 1)
     assert exact.iloc[0]["jaccard"] == 1.0
+
+
+def test_prefix_jaccard_randomized_equivalence():
+    """Seeded random corpora (varying vocab sizes/doc lengths — including
+    near-dup-heavy ones) must give identical pair sets on both plans."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from ner_funtool_ray.stages.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rng = np.random.default_rng(7)
+    for vocab, n_docs, length in ((5, 60, 6), (40, 80, 12), (12, 50, 4)):
+        words = [f"w{i}" for i in range(vocab)]
+        texts = []
+        for _ in range(n_docs):
+            toks = rng.choice(words, size=length).tolist()
+            texts.append(" ".join(toks))
+        # plant exact + near duplicates
+        texts[1] = texts[0]
+        texts[3] = texts[2] + " extra"
+        tbl = pa.table(
+            {"doc_id": pa.array(range(n_docs), type=pa.int64()), "text": texts}
+        )
+        for thr in (0.3, 0.7):
+            a = (
+                ngram_jaccard_pairs(ray.data.from_arrow(tbl), threshold=thr)
+                .to_pandas()
+                .sort_values(["a", "b"])
+                .reset_index(drop=True)
+            )
+            b = (
+                ngram_jaccard_pairs_prefix(
+                    ray.data.from_arrow(tbl), threshold=thr
+                )
+                .to_pandas()
+                .sort_values(["a", "b"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(a, b)
+            assert len(a) > 0  # planted dups keep every case non-vacuous
