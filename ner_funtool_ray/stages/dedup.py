@@ -1240,12 +1240,16 @@ def ngram_jaccard_pairs_prefix(
             lut = group.loc[group["kind"] == 1].set_index("key")["sh"]
             cand = group.loc[group["kind"] == 0].copy()
             if cand.empty:
+                # typed empty frame with the SAME columns as the non-empty
+                # branch for this side (a mismatched zero-row schema would
+                # KeyError downstream on blocks from empty buckets)
+                out_col = "sh_a" if side == "a" else "sh_b"
                 return pd.DataFrame(
                     {
                         "a": pd.Series(dtype=np.int64),
                         "b": pd.Series(dtype=np.int64),
                         "sh": pd.Series(dtype=object),
-                        "sh_a": pd.Series(dtype=object),
+                        out_col: pd.Series(dtype=object),
                     }
                 )
             attached = cand[side].map(lut)

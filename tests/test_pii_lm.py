@@ -292,3 +292,28 @@ def test_prefix_jaccard_randomized_equivalence():
             )
             pd.testing.assert_frame_equal(a, b)
             assert len(a) > 0  # planted dups keep every case non-vacuous
+
+
+def test_prefix_jaccard_sparse_buckets():
+    """Tiny corpus where most pair-buckets are empty — the empty-group
+    branch must emit side-correct zero-row schemas (regression)."""
+    import pyarrow as pa
+
+    import ray.data
+    from ner_funtool_ray.stages.dedup import ngram_jaccard_pairs_prefix
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": [
+                "same exact text here",
+                "same exact text here",
+                "totally different words now",
+            ],
+        }
+    )
+    out = ngram_jaccard_pairs_prefix(
+        ray.data.from_arrow(tbl), threshold=0.9
+    ).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["a"], out.iloc[0]["b"], out.iloc[0]["jaccard"]) == (0, 1, 1.0)
