@@ -152,6 +152,39 @@ def _grams(tokens: list[str], n: int) -> list[str]:
     return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
 
 
+def _benchmark_gram_set(
+    sf_dir: str,
+    n: int = 4,
+    bench_pct: int = 2,
+    broadcast_limit: int = 20_000_000,
+) -> "tuple[set[int], set[str]]":
+    """Driver-side benchmark extraction → ``(bench_ids, bench_grams)``.
+    The benchmark is the deterministic md5 ``doc_id % 100 < bench_pct``
+    sample standing in for a fixed eval suite (a production benchmark is
+    its own small file); benchmark-sized by definition, loud guard."""
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
+
+    bench_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = [str(d) for d in bench_tbl["doc_id"].to_pylist()]
+    u = md5_number_lower_batch(ids)
+    sel = u % np.uint64(100) < np.uint64(bench_pct)
+    bench = bench_tbl.filter(pa.array(sel))
+    bench_ids = set(bench["doc_id"].to_pylist())
+    bench_grams: set[str] = set()
+    for txt in bench["text"].to_pylist():
+        bench_grams.update(_grams(_WORD_RE.findall((txt or "").lower()), n))
+    if len(bench_grams) > broadcast_limit:
+        raise ValueError(
+            f"{len(bench_grams)} benchmark grams exceed broadcast_limit="
+            f"{broadcast_limit}; a benchmark set should be fixed-size"
+        )
+    return bench_ids, bench_grams
+
+
 def benchmark_contamination(
     sf_dir: str,
     n: int = 4,
@@ -167,28 +200,9 @@ def benchmark_contamination(
     The benchmark gram set is built on the driver and broadcast once —
     benchmark-sized by definition, with a loud guard, never a corpus-side
     shuffle; the corpus streams through one map_batches."""
-    import pyarrow.parquet as pq
-
-    from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
-
-    bench_tbl = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )  # benchmark extraction reads the id column + sampled texts once;
-    # a production benchmark is its own (small) file — this md5 sample
-    # stands in so both engines can reproduce the selection
-    ids = [str(d) for d in bench_tbl["doc_id"].to_pylist()]
-    u = md5_number_lower_batch(ids)
-    sel = u % np.uint64(100) < np.uint64(bench_pct)
-    bench = bench_tbl.filter(pa.array(sel))
-    bench_ids = set(bench["doc_id"].to_pylist())
-    bench_grams: set[str] = set()
-    for txt in bench["text"].to_pylist():
-        bench_grams.update(_grams(_WORD_RE.findall((txt or "").lower()), n))
-    if len(bench_grams) > broadcast_limit:
-        raise ValueError(
-            f"{len(bench_grams)} benchmark grams exceed broadcast_limit="
-            f"{broadcast_limit}; a benchmark set should be fixed-size"
-        )
+    bench_ids, bench_grams = _benchmark_gram_set(
+        sf_dir, n=n, bench_pct=bench_pct, broadcast_limit=broadcast_limit
+    )
     grams_ref = ray.put(bench_grams)
     bench_ids_ref = ray.put(bench_ids)
 
@@ -1065,26 +1079,12 @@ __all__ += ["pii_redact", "PII_REDACT_SQL"]
 # --- unigram LM quality scoring -----------------------------------------------
 
 
-def doc_unigram_logprob(
+def _unigram_model(
     sf_dir: str, vocab_k: int = 50_000
-) -> "ray.data.Dataset":
-    """Unigram language-model surprisal per document →
-    ``(doc_id, n_tokens, total_millibits)`` — the classic corpus-level
-    quality signal (KenLM-style filtering, reduced to the unigram term):
-    documents whose tokens are improbable under the corpus unigram
-    distribution score high.
-
-    Two passes, both distributed: (1) corpus token counts via per-batch
-    partial Counters + a small groupby-Sum (the ``vocab_count`` shape),
-    of which only the top ``vocab_k`` entries (count desc, word asc) are
-    broadcast — a BOUNDED model no matter the corpus size; out-of-vocab
-    tokens score at the p = 1/total floor.  (2) a pure map: tokens per
-    batch via one RE2 split, per-token surprisal by ``np.searchsorted``
-    into the sorted broadcast vocab, per-document integer sums via
-    ``np.add.reduceat``.  Surprisal is integer MILLIBITS
-    (``round(-log2(cnt/total)*1000)``, half away from zero like DuckDB
-    ``round``), so the per-doc sum is associative and hashes bit-exactly
-    against the SQL twin at any parallelism."""
+) -> "tuple[np.ndarray, np.ndarray, np.int64] | None":
+    """Fit the corpus unigram model → ``(sorted_words, millibits, oov_mb)``
+    (None if the corpus has no tokens).  One distributed count pass; only
+    the top-``vocab_k`` rows cross to the driver (distributed sort+limit)."""
     import pyarrow.compute as pc
 
     from ner_funtool_ray.stages.groupagg import bucketed_group_sum
@@ -1109,18 +1109,8 @@ def doc_unigram_logprob(
     )
     total_raw = counts_ds.sum("cnt")  # None on an empty/token-free corpus
     if not total_raw:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "n_tokens": pa.array([], type=pa.int64()),
-                    "total_millibits": pa.array([], type=pa.int64()),
-                }
-            )
-        )
+        return None
     total = int(total_raw)
-    # only the top-K crosses to the driver — the vocab table (already far
-    # smaller than the corpus) sorts distributed, never materializes whole
     top = (
         counts_ds.sort(["cnt", "word"], descending=[True, False])
         .limit(vocab_k)
@@ -1132,7 +1122,45 @@ def doc_unigram_logprob(
     # round half away from zero == DuckDB round(); -log2(p) ≥ 0 always
     mb = np.floor(-np.log2(cnts / total) * 1000.0 + 0.5).astype(np.int64)
     oov_mb = np.int64(np.floor(np.log2(float(total)) * 1000.0 + 0.5))
-    model_ref = ray.put((words, mb, oov_mb))
+    return words, mb, oov_mb
+
+
+def doc_unigram_logprob(
+    sf_dir: str, vocab_k: int = 50_000
+) -> "ray.data.Dataset":
+    """Unigram language-model surprisal per document →
+    ``(doc_id, n_tokens, total_millibits)`` — the classic corpus-level
+    quality signal (KenLM-style filtering, reduced to the unigram term):
+    documents whose tokens are improbable under the corpus unigram
+    distribution score high.
+
+    Two passes, both distributed: (1) corpus token counts via per-batch
+    partial Counters + a small groupby-Sum (the ``vocab_count`` shape),
+    of which only the top ``vocab_k`` entries (count desc, word asc) are
+    broadcast — a BOUNDED model no matter the corpus size; out-of-vocab
+    tokens score at the p = 1/total floor.  (2) a pure map: tokens per
+    batch via one RE2 split, per-token surprisal by ``np.searchsorted``
+    into the sorted broadcast vocab, per-document integer sums via
+    ``np.add.reduceat``.  Surprisal is integer MILLIBITS
+    (``round(-log2(cnt/total)*1000)``, half away from zero like DuckDB
+    ``round``), so the per-doc sum is associative and hashes bit-exactly
+    against the SQL twin at any parallelism."""
+    import pyarrow.compute as pc
+
+    docs = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    model = _unigram_model(sf_dir, vocab_k)
+    if model is None:  # empty/token-free corpus
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "total_millibits": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    model_ref = ray.put(model)
 
     def score(batch: pa.Table) -> pa.Table:
         vocab, vmb, oov = ray.get(model_ref)
@@ -1208,33 +1236,90 @@ def curated_documents(
     - bit 8: unigram surprisal above ``surprisal_thr_mb`` millibits/token
       (integer cross-multiplied — no division)
 
-    ``keep = 1`` ⟺ mask 0.  Each signal keeps its own (already
-    size-guarded, already tested) distributed plan; fusion itself adds NO
-    new all-to-all beyond one bounded group-sum: every signal emits
-    sparse ``(doc_id, bit)`` partials, the full id list contributes
-    ``(doc_id, 0)``, and one ``bucketed_group_sum`` ORs them (bits are
-    disjoint, so sum == bitwise-or).  At 100 TB the four signal scans
-    pipeline independently; the merge shuffles only doc-id-sized rows."""
+    ``keep = 1`` ⟺ mask 0.  Scan economy at 100 TB: the three per-doc
+    text signals (quality, contamination, surprisal) are FUSED into one
+    map_batches pass that tokenizes each document ONCE — so the whole
+    verdict costs 3 corpus scans (unigram count pass, fused signal pass,
+    MinHash-LSH pass) instead of one per signal — and fusion adds no new
+    all-to-all beyond one bounded group-sum: the fused pass emits one
+    ``(doc_id, bits)`` row per doc, the near-dup membership emits sparse
+    ``(doc_id, 2)`` partials, and ``bucketed_group_sum`` ORs them (bits
+    are disjoint, so sum == bitwise-or).  Semantics are pinned to the
+    standalone component operators by test and by the composed-CTE SQL
+    twin."""
     import pyarrow.compute as pc
 
     from ner_funtool_ray.stages.dedup import minhash_lsh_clusters
     from ner_funtool_ray.stages.groupagg import bucketed_group_sum
 
-    def bitify(ds: "ray.data.Dataset", mask_expr) -> "ray.data.Dataset":
-        return ds.map_batches(mask_expr, batch_format="pyarrow")
+    thr = int(surprisal_thr_mb)
+    model = _unigram_model(sf_dir)
+    model_ref = ray.put(model)  # None on a token-free corpus (bit 8 never fires)
+    bench_ids, bench_grams = _benchmark_gram_set(sf_dir)
+    bench_ref = ray.put((bench_ids, bench_grams))
+    stop = frozenset(_STOPWORDS)
 
-    qf = bitify(
-        quality_filter(sf_dir),
-        lambda b: pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "m": pc.cast(pc.greater(b["flags"], 0), pa.int64()),
-            }
-        ),
-    )
     docs = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    dup = bitify(
-        minhash_lsh_clusters(docs, threshold=dup_threshold),
+
+    def fused(batch: pa.Table) -> pa.Table:
+        mdl = ray.get(model_ref)
+        bid, bg = ray.get(bench_ref)
+        doc_ids = batch["doc_id"].to_pylist()
+        tok_lists = [
+            _WORD_RE.findall((txt or "").lower())
+            for txt in batch["text"].to_pylist()
+        ]
+        out_m = np.zeros(len(doc_ids), dtype=np.int64)
+        for i, (d, toks) in enumerate(zip(doc_ids, tok_lists)):
+            n = len(toks)
+            # bit 1 — Gopher quality rules (quality_filter semantics)
+            if n:
+                uniq, cnt = np.unique(
+                    np.array(toks, dtype=object), return_counts=True
+                )
+                nd, mx = len(uniq), int(cnt.max())
+                has_stop = any(w in stop for w in uniq)
+            else:
+                nd, mx, has_stop = 0, 0, False
+            if (
+                n < _MIN_WORDS
+                or n > _MAX_WORDS
+                or nd * 2 < n
+                or mx * 5 > n
+                or not has_stop
+            ):
+                out_m[i] |= 1
+            # bit 4 — contamination (benchmark docs themselves excluded)
+            if d not in bid and any(g in bg for g in _grams(toks, 4)):
+                out_m[i] |= 4
+        # bit 8 — unigram surprisal above thr millibits/token, computed
+        # batch-vectorized: ONE flatten + searchsorted + segment-sum
+        if mdl is not None:
+            words, vmb, oov = mdl
+            sizes = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            if int(sizes.sum()):
+                flat = np.array(
+                    [w for t in tok_lists for w in t], dtype=str
+                )
+                doc_idx = np.repeat(np.arange(len(sizes)), sizes)
+                pos = np.clip(np.searchsorted(words, flat), 0, len(words) - 1)
+                hit = words[pos] == flat
+                tok_mb = np.where(hit, vmb[pos], oov)
+                tot = np.bincount(
+                    doc_idx, weights=tok_mb, minlength=len(sizes)
+                ).astype(np.int64)
+                out_m |= np.where((sizes > 0) & (tot > thr * sizes), 8, 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "m": pa.array(out_m),
+            }
+        )
+
+    signals = docs.map_batches(fused, batch_format="pyarrow")
+    dup = minhash_lsh_clusters(docs, threshold=dup_threshold).map_batches(
         lambda b: pa.table(
             {
                 "doc_id": b["doc_id"],
@@ -1244,43 +1329,10 @@ def curated_documents(
                 ),
             }
         ),
-    )
-    ct = bitify(
-        benchmark_contamination(sf_dir),
-        lambda b: pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "m": pc.multiply(pc.cast(pc.greater(b["n_shared"], 0), pa.int64()), 4),
-            }
-        ),
-    )
-    thr = int(surprisal_thr_mb)
-    lm = bitify(
-        doc_unigram_logprob(sf_dir),
-        lambda b: pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "m": pc.multiply(
-                    pc.cast(
-                        pc.greater(
-                            b["total_millibits"],
-                            pc.multiply(b["n_tokens"], thr),
-                        ),
-                        pa.int64(),
-                    ),
-                    8,
-                ),
-            }
-        ),
-    )
-    base = docs.select_columns(["doc_id"]).map_batches(
-        lambda b: pa.table(
-            {"doc_id": b["doc_id"], "m": pa.array(np.zeros(b.num_rows, np.int64))}
-        ),
         batch_format="pyarrow",
     )
     mask = bucketed_group_sum(
-        base.union(qf, dup, ct, lm),
+        signals.union(dup),
         keys=["doc_id"],
         sum_cols={"m": "m"},
         driver_cap=2_000_000,
