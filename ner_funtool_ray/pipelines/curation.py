@@ -162,26 +162,33 @@ def _benchmark_gram_set(
     The benchmark is the deterministic md5 ``doc_id % 100 < bench_pct``
     sample standing in for a fixed eval suite (a production benchmark is
     its own small file); benchmark-sized by definition, loud guard."""
-    import pyarrow.parquet as pq
+    # the selection streams: each batch filters itself by the md5 rule and
+    # ships only its BENCHMARK rows, so the driver pull is benchmark-sized
+    # (the old plan read the entire text column onto the driver first)
+    def select_bench(batch: pa.Table) -> pa.Table:
+        from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
 
-    from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
+        ids = [str(d) for d in batch["doc_id"].to_pylist()]
+        u = md5_number_lower_batch(ids)
+        sel = u % np.uint64(100) < np.uint64(bench_pct)
+        return batch.filter(pa.array(sel))
 
-    bench_tbl = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    bench = (
+        read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(select_bench, batch_format="pyarrow")
+        .to_pandas()
     )
-    ids = [str(d) for d in bench_tbl["doc_id"].to_pylist()]
-    u = md5_number_lower_batch(ids)
-    sel = u % np.uint64(100) < np.uint64(bench_pct)
-    bench = bench_tbl.filter(pa.array(sel))
-    bench_ids = set(bench["doc_id"].to_pylist())
+    if bench.empty:  # zero-row to_pandas DROPS columns (documented trap)
+        return set(), set()
+    bench_ids = set(bench["doc_id"].tolist())
     bench_grams: set[str] = set()
-    for txt in bench["text"].to_pylist():
+    for txt in bench["text"].tolist():
         bench_grams.update(_grams(_WORD_RE.findall((txt or "").lower()), n))
-    if len(bench_grams) > broadcast_limit:
-        raise ValueError(
-            f"{len(bench_grams)} benchmark grams exceed broadcast_limit="
-            f"{broadcast_limit}; a benchmark set should be fixed-size"
-        )
+        if len(bench_grams) > broadcast_limit:
+            raise ValueError(
+                f"benchmark grams exceed broadcast_limit={broadcast_limit}; "
+                "a benchmark set should be fixed-size"
+            )
     return bench_ids, bench_grams
 
 
