@@ -1859,6 +1859,12 @@ def _q_curated_documents(sf_dir: str):
     return curated_documents(sf_dir)
 
 
+def _q_event_value_by_nation(sf_dir: str):
+    from ner_funtool_ray.pipelines.relational import event_value_by_nation
+
+    return event_value_by_nation(sf_dir)
+
+
 def _q_doc_token_bins(sf_dir: str):
     from ner_funtool_ray.pipelines.curation import doc_token_bins
 
@@ -2188,6 +2194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": _q_top_supplier_revenue,
         "semantic_dedup": _q_semantic_dedup,
         "curated_documents": _q_curated_documents,
+        "event_value_by_nation": _q_event_value_by_nation,
         "label_centroids": _q_label_centroids,
         "kmeans_assign": _q_kmeans_assign,
         "user_last_event": _q_user_last_event,
@@ -2373,6 +2380,7 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier_revenue": _rel.TOP_SUPPLIER_REVENUE_SQL,
         "semantic_dedup": _emb.SEMANTIC_DEDUP_SQL,
         "curated_documents": _cur.make_curated_sql(_MINHASH_CLUSTERS_SQL),
+        "event_value_by_nation": _rel.EVENT_VALUE_BY_NATION_SQL,
         "label_centroids": _emb.LABEL_CENTROIDS_SQL,
         "kmeans_assign": _emb.KMEANS_ASSIGN_SQL,
         "user_last_event": _rel.USER_LAST_EVENT_SQL,

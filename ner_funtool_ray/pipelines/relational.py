@@ -2172,3 +2172,86 @@ SELECT r.suppkey, s.s_name, r.rev4 / 10000.0 AS total_revenue
 FROM rev r JOIN supplier s ON s.s_suppkey = r.suppkey
 WHERE r.rev4 = (SELECT max(rev4) FROM rev)
 """
+
+
+def event_value_by_nation(sf_dir: str, hot_k: int = 16) -> "ray.data.Dataset":
+    """Event value rollup by the acting customer's nation →
+    ``(n_name, total_value, n_events)`` — the demo query for the
+    SKEW-SPLIT JOIN (`stages/skewjoin.py`): events join customer on
+    ``user_id = c_custkey`` with the ``hot_k`` heaviest user ids joined
+    MAP-SIDE from a broadcast (no reducer ever owns a hot key's whole
+    row set) and the cold tail through the bucketed shuffle.  The final
+    nation rollup is a bounded group-sum over integer cents; nation
+    names broadcast (25 rows)."""
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+    from ner_funtool_ray.stages.skewjoin import skew_split_join
+
+    fact = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    dim = read_parquet_auto(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = skew_split_join(
+        fact, dim, "user_id", "c_custkey", ["c_nationkey"], hot_k=hot_k
+    )
+    nations = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    n_map = dict(
+        zip(nations["n_nationkey"].to_pylist(), nations["n_name"].to_pylist())
+    )
+    n_ref = ray.put(n_map)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nm = ray.get(n_ref)
+        df = pd.DataFrame(
+            {
+                "n_name": pd.Series(
+                    np.asarray(batch["c_nationkey"]).astype(np.int64)
+                ).map(nm),
+                "cents": _cents(batch["value"]).to_numpy(),
+            }
+        )
+        agg = (
+            df.groupby("n_name", sort=False)["cents"]
+            .agg(["sum", "size"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "n_name": pa.array(agg["n_name"].astype(str)),
+                "cents": pa.array(agg["sum"].to_numpy(np.int64)),
+                "n_events": pa.array(agg["size"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = bucketed_group_sum(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        keys=["n_name"],
+        sum_cols={"cents": "cents", "n_events": "n_events"},
+        driver_cap=2_000_000,
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "n_name": b["n_name"],
+                "total_value": pc.divide(pc.cast(b["cents"], pa.float64()), 100.0),
+                "n_events": b["n_events"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENT_VALUE_BY_NATION_SQL = """
+SELECT n.n_name,
+       sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS total_value,
+       count(*)::BIGINT AS n_events
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+"""

@@ -317,3 +317,59 @@ def test_prefix_jaccard_sparse_buckets():
     ).to_pandas()
     assert len(out) == 1
     assert (out.iloc[0]["a"], out.iloc[0]["b"], out.iloc[0]["jaccard"]) == (0, 1, 1.0)
+
+
+def test_skew_split_join_plan_invariant_and_skewed():
+    """hot_k=0 (all-shuffle), mid, and all-broadcast plans must produce
+    the identical join, including on a genuinely skewed key (one key
+    owning half the fact rows)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from ner_funtool_ray.stages.skewjoin import skew_split_join
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 200, n))
+    fact_t = pa.table(
+        {
+            "row_id": pa.array(np.arange(n, dtype=np.int64)),
+            "k": pa.array(keys.astype(np.int64)),
+            "v": pa.array(rng.random(n)),
+        }
+    )
+    dim_t = pa.table(
+        {
+            "dk": pa.array(np.arange(150, dtype=np.int64)),  # keys 150+ dangle
+            "label": pa.array([f"L{i}" for i in range(150)]),
+        }
+    )
+    results = []
+    for hot_k in (0, 4, 10**6):
+        out = (
+            skew_split_join(
+                ray.data.from_arrow(fact_t),
+                ray.data.from_arrow(dim_t),
+                "k",
+                "dk",
+                ["label"],
+                hot_k=hot_k,
+            )
+            .to_pandas()
+            .sort_values("row_id")
+            .reset_index(drop=True)
+        )
+        results.append(out)
+    pd.testing.assert_frame_equal(results[0], results[1])
+    pd.testing.assert_frame_equal(results[0], results[2])
+    # brute-force twin
+    f = fact_t.to_pandas()
+    d = dim_t.to_pandas()
+    exp = (
+        f.merge(d, left_on="k", right_on="dk", how="inner")
+        .sort_values("row_id")
+        .reset_index(drop=True)[["row_id", "k", "v", "label"]]
+    )
+    pd.testing.assert_frame_equal(results[0], exp, check_dtype=False)
+    assert (results[0]["k"] == 7).sum() > n * 0.4  # the hot key really is hot
