@@ -916,29 +916,40 @@ def bpe_top_pairs(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     first merge maximizes).  Ties order by the pair string.
 
     The only corpus-sized pass is the word count (the ``vocab_count``
-    exchange); the character-pair expansion runs over the DISTINCT
-    vocabulary — vocabulary × word-length bounded — so it merges on the
-    driver.  The twin reproduces the same expansion with list slicing."""
+    exchange); the character-pair partials stream out of ``map_batches``
+    over the vocabulary (never funneling the open vocabulary through the
+    driver) and merge in a bounded-bucket group sum — the pair domain is
+    charset²-bounded, so the final sort+limit runs on a sketch-sized
+    table.  The twin reproduces the same expansion with list slicing."""
     from collections import Counter
 
     from ner_funtool_ray.pipelines.textops import vocab_count
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
 
-    vocab = vocab_count(sf_dir, min_count=1).to_pandas()
-    pairs: Counter[str] = Counter()
-    for w, c in zip(vocab["word"], vocab["cnt"]):
-        for a, b in zip(w, w[1:]):
-            pairs[a + b] += int(c)
-    rows = sorted(pairs.items(), key=lambda t: (-t[1], t[0]))[:k]
-    return ray.data.from_arrow(
-        pa.table(
+    def pair_partials(t: pa.Table) -> pa.Table:
+        pairs: Counter[str] = Counter()
+        for w, c in zip(t["word"].to_pylist(), t["cnt"].to_pylist()):
+            ci = int(c)
+            for a, b in zip(w, w[1:]):
+                pairs[a + b] += ci
+        return pa.table(
             {
-                "pair": pa.array([r[0] for r in rows], type=pa.string()),
+                "pair": pa.array(list(pairs.keys()), type=pa.string()),
                 "cnt": pa.array(
-                    np.array([r[1] for r in rows], dtype=np.int64)
+                    np.fromiter(pairs.values(), dtype=np.int64, count=len(pairs))
                 ),
             }
         )
+
+    agg = bucketed_group_sum(
+        vocab_count(sf_dir, min_count=1).map_batches(
+            pair_partials, batch_format="pyarrow"
+        ),
+        keys=["pair"],
+        sum_cols={"cnt": "cnt"},
+        count_col=None,
     )
+    return agg.sort(["cnt", "pair"], descending=[True, False]).limit(k)
 
 
 BPE_TOP_PAIRS_SQL = r"""
@@ -1126,7 +1137,14 @@ def _unigram_model(
     words = np.sort(top["word"].to_numpy().astype(str))
     order = np.argsort(top["word"].to_numpy().astype(str), kind="stable")
     cnts = top["cnt"].to_numpy()[order].astype(np.float64)
-    # round half away from zero == DuckDB round(); -log2(p) ≥ 0 always
+    # round half away from zero == DuckDB round(); -log2(p) ≥ 0 always.
+    # Residual cross-engine risk (documented, not bit-exact by proof):
+    # log2 is NOT an IEEE correctly-rounded operation, so numpy's and
+    # DuckDB's libm may differ by 1 ulp; if -log2(cnt/total)*1000 lands
+    # within half an ulp of a .5 boundary the rounded millibit value can
+    # differ by 1 between engines for that (cnt, total).  Per-doc sums are
+    # exact integer adds of these per-word constants, so any divergence is
+    # confined to such boundary words — none observed across the test SFs.
     mb = np.floor(-np.log2(cnts / total) * 1000.0 + 0.5).astype(np.int64)
     oov_mb = np.int64(np.floor(np.log2(float(total)) * 1000.0 + 0.5))
     return words, mb, oov_mb
@@ -1150,8 +1168,10 @@ def doc_unigram_logprob(
     into the sorted broadcast vocab, per-document integer sums via
     ``np.add.reduceat``.  Surprisal is integer MILLIBITS
     (``round(-log2(cnt/total)*1000)``, half away from zero like DuckDB
-    ``round``), so the per-doc sum is associative and hashes bit-exactly
-    against the SQL twin at any parallelism."""
+    ``round``), so the per-doc sum is associative and parallelism-
+    invariant; cross-engine agreement with the SQL twin holds up to the
+    (data-dependent, never-observed) 1-ulp libm log2 boundary case
+    documented in ``_unigram_model``."""
     import pyarrow.compute as pc
 
     docs = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

@@ -698,27 +698,28 @@ def fuzzy_gazetteer_matches(
 
     The only corpus-sized pass is the word count (``vocab_count``
     exchange); the DP runs over VOCABULARY × gazetteer with length
-    blocking (|len(a) − len(b)| ≤ max_dist prunes most cells) on the
-    driver.  DuckDB's ``levenshtein`` agrees with the plain DP, so the
-    twin is hash-exact."""
-    from ner_funtool_ray.config import GAZETTEER
-
-    vocab = vocab_count(sf_dir, min_count=1).to_pandas()
-    terms = sorted(GAZETTEER)
-    rows = []
-    for w, c in zip(vocab["word"], vocab["cnt"]):
-        lw = len(w)
-        for t in terms:
-            if abs(len(t) - lw) > max_dist:
-                continue
-            d = _levenshtein(t, w)
-            if d <= max_dist:
-                rows.append((t, w, d, int(c)))
-    rows.sort()
+    blocking (|len(a) − len(b)| ≤ max_dist prunes most cells) INSIDE
+    ``map_batches`` — the gazetteer is the broadcast-bounded side, so the
+    vocabulary never funnels through the driver (an open vocabulary at
+    corpus scale made the old driver pull unbounded).  DuckDB's
+    ``levenshtein`` agrees with the plain DP, so the twin is hash-exact."""
     import numpy as np
 
-    return ray.data.from_arrow(
-        pa.table(
+    from ner_funtool_ray.config import GAZETTEER
+
+    terms = sorted(GAZETTEER)  # gazetteer-bounded: ships with the task
+
+    def match(t: pa.Table) -> pa.Table:
+        rows = []
+        for w, c in zip(t["word"].to_pylist(), t["cnt"].to_pylist()):
+            lw = len(w)
+            for g in terms:
+                if abs(len(g) - lw) > max_dist:
+                    continue
+                d = _levenshtein(g, w)
+                if d <= max_dist:
+                    rows.append((g, w, d, int(c)))
+        return pa.table(
             {
                 "term": pa.array([r[0] for r in rows], type=pa.string()),
                 "token": pa.array([r[1] for r in rows], type=pa.string()),
@@ -730,6 +731,12 @@ def fuzzy_gazetteer_matches(
                 ),
             }
         )
+
+    # (term, token) is unique, so this sort reproduces the old total order
+    return (
+        vocab_count(sf_dir, min_count=1)
+        .map_batches(match, batch_format="pyarrow")
+        .sort(["term", "token"])
     )
 
 

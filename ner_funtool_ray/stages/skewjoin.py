@@ -44,6 +44,14 @@ def skew_split_join(
     semantics).  See module docstring for the hot/cold split."""
     from ner_funtool_ray.stages.groupagg import bucketed_group_sum
 
+    if fact_key == dim_key:
+        # widen_fact nulls out cols[dim_key], which would overwrite the fact
+        # key and silently drop every cold join row — refuse loudly instead
+        raise ValueError(
+            "skew_split_join requires fact_key != dim_key "
+            f"(both are {fact_key!r}); rename one side before joining"
+        )
+
     def key_counts(batch: pa.Table) -> pa.Table:
         k, c = np.unique(
             np.asarray(batch[fact_key]).astype(np.int64), return_counts=True
@@ -110,8 +118,16 @@ def skew_split_join(
         lut = ray.get(lut_ref)
         df = hot.to_pandas()
         joined = df.join(lut, on=fact_key, how="inner")
-        return pa.Table.from_pandas(
+        # cast through the declared Arrow types exactly like bucket_join:
+        # an empty lut (hot keys matching zero dim rows) leaves payload
+        # columns object-dtype, and date/decimal payloads round-trip pandas
+        # with a different inferred type — either diverges from the cold
+        # path's schema and breaks the final hot.union(cold)
+        tbl = pa.Table.from_pandas(
             joined[[*fact_cols, *payload_cols]], preserve_index=False
+        )
+        return pa.table(
+            {c: tbl[c].cast(out_types[c]) for c in [*fact_cols, *payload_cols]}
         )
 
     # cold path: both sides widen to ONE schema (typed nulls for the other
