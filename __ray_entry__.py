@@ -918,6 +918,30 @@ def _q_bert_mentions(sf_dir: str):
     return model_mentions(sf_dir, model="bert")
 
 
+def _q_albert_mentions(sf_dir: str):
+    """T3 encoder variant: ALBERT-structured (use_albert,
+    run_bert_crf.py:89 — shared layer group + factorized embeddings)."""
+    from ner_funtool_ray.pipelines.tagging import model_mentions
+
+    return model_mentions(sf_dir, model="albert")
+
+
+def _q_bert_lstm_mentions(sf_dir: str):
+    """T3 stacked variant: transformer → BiLSTM → CRF (use_lstm,
+    layers/lstm_crf_layer.py crf_only=False)."""
+    from ner_funtool_ray.pipelines.tagging import model_mentions
+
+    return model_mentions(sf_dir, model="bert_lstm")
+
+
+def _q_wol_losses(sf_dir: str):
+    """T5: WOL weighted-CE eval column (run_bert_wol.py:575-589 rule)
+    over cascade BMEO logits vs gazetteer-gold labels."""
+    from ner_funtool_ray.pipelines.tagging import wol_sentence_losses
+
+    return wol_sentence_losses(sf_dir)
+
+
 def _q_bert_triples(sf_dir: str):
     from ner_funtool_ray.pipelines.tagging import model_triples
 
@@ -2223,6 +2247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_bert_triples": _q_bert_triples,
         "ner_cascade_mentions": _q_cascade_mentions,
         "ner_cascade_lstm_mentions": _q_cascade_lstm_mentions,
+        "ner_albert_mentions": _q_albert_mentions,
+        "ner_bert_lstm_mentions": _q_bert_lstm_mentions,
+        "ner_wol_losses": _q_wol_losses,
         "ner_tag_metrics": _q_tag_metrics,
         "ner_entity_metrics": _q_entity_metrics,
         # CLUE submit writer surface over the model path (rows-only)

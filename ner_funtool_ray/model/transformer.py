@@ -183,6 +183,230 @@ class BertCrf(TransformerEncoder):
         return viterbi_decode_batch(logits, self.w["crf_trans"], lengths)
 
 
+def init_albert_weights(
+    vocab_size: int,
+    embedding_size: int = 24,
+    hidden: int = 48,
+    n_layers: int = 4,
+    n_groups: int = 1,
+    n_heads: int = 4,
+    intermediate: int = 96,
+    max_position: int = 160,
+    n_tags: int = 5,
+    type_vocab: int = 2,
+    seed: int = 13,
+) -> dict[str, np.ndarray]:
+    """Seed-fixed ALBERT-structured weight set — the two structural moves
+    of `bert/modeling_albert.py`:
+
+    - FACTORIZED embeddings: word/pos/type tables live at
+      ``embedding_size`` E < H (`modeling_albert.py:484-526`
+      embedding_lookup at E) and one ``emb_proj`` matrix maps E→H before
+      the first layer (`:1085-1088` embedding_hidden_mapping_in);
+    - CROSS-LAYER SHARING: parameters exist once per GROUP, not per
+      layer (`:1091-1098` ``reuse=tf.AUTO_REUSE`` under ``group_%d``);
+      ``n_layers`` only sets how many times the group weights are
+      APPLIED, so the parameter count is independent of depth.
+    """
+    assert hidden % n_heads == 0
+    rng = np.random.default_rng(seed)
+
+    def g(*shape):
+        return rng.normal(0.0, 0.08, size=shape).astype(np.float32)
+
+    w: dict[str, np.ndarray] = {
+        "word_emb": g(vocab_size, embedding_size),
+        "pos_emb": g(max_position, embedding_size),
+        "type_emb": g(type_vocab, embedding_size),
+        "emb_ln_g": np.ones(embedding_size, dtype=np.float32),
+        "emb_ln_b": np.zeros(embedding_size, dtype=np.float32),
+        "emb_proj_w": g(embedding_size, hidden),
+        "emb_proj_b": np.zeros(hidden, dtype=np.float32),
+        "n_layers": np.array(n_layers),
+        "n_groups": np.array(n_groups),
+        "n_heads": np.array(n_heads),
+    }
+    for gi in range(n_groups):
+        w[f"g{gi}_q_w"] = g(hidden, hidden)
+        w[f"g{gi}_q_b"] = np.zeros(hidden, dtype=np.float32)
+        w[f"g{gi}_k_w"] = g(hidden, hidden)
+        w[f"g{gi}_k_b"] = np.zeros(hidden, dtype=np.float32)
+        w[f"g{gi}_v_w"] = g(hidden, hidden)
+        w[f"g{gi}_v_b"] = np.zeros(hidden, dtype=np.float32)
+        w[f"g{gi}_ao_w"] = g(hidden, hidden)
+        w[f"g{gi}_ao_b"] = np.zeros(hidden, dtype=np.float32)
+        w[f"g{gi}_attn_ln_g"] = np.ones(hidden, dtype=np.float32)
+        w[f"g{gi}_attn_ln_b"] = np.zeros(hidden, dtype=np.float32)
+        w[f"g{gi}_ff1_w"] = g(hidden, intermediate)
+        w[f"g{gi}_ff1_b"] = np.zeros(intermediate, dtype=np.float32)
+        w[f"g{gi}_ff2_w"] = g(intermediate, hidden)
+        w[f"g{gi}_ff2_b"] = np.zeros(hidden, dtype=np.float32)
+        w[f"g{gi}_out_ln_g"] = np.ones(hidden, dtype=np.float32)
+        w[f"g{gi}_out_ln_b"] = np.zeros(hidden, dtype=np.float32)
+    w["proj_w"] = g(hidden, n_tags)
+    w["proj_b"] = np.zeros(n_tags, dtype=np.float32)
+    w["crf_trans"] = rng.normal(0.0, 0.2, size=(n_tags, n_tags)).astype(
+        np.float32
+    )
+    return w
+
+
+class AlbertEncoder:
+    """ALBERT-structured encoder: factorized E-wide embeddings projected
+    once to H, then ``n_layers`` applications of the per-group shared
+    layer weights (`modeling_albert.py:1020-1120` transformer_model)."""
+
+    def __init__(self, weights: dict[str, np.ndarray]):
+        self.w = weights
+        self.n_layers = int(weights["n_layers"])
+        self.n_groups = int(weights["n_groups"])
+        self.n_heads = int(weights["n_heads"])
+
+    def encode(
+        self,
+        input_ids: np.ndarray,
+        input_mask: np.ndarray,
+        segment_ids: np.ndarray | None = None,
+    ) -> np.ndarray:
+        w = self.w
+        B, S = input_ids.shape
+        if segment_ids is None:
+            segment_ids = np.zeros_like(input_ids)
+        # embeddings at E (word+pos+type, LayerNorm), THEN the single E→H
+        # mapping — the factorization order of modeling_albert.py
+        x = (
+            w["word_emb"][input_ids]
+            + w["pos_emb"][:S][None, :, :]
+            + w["type_emb"][segment_ids]
+        )
+        x = layer_norm(x, w["emb_ln_g"], w["emb_ln_b"])
+        x = x @ w["emb_proj_w"] + w["emb_proj_b"]
+        H = x.shape[-1]
+        nh = self.n_heads
+        hd = H // nh
+        adder = (1.0 - input_mask.astype(np.float32))[:, None, None, :] * -10000.0
+        for layer_idx in range(self.n_layers):
+            # group selection rule of modeling_albert.py:1093
+            gi = int(layer_idx / self.n_layers * self.n_groups)
+            q = (
+                (x @ w[f"g{gi}_q_w"] + w[f"g{gi}_q_b"])
+                .reshape(B, S, nh, hd)
+                .transpose(0, 2, 1, 3)
+            )
+            k = (
+                (x @ w[f"g{gi}_k_w"] + w[f"g{gi}_k_b"])
+                .reshape(B, S, nh, hd)
+                .transpose(0, 2, 1, 3)
+            )
+            v = (
+                (x @ w[f"g{gi}_v_w"] + w[f"g{gi}_v_b"])
+                .reshape(B, S, nh, hd)
+                .transpose(0, 2, 1, 3)
+            )
+            scores = (q @ k.swapaxes(-1, -2)) / np.sqrt(hd) + adder
+            scores -= scores.max(axis=-1, keepdims=True)
+            p = np.exp(scores)
+            p /= p.sum(axis=-1, keepdims=True)
+            ctx = (p @ v).transpose(0, 2, 1, 3).reshape(B, S, H)
+            attn_out = ctx @ w[f"g{gi}_ao_w"] + w[f"g{gi}_ao_b"]
+            x = layer_norm(
+                x + attn_out, w[f"g{gi}_attn_ln_g"], w[f"g{gi}_attn_ln_b"]
+            )
+            ff = gelu(x @ w[f"g{gi}_ff1_w"] + w[f"g{gi}_ff1_b"])
+            ff = ff @ w[f"g{gi}_ff2_w"] + w[f"g{gi}_ff2_b"]
+            x = layer_norm(x + ff, w[f"g{gi}_out_ln_g"], w[f"g{gi}_out_ln_b"])
+        return x
+
+
+def init_bert_bilstm_weights(
+    vocab_size: int,
+    hidden: int = 48,
+    lstm_hidden: int = 32,
+    n_layers: int = 2,
+    n_heads: int = 4,
+    intermediate: int = 96,
+    max_position: int = 160,
+    n_tags: int = 5,
+    type_vocab: int = 2,
+    seed: int = 17,
+) -> dict[str, np.ndarray]:
+    """Transformer encoder weights + the stacked BiLSTM head of
+    `layers/lstm_crf_layer.py:88-127` (``crf_only=False``): BiLSTM over
+    the encoder output, fw/bw CONCATENATED (``tf.concat(outputs,
+    axis=2)``, :101), tanh hidden 2H→H (:112-117), then the tag
+    projection (:120-126).  Gate layout matches
+    ``bilstm_crf._lstm_direction`` (i,g,f,o with forget_bias=1)."""
+    w = init_transformer_weights(
+        vocab_size=vocab_size,
+        hidden=hidden,
+        n_layers=n_layers,
+        n_heads=n_heads,
+        intermediate=intermediate,
+        max_position=max_position,
+        n_tags=n_tags,
+        type_vocab=type_vocab,
+        seed=seed,
+    )
+    rng = np.random.default_rng(seed + 1)
+
+    def g(*shape):
+        return rng.normal(0.0, 0.08, size=shape).astype(np.float32)
+
+    w["lstm_fw_kernel"] = g(hidden + lstm_hidden, 4 * lstm_hidden)
+    w["lstm_fw_bias"] = np.zeros(4 * lstm_hidden, dtype=np.float32)
+    w["lstm_bw_kernel"] = g(hidden + lstm_hidden, 4 * lstm_hidden)
+    w["lstm_bw_bias"] = np.zeros(4 * lstm_hidden, dtype=np.float32)
+    w["stack_hid_w"] = g(2 * lstm_hidden, lstm_hidden)
+    w["stack_hid_b"] = np.zeros(lstm_hidden, dtype=np.float32)
+    w["stack_proj_w"] = g(lstm_hidden, n_tags)
+    w["stack_proj_b"] = np.zeros(n_tags, dtype=np.float32)
+    return w
+
+
+class BertBilstmCrf(TransformerEncoder):
+    """Stacked T3 variant (``use_lstm``, `run_multitask_bert_crf.py:71-76`
+    / `lstm_crf_layer.py:40-50` ``crf_only=False``): transformer encoder
+    → BiLSTM → concat → tanh hidden → projection → CRF Viterbi."""
+
+    def predict(
+        self,
+        input_ids: np.ndarray,
+        input_mask: np.ndarray,
+        segment_ids: np.ndarray | None = None,
+    ) -> np.ndarray:
+        from ner_funtool_ray.model.bilstm_crf import _lstm_direction
+
+        w = self.w
+        enc = self.encode(input_ids, input_mask, segment_ids)
+        lengths = input_mask.astype(np.int32).sum(axis=1)
+        fw = _lstm_direction(
+            enc, lengths, w["lstm_fw_kernel"], w["lstm_fw_bias"], False
+        )
+        bw = _lstm_direction(
+            enc, lengths, w["lstm_bw_kernel"], w["lstm_bw_bias"], True
+        )
+        cat = np.concatenate([fw, bw], axis=-1)  # lstm_crf_layer.py:101
+        hid = np.tanh(cat @ w["stack_hid_w"] + w["stack_hid_b"])
+        logits = hid @ w["stack_proj_w"] + w["stack_proj_b"]
+        return viterbi_decode_batch(logits, w["crf_trans"], lengths)
+
+
+class AlbertCrf(AlbertEncoder):
+    """ALBERT encoder → dense → CRF Viterbi (the ``use_albert`` flag path
+    of `run_bert_crf.py:89` with the same ``crf_only=True`` head)."""
+
+    def predict(
+        self,
+        input_ids: np.ndarray,
+        input_mask: np.ndarray,
+        segment_ids: np.ndarray | None = None,
+    ) -> np.ndarray:
+        enc = self.encode(input_ids, input_mask, segment_ids)
+        logits = enc @ self.w["proj_w"] + self.w["proj_b"]
+        lengths = input_mask.astype(np.int32).sum(axis=1)
+        return viterbi_decode_batch(logits, self.w["crf_trans"], lengths)
+
+
 class BertCascade(TransformerEncoder):
     """T4: shared transformer encoder → BMEO projection + CRF decode and
     attr projection + masked argmax (`run_multitask_bert_crf.py:606-653`);

@@ -82,6 +82,8 @@ def pagerank_ds(
     edges: "ray.data.Dataset",
     iters: int = 5,
     n_buckets: int = 32,
+    seed_entity: str | None = None,
+    seed_n: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed fixed-point PageRank for graphs too large for a
     driver: ``nodes`` has column ``entity_id``; ``edges`` has
@@ -93,7 +95,12 @@ def pagerank_ds(
     partials; (2) a bounded-bucket group sum merges them per dst;
     (3) a dst-bucketed zero-fill join rewrites every node's rank.  All
     arithmetic is the same int64 rule as ``_pagerank_numpy`` (parity
-    tested), so either path may serve the oracle."""
+    tested), so either path may serve the oracle.
+
+    ``seed_entity``/``seed_n`` switch the teleport to PERSONALIZED mode
+    (``entity_ppr``'s rule): the whole 15% teleport mass — ``(15·SCALE·
+    seed_n)//100`` with ``seed_n`` the node count — lands on the seed
+    each iteration and every other node's base term is 0."""
     from ner_funtool_ray.stages.groupagg import bucketed_group_sum
 
     # out-weight per src, attached to edges once (src-bucketed join)
@@ -216,11 +223,20 @@ def pagerank_ds(
             inc_m = group[group["kind"] == 1].set_index("entity_id")["inc"]
             n = group[group["kind"] == 0]
             iv = n["entity_id"].map(inc_m).fillna(0).to_numpy(dtype=np.int64)
+            if seed_entity is None:
+                base = BASE
+            else:
+                # personalized teleport: all mass on the seed, 0 elsewhere
+                base = np.where(
+                    n["entity_id"].to_numpy() == seed_entity,
+                    (np.int64(15) * SCALE * np.int64(seed_n)) // np.int64(100),
+                    np.int64(0),
+                )
             return pd.DataFrame(
                 {
                     "entity_id": n["entity_id"].to_numpy(),
                     "bucket": n["bucket"].to_numpy(dtype=np.int64),
-                    "r": BASE + (np.int64(85) * iv) // np.int64(100),
+                    "r": base + (np.int64(85) * iv) // np.int64(100),
                 }
             )
 
@@ -358,16 +374,16 @@ def entity_bfs_depth(
     after ``rounds`` = -1), so the unrolled-CTE twin is hash-exact.  The
     aggregated graph is gazetteer-bounded (see ``entity_pagerank``); the
     numpy path is the production path, and a general-graph distributed
-    run uses the identical per-round rule inside ``pagerank_ds``-style
-    bucketed joins."""
+    run applies the identical per-round rule inside
+    ``stages/graphops.bfs_depth_ds``'s bucketed rounds (parity-tested)."""
     from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
 
     triples = kg_from_sf_dir(sf_dir).materialize()
     if triples.count() > driver_cap:
-        raise NotImplementedError(
-            "general-graph BFS: feed edges through pagerank_ds-style "
-            "bucketed rounds; the entity graph never exceeds the cap"
-        )
+        from ner_funtool_ray.stages.graphops import bfs_depth_ds
+
+        nodes, cooc = _graph_parts_ds(triples)
+        return bfs_depth_ds(nodes, _sym_edges_ds(cooc), rounds=rounds)
     df = triples.to_pandas()
     cooc = df[df["pred"] == "cooccurs_with"]
     nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
@@ -436,14 +452,26 @@ def entity_triangle_counts(
     coefficient numerator.  Gazetteer-bounded graph -> dense int64
     adjacency on the driver; n_triangles(v) = diag(A^3)//2, exact
     integer arithmetic, so the 3-way-self-join SQL twin is hash-exact.
-    (A general-graph distributed version is the inverted-index join
-    shape of ``stages/dedup.ngram_jaccard_pairs``; the entity graph
-    never needs it.)"""
+    Above the cap, ``stages/graphops.triangles_ds`` runs the
+    inverted-index plan (per-middle neighbor pairs semi-joined against
+    the canonical edge set) — parity-tested against the matmul."""
     from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
 
     triples = kg_from_sf_dir(sf_dir).materialize()
     if triples.count() > driver_cap:
-        raise NotImplementedError("general-graph triangles: see docstring")
+        from ner_funtool_ray.stages.graphops import triangles_ds
+
+        nodes, cooc = _graph_parts_ds(triples)
+        canon = cooc.map_batches(
+            lambda t: pa.table(
+                {
+                    "a": t["subj"].cast(pa.string()),
+                    "b": t["obj"].cast(pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return triangles_ds(nodes, canon)
     df = triples.to_pandas()
     cooc = df[df["pred"] == "cooccurs_with"]
     nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
@@ -503,6 +531,66 @@ def _cooc_driver_frame(sf_dir: str, driver_cap: int):
     if triples.count() > driver_cap:
         return triples, None
     return triples, triples.to_pandas()
+
+
+def _graph_parts_ds(triples: "ray.data.Dataset"):
+    """Distributed counterpart of ``_cooc_driver_frame``: the node set
+    (distinct ``appears_in`` subjects, via one bounded-bucket distinct)
+    and the canonical co-occurrence edge table, both as Datasets — the
+    inputs every ``stages/graphops`` core takes."""
+    import pyarrow.compute as pc
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    cooc = triples.map_batches(
+        lambda t: t.filter(pc.equal(t["pred"], "cooccurs_with")).select(
+            ["subj", "obj", "weight"]
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = bucketed_group_sum(
+        triples.map_batches(
+            lambda t: pa.table(
+                {
+                    "entity_id": t.filter(
+                        pc.equal(t["pred"], "appears_in")
+                    )["subj"]
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["entity_id"],
+        count_col="__n",
+    ).drop_columns(["__n"])
+    return nodes, cooc
+
+
+def _sym_edges_ds(cooc: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Symmetrize the canonical co-occurrence edges to directed form
+    (``src, dst, weight`` both ways)."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [
+                        t["subj"].combine_chunks().cast(pa.string()),
+                        t["obj"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "dst": pa.concat_arrays(
+                    [
+                        t["obj"].combine_chunks().cast(pa.string()),
+                        t["subj"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "weight": pa.concat_arrays(
+                    [t["weight"].combine_chunks().cast(pa.int64())] * 2
+                ),
+            }
+        )
+
+    return cooc.map_batches(expand, batch_format="pyarrow")
 
 
 def entity_cooccurrence_lift(
@@ -920,16 +1008,18 @@ def entity_components(
     agree bit-for-bit whether or not a pathological chain has converged.
     The entity graph is gazetteer-bounded (see ``entity_pagerank``), so
     the numpy scatter-min on sorted node INDICES (index order == lexical
-    order) is the production path; an unbounded graph would reuse
-    ``stages/dedup.clusters_from_pairs_ds`` on hashed node ids."""
+    order) is the production path; above the cap,
+    ``stages/graphops.components_ds`` runs the identical bounded rounds
+    as min-LABEL propagation over entity strings (string min ==
+    sorted-index min), parity-tested."""
     from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
 
     triples = kg_from_sf_dir(sf_dir).materialize()
     if triples.count() > driver_cap:
-        raise NotImplementedError(
-            "general-graph CC: use stages/dedup.clusters_from_pairs_ds; "
-            "the entity graph never exceeds the cap"
-        )
+        from ner_funtool_ray.stages.graphops import components_ds
+
+        nodes, cooc = _graph_parts_ds(triples)
+        return components_ds(nodes, _sym_edges_ds(cooc), rounds=rounds)
     df = triples.to_pandas()
     cooc = df[df["pred"] == "cooccurs_with"]
     nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
@@ -997,17 +1087,31 @@ def source_shared_entity_pairs(
 
     The aggregated bipartite layer is gazetteer × sources — sketch-sized
     at any corpus scale (same bound as ``entity_pagerank``) — so the
-    triangular expansion happens on the driver; an unbounded membership
-    table would run the identical expansion inside entity-bucketed
-    ``map_groups`` (the ``ngram_jaccard_pairs`` plan with entities as
-    shingles)."""
+    triangular expansion happens on the driver; above the cap,
+    ``stages/graphops.shared_member_pairs_ds`` runs the identical
+    expansion inside entity-bucketed ``map_groups`` (the
+    ``ngram_jaccard_pairs`` plan with entities as shingles),
+    parity-tested."""
     from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
 
     triples = kg_from_sf_dir(sf_dir).materialize()
     if triples.count() > driver_cap:
-        raise NotImplementedError(
-            "unbounded membership: reuse the inverted-index pair plan"
+        import pyarrow.compute as pc
+
+        from ner_funtool_ray.stages.graphops import shared_member_pairs_ds
+
+        membership = triples.map_batches(
+            lambda t: (
+                lambda f: pa.table(
+                    {
+                        "entity": f["subj"].cast(pa.string()),
+                        "doc": f["obj"].cast(pa.string()),
+                    }
+                )
+            )(t.filter(pc.equal(t["pred"], "appears_in"))),
+            batch_format="pyarrow",
         )
+        return shared_member_pairs_ds(membership, min_shared=min_shared)
     df = triples.to_pandas()
     ap = df[df["pred"] == "appears_in"][["subj", "obj"]].drop_duplicates()
     a_l, b_l = [], []
@@ -1074,14 +1178,15 @@ def entity_cooccur_conditional(
     (the cooccurrence edge is undirected; the conditional is not).
 
     Same gazetteer-bounded driver path as ``entity_cooccurrence_lift``
-    (Python ints / HUGEINT twin); an unbounded graph runs the identical
-    math with marginals riding a bounded-bucket group sum."""
+    (Python ints / HUGEINT twin); above the cap,
+    ``stages/graphops.cooccur_conditional_ds`` runs the identical math
+    with marginals riding a bounded-bucket group sum, parity-tested."""
     triples, df = _cooc_driver_frame(sf_dir, driver_cap)
     if df is None:
-        raise NotImplementedError(
-            "unbounded graph: attach bucketed marginals as in "
-            "entity_cooccurrence_lift's distributed path"
-        )
+        from ner_funtool_ray.stages.graphops import cooccur_conditional_ds
+
+        _nodes, cooc_ds = _graph_parts_ds(triples)
+        return cooccur_conditional_ds(cooc_ds)
     cooc = df[df["pred"] == "cooccurs_with"]
     marg: dict[str, int] = {}
     for ent, ww in zip(
@@ -1141,15 +1246,25 @@ def entity_ppr(
     total teleport mass (15% of n·SCALE) concentrates on the seed, so
     ranks decay with distance from it.  Identical unrolled iterations in
     the twin keep it hash-exact; the entity graph is gazetteer-bounded
-    (driver numpy path), and an unbounded graph would run the same rule
-    inside ``pagerank_ds``-style rounds."""
+    (driver numpy path), and above the cap the same rule runs inside
+    ``pagerank_ds``'s rounds with the seed-teleport base (parity-tested)."""
     from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
 
     triples = kg_from_sf_dir(sf_dir).materialize()
     if triples.count() > driver_cap:
-        raise NotImplementedError(
-            "general-graph PPR: run the seed-teleport rule inside "
-            "pagerank_ds-style bucketed rounds"
+        from ner_funtool_ray.stages.graphops import global_min_string
+
+        nodes, cooc = _graph_parts_ds(triples)
+        nodes = nodes.materialize()
+        seed = global_min_string(nodes, "entity_id")
+        n = nodes.count()
+        ranks = pagerank_ds(
+            nodes, _sym_edges_ds(cooc), iters=iters,
+            seed_entity=seed, seed_n=n,
+        )
+        return ranks.map_batches(
+            lambda t: t.rename_columns(["entity_id", "ppr_fp"]),
+            batch_format="pyarrow",
         )
     df = triples.to_pandas()
     cooc = df[df["pred"] == "cooccurs_with"]
@@ -1244,16 +1359,19 @@ def kg_negative_samples(
     standard for uniform negative sampling and kept (filtering would
     need a second pass; training treats it as label noise).  The entity
     vocabulary is gazetteer-bounded, so generation is driver-side here;
-    at scale the nodes array broadcasts and edges stream through
-    ``map_batches`` with the identical hash rule."""
+    above the cap ``stages/graphops.negative_samples_ds`` broadcasts the
+    sorted node array once (``ray.put``, loud memory guard) and streams
+    edges through ``map_batches`` with the identical hash rule,
+    parity-tested."""
     from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
     from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
 
     triples = kg_from_sf_dir(sf_dir).materialize()
     if triples.count() > driver_cap:
-        raise NotImplementedError(
-            "unbounded graph: broadcast the node array and stream edges"
-        )
+        from ner_funtool_ray.stages.graphops import negative_samples_ds
+
+        nodes, cooc = _graph_parts_ds(triples)
+        return negative_samples_ds(cooc, nodes, k=k)
     df = triples.to_pandas()
     cooc = df[df["pred"] == "cooccurs_with"]
     nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
@@ -1314,15 +1432,17 @@ def entity_neighbor_jaccard(
 
     The entity graph is gazetteer-bounded → driver expansion over the
     common-neighbor inverted index (per middle node, the pair triangle);
-    an unbounded graph runs the identical plan inside middle-node-bucketed
-    ``map_groups``."""
+    above the cap ``stages/graphops.neighbor_jaccard_ds`` runs the
+    identical plan inside middle-node-bucketed ``map_groups``,
+    parity-tested."""
     from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
 
     triples = kg_from_sf_dir(sf_dir).materialize()
     if triples.count() > driver_cap:
-        raise NotImplementedError(
-            "unbounded graph: middle-node-bucketed pair expansion"
-        )
+        from ner_funtool_ray.stages.graphops import neighbor_jaccard_ds
+
+        _nodes, cooc = _graph_parts_ds(triples)
+        return neighbor_jaccard_ds(_sym_edges_ds(cooc))
     df = triples.to_pandas()
     cooc = df[df["pred"] == "cooccurs_with"]
     neigh: dict[str, set] = {}
@@ -1400,14 +1520,17 @@ def entity_resource_allocation(
     1/log deg), chosen because it stays in exact integers on both
     engines.  Per-middle-floor semantics: each common neighbor
     contributes its own floored term, mirrored exactly by the twin's
-    per-row division before the SUM."""
+    per-row division before the SUM.  Above the cap
+    ``stages/graphops.resource_allocation_ds`` runs the identical plan
+    (each middle emits its floored term onto its pairs), parity-tested."""
     from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
 
     triples = kg_from_sf_dir(sf_dir).materialize()
     if triples.count() > driver_cap:
-        raise NotImplementedError(
-            "unbounded graph: middle-node-bucketed pair expansion"
-        )
+        from ner_funtool_ray.stages.graphops import resource_allocation_ds
+
+        _nodes, cooc = _graph_parts_ds(triples)
+        return resource_allocation_ds(_sym_edges_ds(cooc))
     df = triples.to_pandas()
     cooc = df[df["pred"] == "cooccurs_with"]
     neigh: dict[str, set] = {}
@@ -1468,12 +1591,28 @@ def entity_clustering_coefficient(
     cc_ppm)`` with ``cc_ppm = 2·tri·10⁶ // (d·(d−1))`` for d ≥ 2 (nodes
     of degree < 2 report 0) — the neighborhood-density feature, exact
     ints via the same diag(A³)/2 triangle core the triangle-count op
-    uses."""
+    uses.  Above the cap ``stages/graphops.clustering_coefficient_ds``
+    composes the distributed triangle plan with a bucketed degree join,
+    parity-tested."""
     from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
 
     triples = kg_from_sf_dir(sf_dir).materialize()
     if triples.count() > driver_cap:
-        raise NotImplementedError("unbounded graph: see triangle op")
+        from ner_funtool_ray.stages.graphops import (
+            clustering_coefficient_ds,
+        )
+
+        nodes, cooc = _graph_parts_ds(triples)
+        canon = cooc.map_batches(
+            lambda t: pa.table(
+                {
+                    "a": t["subj"].cast(pa.string()),
+                    "b": t["obj"].cast(pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return clustering_coefficient_ds(nodes, canon)
     df = triples.to_pandas()
     cooc = df[df["pred"] == "cooccurs_with"]
     nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
@@ -1544,14 +1683,16 @@ def entity_kcore(
     to prune noisy KG fringes.  As with BFS/CC, the twin unrolls the
     IDENTICAL rounds, so both engines agree even before the peel
     converges; the entity graph's bounded size makes the numpy path the
-    production one."""
+    production one, and above the cap ``stages/graphops.kcore_ds`` runs
+    the same rounds as per-round bucketed degree filters, parity-tested."""
     from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
 
     triples = kg_from_sf_dir(sf_dir).materialize()
     if triples.count() > driver_cap:
-        raise NotImplementedError(
-            "unbounded graph: per-round bucketed degree filter"
-        )
+        from ner_funtool_ray.stages.graphops import kcore_ds
+
+        nodes, cooc = _graph_parts_ds(triples)
+        return kcore_ds(nodes, _sym_edges_ds(cooc), k=k, rounds=rounds)
     df = triples.to_pandas()
     cooc = df[df["pred"] == "cooccurs_with"]
     nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())

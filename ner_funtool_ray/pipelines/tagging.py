@@ -191,6 +191,59 @@ def tag_metrics_report(
     return tag_report(_tag_pairs(sf_dir, cascade), remove_o=remove_o)
 
 
+def wol_sentence_losses(sf_dir: str, concurrency=None) -> "ray.data.Dataset":
+    """T5 surface: sentence rows + ``wol_loss`` — the WOL weighted CE
+    (`run_bert_wol.py:575-589` rule, eval-time) of the cascade BMEO
+    logits against gazetteer-gold labels.  Actor-pool stage like
+    ``tag_sentences`` (weights once per actor)."""
+    import ray
+
+    from ner_funtool_ray.stages.tag import WolScorer
+
+    sents = split_to_sentences(ingest(corpus_from_documents(sf_dir)))
+    both = gold_tag_sentences(sents, max_seq_len=MAX_SEQ_LEN)
+    if concurrency is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        n = max(1, cpus - 2)
+        concurrency = (n, n)
+    return both.map_batches(
+        WolScorer,
+        fn_constructor_kwargs={"max_seq_len": MAX_SEQ_LEN},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+
+
+def wol_loss_report(sf_dir: str) -> pd.DataFrame:
+    """One-row WOL eval report: sentence count + mean weighted loss.
+    The mean is computed from per-block partial sums merged in sorted
+    order on the driver (block count is bounded), so the float total is
+    deterministic run-to-run."""
+    scored = wol_sentence_losses(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = np.asarray(batch["wol_loss"], dtype=np.float64)
+        return pa.table(
+            {
+                "s": pa.array([float(v.sum())]),
+                "n": pa.array([len(v)], type=pa.int64()),
+            }
+        )
+
+    parts = scored.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    total = float(sum(sorted(parts["s"].tolist())))
+    return pd.DataFrame(
+        {"n_sentences": [n], "mean_wol_loss": [total / n if n else 0.0]}
+    )
+
+
 def entity_metrics_report(sf_dir: str, cascade: bool = False) -> pd.DataFrame:
     """One-row (precision, recall, f1) at entity level, model-vs-gazetteer —
     reference ``entity_metrics`` math (entity_evaluating.py:60-81)."""

@@ -633,6 +633,7 @@ def ngram_jaccard_pairs(
     max_df: int | None = 10_000,
     n_buckets: int = 64,
     metric: str = "jaccard",
+    on_cap: str = "warn",
 ) -> "ray.data.Dataset":
     """EXACT word-ngram Jaccard pairs (a < b, jaccard ≥ threshold).
 
@@ -663,7 +664,17 @@ def ngram_jaccard_pairs(
     does: the synthetic vocab's max df is 338 at sf0.1).  Ints divide
     identically on every engine, so the jaccard column is bit-identical
     to the DuckDB twin.
+
+    When the cap DOES bind, any pair whose only shared shingles are
+    capped loses recall — ``on_cap`` makes that loud instead of silent:
+    ``"warn"`` (default) emits a ``UserWarning`` from the worker naming
+    the capped shingle count, ``"raise"`` fails the job with a
+    ``RuntimeError`` telling the caller to switch to the recall-safe
+    ``ngram_jaccard_pairs_prefix`` plan (no df cap), ``"ignore"``
+    restores the old silent behavior.
     """
+    if on_cap not in ("warn", "raise", "ignore"):
+        raise ValueError(f"on_cap must be warn|raise|ignore, got {on_cap!r}")
 
     def index_rows(batch: pa.Table) -> pa.Table:
         sh_out: list[str] = []
@@ -694,10 +705,14 @@ def ngram_jaccard_pairs(
         nb_l: list[np.ndarray] = []
         counts = group["s"].value_counts()
         multi = counts[counts > 1].index
+        n_capped = 0
         for _s, sub in group[group["s"].isin(multi)].groupby("s", sort=False):
             sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
             k = len(sub)
-            if k < 2 or (max_df is not None and k > max_df):
+            if k < 2:
+                continue
+            if max_df is not None and k > max_df:
+                n_capped += 1
                 continue
             ids = sub["doc_id"].to_numpy()
             ns = sub["n"].to_numpy()
@@ -706,6 +721,18 @@ def ngram_jaccard_pairs(
             b_l.append(ids[ju])
             na_l.append(ns[iu])
             nb_l.append(ns[ju])
+        if n_capped and on_cap != "ignore":
+            msg = (
+                f"ngram_jaccard_pairs: max_df={max_df} dropped {n_capped} "
+                "stop-shingle(s) in this bucket — pairs whose ONLY shared "
+                "shingles are capped are silently lost; use the recall-safe "
+                "ngram_jaccard_pairs_prefix plan (no df cap) or raise max_df"
+            )
+            if on_cap == "raise":
+                raise RuntimeError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
         if not a_l:
             return pa.table(
                 {

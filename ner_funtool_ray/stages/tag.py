@@ -201,6 +201,51 @@ class CascadeNerTagger(NerTagger):
         return batch.append_column(self.out_col, pa.array(combined, type=lst))
 
 
+class WolScorer(CascadeNerTagger):
+    """T5 eval surface (`run_bert_wol.py:575-589`): per-sentence WOL
+    weighted cross-entropy of the cascade BMEO logits against
+    gazetteer-gold BMEO labels, appended as a ``wol_loss`` float column.
+
+    The weighting is the reference's exact ``masks_of_entity + 0.5``
+    rule (`model/wol.py`); positions beyond each row's true length are
+    masked out of both sums so the score is independent of chunk padding
+    (batch-invariance → exact Ray-vs-serial parity; the reference's
+    training-time formula skips that mask, a train-only quirk documented
+    in ``model/wol.py``).  Consumes rows carrying ``sentence`` +
+    ``gold_tags`` (``stages/gazetteer.gold_tag_sentences`` output)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ner_funtool_ray.model.wol import wol_weighted_ce
+
+        texts = batch[self.text_col].to_pylist()
+        if not texts:
+            return batch.append_column(
+                "wol_loss", pa.array([], type=pa.float64())
+            )
+        golds = batch["gold_tags"].to_pylist()
+        bmeo2id = {t: i for i, t in enumerate(BMEO)}
+        mat, lengths = self._encode(texts)
+        losses = np.zeros(len(texts), dtype=np.float64)
+        order = np.argsort(lengths, kind="stable")
+        chunk = 128
+        for lo in range(0, len(order), chunk):
+            sel = order[lo : lo + chunk]
+            sl = lengths[sel]
+            S = max(1, int(sl.max()) if len(sl) else 1)
+            sub = mat[sel][:, :S]
+            logits = self.model.logits(sub, sl)  # BMEO head
+            labels = np.zeros((len(sel), S), dtype=np.int64)
+            for k, row in enumerate(sel):
+                g = golds[row][: int(sl[k])]
+                labels[k, : len(g)] = [
+                    bmeo2id.get((t or "O").split("-")[0], 0) for t in g
+                ]
+            losses[sel] = wol_weighted_ce(
+                logits, labels, o_index=0, lengths=sl
+            )
+        return batch.append_column("wol_loss", pa.array(losses))
+
+
 class BertNerTagger:
     """T3 actor: sentence rows → + pred_tags via the numpy TRANSFORMER
     encoder + CRF head (`run_bert_crf.py:505-542` structure), consuming
@@ -228,10 +273,16 @@ class BertNerTagger:
         seed: int = 11,
         text_col: str = "sentence",
         out_col: str = "pred_tags",
+        use_albert: bool = False,
+        use_lstm: bool = False,
     ):
         from ner_funtool_ray.functions.tokenization import FullTokenizer
         from ner_funtool_ray.model.transformer import (
+            AlbertCrf,
+            BertBilstmCrf,
             BertCrf,
+            init_albert_weights,
+            init_bert_bilstm_weights,
             init_transformer_weights,
         )
         from ner_funtool_ray.model.vocabs import (
@@ -239,6 +290,11 @@ class BertNerTagger:
             default_wordpiece_vocab,
         )
 
+        if use_albert and use_lstm:
+            raise ValueError(
+                "use_albert and use_lstm are mutually exclusive "
+                "(mirrors run_bert_crf.py:89 vs run_multitask_bert_crf.py:71)"
+            )
         self.vocab = default_wordpiece_vocab()
         self.tokenizer = FullTokenizer(self.vocab)
         self.label_list = list(BERT_TAGS)
@@ -246,16 +302,27 @@ class BertNerTagger:
         self.max_seq_len = max_seq_len
         self.text_col = text_col
         self.out_col = out_col
+        # encoder variant flags mirror the reference's:
+        # ``use_albert`` (`run_bert_crf.py:89`) swaps in the
+        # ALBERT-structured encoder (shared layer group + factorized
+        # embeddings); ``use_lstm`` (`run_multitask_bert_crf.py:71-76`)
+        # stacks the BiLSTM head (`lstm_crf_layer.py` crf_only=False)
+        if use_albert:
+            model_cls, init_fn = AlbertCrf, init_albert_weights
+        elif use_lstm:
+            model_cls, init_fn = BertBilstmCrf, init_bert_bilstm_weights
+        else:
+            model_cls, init_fn = BertCrf, init_transformer_weights
         if weights_path:
             w = load_weights(weights_path)
         else:
-            w = init_transformer_weights(
+            w = init_fn(
                 vocab_size=len(self.vocab),
                 n_tags=len(self.label_list),
                 max_position=max_seq_len + 2,
                 seed=seed,
             )
-        self.model = BertCrf(w)
+        self.model = model_cls(w)
         self._cls = self.vocab["[CLS]"]
         self._sep = self.vocab["[SEP]"]
         # char → piece-id list memo: single chars tokenize deterministically
@@ -417,11 +484,51 @@ class BertCascadeNerTagger(BertNerTagger):
         return batch.append_column(self.out_col, pa.array(comb_out, type=lst))
 
 
+class AlbertNerTagger(BertNerTagger):
+    """T3 encoder variant: ALBERT-structured (``use_albert``,
+    `run_bert_crf.py:89` / `bert/modeling_albert.py`) — shared layer
+    group, factorized embeddings, same CRF head and realign rules."""
+
+    def __init__(
+        self,
+        weights_path: str | None = None,
+        max_seq_len: int = 128,
+        seed: int = 13,
+        text_col: str = "sentence",
+        out_col: str = "pred_tags",
+    ):
+        super().__init__(
+            weights_path, max_seq_len, seed, text_col, out_col,
+            use_albert=True,
+        )
+
+
+class BertBilstmNerTagger(BertNerTagger):
+    """T3 stacked variant: transformer encoder → BiLSTM → CRF
+    (``use_lstm``, `run_multitask_bert_crf.py:71-76` /
+    `layers/lstm_crf_layer.py` ``crf_only=False``)."""
+
+    def __init__(
+        self,
+        weights_path: str | None = None,
+        max_seq_len: int = 128,
+        seed: int = 17,
+        text_col: str = "sentence",
+        out_col: str = "pred_tags",
+    ):
+        super().__init__(
+            weights_path, max_seq_len, seed, text_col, out_col,
+            use_lstm=True,
+        )
+
+
 _TAGGER_CLASSES = {
     ("bilstm", False): NerTagger,
     ("bilstm", True): CascadeNerTagger,
     ("bert", False): BertNerTagger,
     ("bert", True): BertCascadeNerTagger,
+    ("albert", False): AlbertNerTagger,
+    ("bert_lstm", False): BertBilstmNerTagger,
 }
 
 

@@ -250,6 +250,36 @@ def test_prefix_jaccard_recall_safe_beyond_max_df():
     assert exact.iloc[0]["jaccard"] == 1.0
 
 
+def test_counting_plan_cap_guard_fires_exactly_when_cap_binds():
+    """``on_cap="raise"`` must fail the job in EXACTLY the scenario the
+    recall-safety test above plants (a stop-shingle beyond max_df), and
+    stay silent when the cap does not bind."""
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+    from ner_funtool_ray.stages.dedup import ngram_jaccard_pairs
+
+    stop = "alpha beta"
+    texts = [stop, stop] + [
+        f"{stop} junk{i} junk{i}b junk{i}c" for i in range(2, 400)
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(400), type=pa.int64()), "text": texts}
+    )
+    # cap binds (df(alpha·beta)=400 > 100) → loud failure, not silent loss
+    with pytest.raises(Exception, match="max_df=100 dropped"):
+        ngram_jaccard_pairs(
+            ray.data.from_arrow(tbl), threshold=0.9, max_df=100,
+            on_cap="raise",
+        ).to_pandas()
+    # cap does not bind → identical scenario completes and finds the pair
+    ok = ngram_jaccard_pairs(
+        ray.data.from_arrow(tbl), threshold=0.9, max_df=1000, on_cap="raise"
+    ).to_pandas()
+    assert len(ok) == 1 and (ok.iloc[0]["a"], ok.iloc[0]["b"]) == (0, 1)
+
+
 def test_prefix_jaccard_randomized_equivalence():
     """Seeded random corpora (varying vocab sizes/doc lengths — including
     near-dup-heavy ones) must give identical pair sets on both plans."""
