@@ -104,6 +104,78 @@ def stop_server(name: str = "ner-server") -> None:
         pass  # not running
 
 
+def start_http_server(
+    host: str = "127.0.0.1",
+    port: int = 0,
+    name: str = "ner-server-http",
+    model: str = "bilstm",
+    cascade: bool = False,
+    weights_path: str | None = None,
+):
+    """Stdlib HTTP front door over the named serving actor — the
+    network-facing role of the reference's TF-Serving endpoint
+    (`infer_online.py:242-261`) with no starlette/uvicorn dependency:
+
+    - ``POST /`` with ``{"texts": [...]}`` → the span-JSON response of
+      :func:`predict` (one ``{"text", "entities"}`` row per input);
+    - ``GET /health`` → ``{"status": "ok"}``.
+
+    The handler thread holds only the actor HANDLE; all model state
+    lives in the named actor, so many HTTP front doors can share one
+    model instance (the TF-Serving topology).  ``port=0`` binds an
+    ephemeral port — read it from the returned server's
+    ``server_address``.  Returns ``(httpd, thread)``; call
+    ``httpd.shutdown()`` (and :func:`stop_server` on ``name``) to stop."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    handle = start_server(
+        name=name, model=model, cascade=cascade, weights_path=weights_path
+    )
+
+    class _Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, obj) -> None:
+            payload = json.dumps(obj, ensure_ascii=False).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):  # noqa: N802 - BaseHTTPRequestHandler API
+            if self.path.rstrip("/") in ("", "/health".rstrip("/")):
+                self._reply(200, {"status": ray.get(handle.health.remote())})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                texts = body["texts"]
+                if not isinstance(texts, list):
+                    raise TypeError("texts must be a list")
+            except Exception as exc:
+                self._reply(400, {"error": str(exc)})
+                return
+            self._reply(200, predict(handle, texts))
+
+        def log_message(self, *args):  # silence per-request stderr lines
+            pass
+
+    httpd = ThreadingHTTPServer((host, port), _Handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    return httpd, thread
+
+
+def stop_http_server(httpd, name: str = "ner-server-http") -> None:
+    httpd.shutdown()
+    httpd.server_close()
+    stop_server(name)
+
+
 def build_serve_deployment(model: str = "bilstm", cascade: bool = False):
     """Ray Serve HTTP deployment of the same handler — available only when
     the Serve proxy deps (starlette/uvicorn) are installed; this sandbox

@@ -252,7 +252,9 @@ def test_scale_ppr(clique_graph):
     )
 
     def distinct(t: pa.Table) -> pa.Table:
-        return pa.table({"r": pa.array(sorted(set(np.asarray(t["r"]))))})
+        return pa.table(
+            {"r": pa.array(sorted(set(np.asarray(t["pagerank_fp"]))))}
+        )
 
     vals = sorted(
         {r["r"] for r in ranks.map_batches(
@@ -263,7 +265,7 @@ def test_scale_ppr(clique_graph):
     # and the seed (sole teleport target) holds the maximum
     assert len(vals) <= 3
     seed_r = [
-        r["r"]
+        r["pagerank_fp"]
         for r in ranks.filter(
             lambda row: row["entity_id"] == seed
         ).take_all()

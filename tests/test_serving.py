@@ -45,6 +45,53 @@ def test_server_bert_model():
         stop_server("t-ner-bert")
 
 
+def test_http_server_end_to_end():
+    """Real network request: POST a sentence over HTTP, assert the span
+    JSON matches the in-process interactive path (the reference's
+    infer_online request/response role, no starlette needed)."""
+    import json
+    import urllib.request
+
+    from ner_funtool_ray.serving import start_http_server, stop_http_server
+
+    httpd, _thread = start_http_server(name="t-ner-http", model="bilstm")
+    try:
+        host, port = httpd.server_address[:2]
+        base = f"http://{host}:{port}"
+        # health
+        with urllib.request.urlopen(f"{base}/health", timeout=30) as r:
+            assert json.loads(r.read()) == {"status": "ok"}
+        # predict
+        texts = ["中国首都是北京", "spark joins the customer table"]
+        req = urllib.request.Request(
+            base,
+            data=json.dumps({"texts": texts}).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            got = json.loads(r.read())
+        assert [row["text"] for row in got] == texts
+        want = predict_interactive(texts, model="bilstm")
+        for row, spans in zip(got, want):
+            assert [(e["type"], e["surface"]) for e in row["entities"]] == [
+                (t, s) for t, s, _s, _e in spans
+            ]
+            for e in row["entities"]:
+                assert set(e) == {"type", "surface", "start", "end"}
+        # malformed body → 400, not a crash
+        bad = urllib.request.Request(
+            base, data=b'{"nope": 1}', method="POST"
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 400
+    finally:
+        stop_http_server(httpd, name="t-ner-http")
+
+
 def test_serve_deployment_gated():
     from ner_funtool_ray.serving import build_serve_deployment
 
