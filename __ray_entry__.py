@@ -942,6 +942,20 @@ def _q_wol_losses(sf_dir: str):
     return wol_sentence_losses(sf_dir)
 
 
+def _q_train_report(sf_dir: str):
+    """Training loop (train_lstm_crf.py:226-269 as sync data-parallel
+    SGD): 2 epochs of BiLSTM+CRF on gazetteer-gold labels → per-epoch
+    loss/F1 history.  Iterative weight updates are inherently
+    non-SQL-expressible (rows-only); gradients are finite-difference-
+    tested and the loop loss-decrease-tested."""
+    from ner_funtool_ray.pipelines.training import train_bilstm_crf
+
+    _w, hist = train_bilstm_crf(
+        sf_dir, epochs=2, batch_size=128, n_workers=4
+    )
+    return hist
+
+
 def _q_bert_triples(sf_dir: str):
     from ner_funtool_ray.pipelines.tagging import model_triples
 
@@ -2250,6 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_albert_mentions": _q_albert_mentions,
         "ner_bert_lstm_mentions": _q_bert_lstm_mentions,
         "ner_wol_losses": _q_wol_losses,
+        "ner_train_report": _q_train_report,
         "ner_tag_metrics": _q_tag_metrics,
         "ner_entity_metrics": _q_entity_metrics,
         # CLUE submit writer surface over the model path (rows-only)
