@@ -105,12 +105,21 @@ def _pad_batch(batch: pa.Table):
     return mat, lab, lengths
 
 
-@ray.remote(num_cpus=1)
+@ray.remote(num_cpus=0)
 class GradWorker:
     """One shard's gradient worker: iterates its shard batch-by-batch,
     each ``step(params_ref)`` returning (grads, loss, n_examples) for
     its NEXT batch against the broadcast parameters, or None when the
-    shard is exhausted for this epoch."""
+    shard is exhausted for this epoch.
+
+    ``num_cpus=0``: the sync loop strictly ALTERNATES phases — the
+    per-epoch ``random_shuffle``/``split`` (Ray Data task pool) runs
+    while every worker idles, and worker steps run while no Data tasks
+    do — so a CPU reservation would only ever be held by an idle actor.
+    On a small session (e.g. the 4-CPU test fixture) n_workers
+    reservations starve the shuffle's tasks outright: a deadlock, not a
+    slowdown.  Zero-CPU actors make both phases schedulable; compute
+    never oversubscribes because the phases don't overlap."""
 
     def __init__(self) -> None:
         self._it = None
