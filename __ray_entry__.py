@@ -956,6 +956,18 @@ def _q_train_report(sf_dir: str):
     return hist
 
 
+def _q_train_wol_report(sf_dir: str):
+    """T5 TRAINING objective: 2 epochs under the WOL entity-weighted
+    softmax CE (run_bert_wol.py:575-593 use_weights_of_loss) instead of
+    the CRF NLL; rows-only per-epoch history."""
+    from ner_funtool_ray.pipelines.training import train_bilstm_crf
+
+    _w, hist = train_bilstm_crf(
+        sf_dir, epochs=2, batch_size=128, n_workers=4, loss="wol_ce"
+    )
+    return hist
+
+
 def _q_bert_triples(sf_dir: str):
     from ner_funtool_ray.pipelines.tagging import model_triples
 
@@ -2265,6 +2277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_bert_lstm_mentions": _q_bert_lstm_mentions,
         "ner_wol_losses": _q_wol_losses,
         "ner_train_report": _q_train_report,
+        "ner_train_wol_report": _q_train_wol_report,
         "ner_tag_metrics": _q_tag_metrics,
         "ner_entity_metrics": _q_entity_metrics,
         # CLUE submit writer surface over the model path (rows-only)

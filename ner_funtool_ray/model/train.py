@@ -35,6 +35,8 @@ import numpy as np
 __all__ = [
     "crf_nll_and_grad",
     "bilstm_crf_loss_and_grads",
+    "wol_ce_loss_and_grad",
+    "bilstm_wol_loss_and_grads",
     "Adam",
     "AdamWeightDecay",
     "clip_by_global_norm",
@@ -209,16 +211,10 @@ def _lstm_backward(
     return dx, np.vstack([dWx, dWh]), db
 
 
-def bilstm_crf_loss_and_grads(
-    weights: dict[str, np.ndarray],
-    input_ids: np.ndarray,
-    labels: np.ndarray,
-    lengths: np.ndarray,
-):
-    """Loss + full gradient dict for one padded batch — backprop through
-    the exact forward ``model/bilstm_crf.BiLstmCrf`` runs (embedding →
-    summed fw/bw LSTM → projection → CRF NLL).  Gradient keys mirror the
-    weight keys; finite-difference-tested."""
+def _encoder_logits_and_grads(weights, input_ids, lengths, head_grad_fn):
+    """Shared trunk for the trainers: forward embedding → summed BiLSTM
+    → projection, call ``head_grad_fn(logits) -> (loss, dlogits,
+    extra_grads)``, then backprop the trunk.  Returns (loss, grads)."""
     w = weights
     emb = w["embedding"].astype(np.float64)
     x = emb[input_ids]  # (B, S, D)
@@ -234,9 +230,7 @@ def bilstm_crf_loss_and_grads(
     pw = w["proj_w"].astype(np.float64)
     logits = enc @ pw + w["proj_b"].astype(np.float64)
 
-    loss, dlogits, dtrans = crf_nll_and_grad(
-        logits, w["crf_trans"], labels, lengths
-    )
+    loss, dlogits, extra = head_grad_fn(logits)
 
     B, S, H = enc.shape
     dproj_w = enc.reshape(B * S, H).T @ dlogits.reshape(B * S, -1)
@@ -259,9 +253,93 @@ def bilstm_crf_loss_and_grads(
         "lstm_bw_bias": db_bw,
         "proj_w": dproj_w,
         "proj_b": dproj_b,
-        "crf_trans": dtrans,
     }
+    grads.update(extra)
     return float(loss), grads
+
+
+def bilstm_crf_loss_and_grads(
+    weights: dict[str, np.ndarray],
+    input_ids: np.ndarray,
+    labels: np.ndarray,
+    lengths: np.ndarray,
+):
+    """Loss + full gradient dict for one padded batch — backprop through
+    the exact forward ``model/bilstm_crf.BiLstmCrf`` runs (embedding →
+    summed fw/bw LSTM → projection → CRF NLL).  Gradient keys mirror the
+    weight keys; finite-difference-tested."""
+
+    def head(logits):
+        loss, dlogits, dtrans = crf_nll_and_grad(
+            logits, weights["crf_trans"], labels, lengths
+        )
+        return loss, dlogits, {"crf_trans": dtrans}
+
+    return _encoder_logits_and_grads(weights, input_ids, lengths, head)
+
+
+def wol_ce_loss_and_grad(
+    logits: np.ndarray,
+    labels: np.ndarray,
+    lengths: np.ndarray,
+    o_index: int = 0,
+    use_weights: bool = True,
+):
+    """The WOL TRAINING objective (`run_bert_wol.py:575-593`,
+    ``use_crf=False``): per-position softmax CE, either entity-weighted
+    (``masks_of_entity + 0.5``, normalized by entity count + 1e-5) or
+    the plain length-masked mean, batch-averaged.  Returns (loss,
+    dlogits).  Positions beyond each row's true length are masked out of
+    both branches (the reference's weighted branch trains through its
+    pad positions — the documented quirk; masking keeps the engine's
+    losses batch-composition-invariant)."""
+    B, S, T = logits.shape
+    lg = logits.astype(np.float64)
+    m = lg.max(axis=-1, keepdims=True)
+    lse = m + np.log(np.exp(lg - m).sum(axis=-1, keepdims=True))
+    logp = lg - lse
+    sm = np.exp(logp)
+    onehot = np.zeros((B, S, T))
+    bi = np.repeat(np.arange(B), S)
+    si = np.tile(np.arange(S), B)
+    onehot[bi, si, labels.reshape(-1)] = 1.0
+    ce = -(logp[bi, si, labels.reshape(-1)]).reshape(B, S)
+    valid = (np.arange(S)[None, :] < np.asarray(lengths)[:, None]).astype(
+        np.float64
+    )
+    if use_weights:
+        masks = ((labels != o_index).astype(np.float64)) * valid
+        wts = (masks + 0.5) * valid
+        denom = masks.sum(axis=-1) + 1e-5
+    else:
+        wts = valid
+        denom = np.maximum(np.asarray(lengths, dtype=np.float64), 1.0)
+    per_ex = (ce * wts).sum(axis=-1) / denom
+    loss = per_ex.mean()
+    dce = (wts / denom[:, None])[:, :, None] / B
+    dlogits = (sm - onehot) * dce
+    return float(loss), dlogits
+
+
+def bilstm_wol_loss_and_grads(
+    weights: dict[str, np.ndarray],
+    input_ids: np.ndarray,
+    labels: np.ndarray,
+    lengths: np.ndarray,
+    o_index: int = 0,
+    use_weights: bool = True,
+):
+    """WOL-objective twin of ``bilstm_crf_loss_and_grads`` — same trunk,
+    entity-weighted softmax-CE head instead of the CRF (T5's training
+    semantics).  Finite-difference-tested."""
+
+    def head(logits):
+        loss, dlogits = wol_ce_loss_and_grad(
+            logits, labels, lengths, o_index, use_weights
+        )
+        return loss, dlogits, {}
+
+    return _encoder_logits_and_grads(weights, input_ids, lengths, head)
 
 
 def clip_by_global_norm(

@@ -39,7 +39,11 @@ import ray
 import ray.data
 
 from ner_funtool_ray.model.bilstm_crf import BiLstmCrf, init_weights
-from ner_funtool_ray.model.train import Adam, bilstm_crf_loss_and_grads
+from ner_funtool_ray.model.train import (
+    Adam,
+    bilstm_crf_loss_and_grads,
+    bilstm_wol_loss_and_grads,
+)
 from ner_funtool_ray.model.vocabs import TAGS, default_char_vocab
 
 _UNK_ID = 1
@@ -124,10 +128,13 @@ class GradWorker:
     def __init__(self) -> None:
         self._it = None
 
-    def load(self, shard: "ray.data.Dataset", batch_size: int) -> int:
+    def load(
+        self, shard: "ray.data.Dataset", batch_size: int, loss: str = "crf"
+    ) -> int:
         self._it = iter(
             shard.iter_batches(batch_size=batch_size, batch_format="pyarrow")
         )
+        self._loss = loss
         return 0
 
     def step(self, params: dict):
@@ -135,7 +142,16 @@ class GradWorker:
         if batch is None or batch.num_rows == 0:
             return None
         ids, labs, lengths = _pad_batch(batch)
-        loss, grads = bilstm_crf_loss_and_grads(params, ids, labs, lengths)
+        if self._loss == "wol_ce":
+            # T5 objective: entity-weighted softmax CE
+            # (run_bert_wol.py:575-593, use_weights_of_loss)
+            loss, grads = bilstm_wol_loss_and_grads(
+                params, ids, labs, lengths, o_index=0, use_weights=True
+            )
+        else:
+            loss, grads = bilstm_crf_loss_and_grads(
+                params, ids, labs, lengths
+            )
         return grads, loss, len(lengths)
 
 
@@ -184,11 +200,14 @@ def train_bilstm_crf(
     test_size: float = 0.2,
     eval_each_epoch: bool = True,
     checkpoint_dir: str | None = None,
+    loss: str = "crf",
 ):
     """The `train_lstm_crf.py:226-269` loop, data-parallel.  Returns
     ``(weights, history)`` — history one row per epoch with mean train
     loss (A7 reduction) and, when evaluated, entity P/R/F1 + the
-    running best F1 (A8)."""
+    running best F1 (A8).  ``loss="wol_ce"`` swaps the CRF NLL for the
+    WOL entity-weighted softmax CE (`run_bert_wol.py:575-593`) — the
+    T5 training objective; eval still decodes with the CRF head."""
     from ner_funtool_ray.metrics.tag_metrics import BestMetricTracker
     from ner_funtool_ray.sources.splits import train_test_split
 
@@ -219,7 +238,7 @@ def train_bilstm_crf(
         shards = shuffled.split(n_workers, equal=False)
         ray.get(
             [
-                wk.load.remote(sh, batch_size)
+                wk.load.remote(sh, batch_size, loss)
                 for wk, sh in zip(workers, shards)
             ]
         )

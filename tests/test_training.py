@@ -176,6 +176,60 @@ def test_train_loop_loss_decreases_and_checkpoints(tmp_path):
     assert len(tags) == len("spark joins the customer table")
 
 
+def test_wol_training_gradients_match_finite_differences():
+    from ner_funtool_ray.model.train import bilstm_wol_loss_and_grads
+
+    rng = np.random.default_rng(4)
+    w = init_weights(vocab_size=10, emb_dim=4, hidden=5, n_tags=4, seed=2)
+    w = {k: v.astype(np.float64) for k, v in w.items()}
+    ids = rng.integers(1, 10, size=(3, 6)).astype(np.int32)
+    labels = rng.integers(0, 4, size=(3, 6))
+    lengths = np.array([6, 4, 1], dtype=np.int32)
+    loss, grads = bilstm_wol_loss_and_grads(w, ids, labels, lengths)
+    assert np.isfinite(loss) and loss > 0
+    assert "crf_trans" not in grads  # CE head: no transition params
+    eps = 1e-6
+    for key in grads:
+        g = grads[key]
+        for fi in rng.integers(0, g.size, size=min(4, g.size)):
+            idx = np.unravel_index(fi, g.shape)
+            wp = {k: v.copy() for k, v in w.items()}
+            wm = {k: v.copy() for k, v in w.items()}
+            wp[key][idx] += eps
+            wm[key][idx] -= eps
+            num = (
+                bilstm_wol_loss_and_grads(wp, ids, labels, lengths)[0]
+                - bilstm_wol_loss_and_grads(wm, ids, labels, lengths)[0]
+            ) / (2 * eps)
+            assert abs(num - g[idx]) < 1e-6, key
+
+
+def test_wol_weighting_changes_the_objective():
+    """Entity positions must weigh 3× O positions: the weighted and
+    unweighted losses differ whenever entities are present, and agree
+    (up to the denominators) on an all-O batch."""
+    from ner_funtool_ray.model.train import wol_ce_loss_and_grad
+
+    rng = np.random.default_rng(5)
+    logits = rng.normal(size=(2, 5, 4))
+    lengths = np.array([5, 5])
+    with_ents = np.array([[0, 1, 2, 0, 3], [1, 1, 0, 0, 0]])
+    lw, _ = wol_ce_loss_and_grad(logits, with_ents, lengths, use_weights=True)
+    lu, _ = wol_ce_loss_and_grad(logits, with_ents, lengths, use_weights=False)
+    assert abs(lw - lu) > 1e-9
+
+
+def test_wol_training_loop_learns():
+    from ner_funtool_ray.pipelines.training import train_bilstm_crf
+
+    _, hist = train_bilstm_crf(
+        SF, epochs=2, batch_size=64, n_workers=2, loss="wol_ce",
+        eval_each_epoch=False,
+    )
+    losses = hist["mean_loss"].tolist()
+    assert losses[1] < losses[0]
+
+
 def test_train_deterministic_across_runs():
     from ner_funtool_ray.pipelines.training import train_bilstm_crf
 
