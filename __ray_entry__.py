@@ -968,6 +968,51 @@ def _q_train_wol_report(sf_dir: str):
     return hist
 
 
+def _q_cascade_lstm_train_report(sf_dir: str):
+    """BiLSTM cascade training (model_multitask_lstm.py:5-81, the
+    reference's cascade_lstm_crf result row): BMEO-CRF NLL + attr CE
+    masked by the current Viterbi BMEO prediction, two heads over the
+    shared trunk; eval = entity F1 of the trans_label-combined streams.
+    Rows-only per-epoch history; gradients finite-difference-tested."""
+    from ner_funtool_ray.pipelines.training import train_bilstm_crf
+
+    _w, hist = train_bilstm_crf(
+        sf_dir, epochs=2, batch_size=128, n_workers=4, loss="cascade"
+    )
+    return hist
+
+
+def _q_bert_train_report(sf_dir: str):
+    """Transformer fine-tuning (run_bert_crf.py:545-655 as sync
+    data-parallel SGD with create_optimizer semantics — AdamW, warmup →
+    linear decay, global-norm clip 1.0): 2 epochs of BERT→CRF with full
+    exact backprop through the encoder → per-epoch loss + token-accuracy
+    history.  Iterative weight updates are non-SQL-expressible
+    (rows-only); every gradient is finite-difference-tested."""
+    from ner_funtool_ray.pipelines.training import train_bert
+
+    _w, hist = train_bert(
+        sf_dir, variant="crf", epochs=2, batch_size=64, n_workers=4,
+        max_examples=1200,
+    )
+    return hist
+
+
+def _q_cascade_train_report(sf_dir: str):
+    """Cascade multitask training (run_multitask_bert_crf.py:620-653):
+    length-normalized BMEO CRF NLL + attr softmax CE masked by the
+    current Viterbi BMEO prediction != O (a stop-gradient), under the
+    dual-rate optimizer alternative (bert/optimization.py:25-45).
+    Rows-only per-epoch history with per-head token accuracies."""
+    from ner_funtool_ray.pipelines.training import train_bert
+
+    _w, hist = train_bert(
+        sf_dir, variant="cascade", epochs=2, batch_size=64, n_workers=4,
+        max_examples=1200, optimizer="dual_rate",
+    )
+    return hist
+
+
 def _q_bert_triples(sf_dir: str):
     from ner_funtool_ray.pipelines.tagging import model_triples
 
@@ -2278,6 +2323,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_wol_losses": _q_wol_losses,
         "ner_train_report": _q_train_report,
         "ner_train_wol_report": _q_train_wol_report,
+        "ner_bert_train_report": _q_bert_train_report,
+        "ner_cascade_train_report": _q_cascade_train_report,
+        "ner_cascade_lstm_train_report": _q_cascade_lstm_train_report,
         "ner_tag_metrics": _q_tag_metrics,
         "ner_entity_metrics": _q_entity_metrics,
         # CLUE submit writer surface over the model path (rows-only)

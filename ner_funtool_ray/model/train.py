@@ -37,6 +37,8 @@ __all__ = [
     "bilstm_crf_loss_and_grads",
     "wol_ce_loss_and_grad",
     "bilstm_wol_loss_and_grads",
+    "cascade_heads_loss_and_grads",
+    "bilstm_cascade_loss_and_grads",
     "Adam",
     "AdamWeightDecay",
     "clip_by_global_norm",
@@ -60,6 +62,7 @@ def crf_nll_and_grad(
     trans: np.ndarray,
     labels: np.ndarray,
     lengths: np.ndarray,
+    normalize_by_length: bool = True,
 ):
     """Length-normalized CRF NLL (`model_lstm_crf.py:66-68`) + exact
     gradients.
@@ -68,7 +71,12 @@ def crf_nll_and_grad(
     of ``(logZ − gold_score) / len`` and the gradients are of that mean:
     ``dlogits = (posterior − onehot(gold)) / len / B`` per valid
     position, ``dtrans`` the expected-minus-observed transition counts
-    (forward-backward marginals), same normalization."""
+    (forward-backward marginals), same normalization.
+
+    ``normalize_by_length=False`` gives the BERT+CRF head's loss instead
+    — the plain batch mean of the unnormalized NLL
+    (`layers/lstm_crf_layer.py:159-164`: ``reduce_mean(-log_likelihood)``
+    with no per-length division)."""
     B, S, T = logits.shape
     lengths = np.asarray(lengths, dtype=np.int64)
     L = np.float64(0.0)
@@ -108,7 +116,10 @@ def crf_nll_and_grad(
             inside[:, None], _logsumexp(nxt, axis=2), beta[:, t, :]
         )
 
-    inv_len = 1.0 / np.maximum(lengths, 1).astype(np.float64)
+    if normalize_by_length:
+        inv_len = 1.0 / np.maximum(lengths, 1).astype(np.float64)
+    else:
+        inv_len = np.ones(B, dtype=np.float64)
     for b in range(B):
         n = int(lengths[b])
         if n == 0:
@@ -340,6 +351,116 @@ def bilstm_wol_loss_and_grads(
         return loss, dlogits, {}
 
     return _encoder_logits_and_grads(weights, input_ids, lengths, head)
+
+
+def cascade_heads_loss_and_grads(
+    bmeo_logits: np.ndarray,
+    attr_logits: np.ndarray,
+    crf_trans: np.ndarray,
+    bmeo_labels: np.ndarray,
+    attr_labels: np.ndarray,
+    lengths: np.ndarray,
+    bmeo_o_index: int = 0,
+):
+    """The shared cascade loss of `model_multitask_lstm.py:67-81` /
+    `run_multitask_bert_crf.py:620-653` given the two heads' logits:
+    length-normalized BMEO CRF NLL + attr softmax CE masked where the
+    CURRENT BMEO Viterbi prediction is O (the mask comes out of
+    ``crf_decode`` — non-differentiable, a stop-gradient), batch mean of
+    the sum.  Positions beyond each row's true length are excluded from
+    the attr mask (the engine's batch-composition-invariance rule, as in
+    ``wol_ce_loss_and_grad``).  Returns
+    ``(loss, dlogits_bmeo, dtrans, dlogits_attr)``."""
+    from ner_funtool_ray.model.bilstm_crf import viterbi_decode_batch
+
+    lengths = np.asarray(lengths)
+    loss_b, dlogits_b, dtrans = crf_nll_and_grad(
+        bmeo_logits, crf_trans, bmeo_labels, lengths,
+        normalize_by_length=True,
+    )
+    preds_bmeo = viterbi_decode_batch(
+        bmeo_logits, np.asarray(crf_trans, dtype=np.float64), lengths
+    )
+    B, S, A = attr_logits.shape
+    valid = np.arange(S)[None, :] < lengths[:, None]
+    mask = ((preds_bmeo != bmeo_o_index) & valid).astype(np.float64)
+    lg = attr_logits.astype(np.float64)
+    m = lg.max(axis=-1, keepdims=True)
+    lse = m + np.log(np.exp(lg - m).sum(axis=-1, keepdims=True))
+    logp = lg - lse
+    sm = np.exp(logp)
+    bi = np.repeat(np.arange(B), S)
+    si = np.tile(np.arange(S), B)
+    onehot = np.zeros((B, S, A))
+    onehot[bi, si, attr_labels.reshape(-1)] = 1.0
+    ce = -(logp[bi, si, attr_labels.reshape(-1)]).reshape(B, S)
+    denom = mask.sum(axis=-1) + 1e-5  # the reference's +1e-5 (:77)
+    loss_a = float(((ce * mask).sum(axis=-1) / denom).mean())
+    dlogits_a = (sm - onehot) * (mask / denom[:, None])[:, :, None] / B
+    return float(loss_b) + loss_a, dlogits_b, dtrans, dlogits_a
+
+
+def bilstm_cascade_loss_and_grads(
+    weights: dict[str, np.ndarray],
+    input_ids: np.ndarray,
+    bmeo_labels: np.ndarray,
+    attr_labels: np.ndarray,
+    lengths: np.ndarray,
+):
+    """Training loss + full gradients for the BiLSTM cascade
+    (`model_multitask_lstm.py:5-81`, the reference's `cascade_lstm_crf`
+    row): shared embedding→summed-BiLSTM trunk, BMEO-CRF + attr-CE
+    heads via :func:`cascade_heads_loss_and_grads`.  Backprops BOTH
+    heads' gradients through the trunk.  Finite-difference-tested."""
+    w = weights
+    emb = w["embedding"].astype(np.float64)
+    x = emb[input_ids]
+    fw, cache_fw = _lstm_forward_cache(
+        x, lengths, w["lstm_fw_kernel"].astype(np.float64),
+        w["lstm_fw_bias"].astype(np.float64), False,
+    )
+    bw, cache_bw = _lstm_forward_cache(
+        x, lengths, w["lstm_bw_kernel"].astype(np.float64),
+        w["lstm_bw_bias"].astype(np.float64), True,
+    )
+    enc = fw + bw
+    pw = w["proj_w"].astype(np.float64)
+    aw = w["attr_proj_w"].astype(np.float64)
+    bmeo_logits = enc @ pw + w["proj_b"].astype(np.float64)
+    attr_logits = enc @ aw + w["attr_proj_b"].astype(np.float64)
+    loss, dlb, dtrans, dla = cascade_heads_loss_and_grads(
+        bmeo_logits, attr_logits, w["crf_trans"], bmeo_labels,
+        attr_labels, lengths,
+    )
+    B, S, H = enc.shape
+    ef = enc.reshape(B * S, H)
+    grads = {
+        "crf_trans": dtrans,
+        "proj_w": ef.T @ dlb.reshape(B * S, -1),
+        "proj_b": dlb.sum(axis=(0, 1)),
+        "attr_proj_w": ef.T @ dla.reshape(B * S, -1),
+        "attr_proj_b": dla.sum(axis=(0, 1)),
+    }
+    denc = dlb @ pw.T + dla @ aw.T
+    dx_fw, dk_fw, db_fw = _lstm_backward(
+        x, denc, cache_fw, w["lstm_fw_kernel"].astype(np.float64)
+    )
+    dx_bw, dk_bw, db_bw = _lstm_backward(
+        x, denc, cache_bw, w["lstm_bw_kernel"].astype(np.float64)
+    )
+    dx = dx_fw + dx_bw
+    demb = np.zeros_like(emb)
+    np.add.at(demb, input_ids.reshape(-1), dx.reshape(-1, x.shape[-1]))
+    grads.update(
+        {
+            "embedding": demb,
+            "lstm_fw_kernel": dk_fw,
+            "lstm_fw_bias": db_fw,
+            "lstm_bw_kernel": dk_bw,
+            "lstm_bw_bias": db_bw,
+        }
+    )
+    return loss, grads
 
 
 def clip_by_global_norm(

@@ -240,3 +240,48 @@ def test_train_deterministic_across_runs():
         SF, epochs=1, batch_size=64, n_workers=2, eval_each_epoch=False
     )
     assert h1["mean_loss"].tolist() == h2["mean_loss"].tolist()
+
+
+def test_bilstm_cascade_gradients_match_finite_differences():
+    """model_multitask_lstm.py:67-81 loss over the BiLSTM trunk — exact
+    gradients for both heads + the shared trunk."""
+    from ner_funtool_ray.model.train import bilstm_cascade_loss_and_grads
+
+    rng = np.random.default_rng(2)
+    B, S = 3, 6
+    ids = rng.integers(0, 11, size=(B, S)).astype(np.int32)
+    lengths = np.array([6, 4, 2])
+    bmeo = rng.integers(0, 5, size=(B, S)).astype(np.int32)
+    attr = rng.integers(0, 4, size=(B, S)).astype(np.int32)
+    w = init_weights(vocab_size=11, emb_dim=5, hidden=6, n_tags=5,
+                     n_attrs=4, seed=8)
+    w = {k: v.astype(np.float64) for k, v in w.items()}
+    loss, grads = bilstm_cascade_loss_and_grads(w, ids, bmeo, attr, lengths)
+    assert np.isfinite(loss)
+    eps = 1e-5
+    for key, g in grads.items():
+        arr = w[key]
+        for fi in rng.choice(arr.size, size=min(4, arr.size), replace=False):
+            idx = np.unravel_index(fi, arr.shape)
+            o = arr[idx]
+            arr[idx] = o + eps
+            lp = bilstm_cascade_loss_and_grads(w, ids, bmeo, attr, lengths)[0]
+            arr[idx] = o - eps
+            lm = bilstm_cascade_loss_and_grads(w, ids, bmeo, attr, lengths)[0]
+            arr[idx] = o
+            num = (lp - lm) / (2 * eps)
+            tol = 1e-8 + 1e-4 * max(abs(num), abs(g[idx]))
+            assert abs(num - g[idx]) <= tol, (key, idx, num, g[idx])
+
+
+def test_cascade_lstm_training_loop_learns():
+    """The reference's cascade_lstm_crf training (Result.MD row 6):
+    loss decreases, eval reports the trans_label-combined entity F1."""
+    from ner_funtool_ray.pipelines.training import train_bilstm_crf
+
+    _, hist = train_bilstm_crf(
+        SF, epochs=2, batch_size=64, n_workers=2, loss="cascade",
+    )
+    losses = hist["mean_loss"].tolist()
+    assert losses[1] < losses[0]
+    assert {"precision", "recall", "f1", "best_f1"} <= set(hist.columns)
