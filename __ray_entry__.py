@@ -968,6 +968,17 @@ def _q_train_wol_report(sf_dir: str):
     return hist
 
 
+def _q_tfrecord_roundtrip(sf_dir: str):
+    """S9/K1 TFRecord interop (run_bert_crf.py:436-502): int64 features
+    through real framed tf.train.Example files (pure-numpy CRC32C +
+    protobuf codec, no TF) — write one content-addressed shard per
+    block, fresh distributed read back.  Identity round-trip, so the
+    oracle is the plain projection."""
+    from ner_funtool_ray.sources.tfrecord import roundtrip_doc_features
+
+    return roundtrip_doc_features(sf_dir)
+
+
 def _q_cascade_lstm_train_report(sf_dir: str):
     """BiLSTM cascade training (model_multitask_lstm.py:5-81, the
     reference's cascade_lstm_crf result row): BMEO-CRF NLL + attr CE
@@ -2307,6 +2318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": _q_daily_active_users,
         "dedup_sentences": _q_dedup_sentences,
         "doc_dup_ngram_coverage": _q_doc_dup_ngram_coverage,
+        "tfrecord_roundtrip": _q_tfrecord_roundtrip,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -2514,6 +2526,11 @@ def oracle_sql() -> dict[str, str]:
         "daily_active_users": _min.DAILY_ACTIVE_USERS_SQL,
         "dedup_sentences": _sd.DEDUP_SENTENCES_SQL,
         "doc_dup_ngram_coverage": _sd.DOC_DUP_NGRAM_SQL,
+        # identity round-trip through real TFRecord files — the oracle is
+        # the plain projection the features were built from
+        "tfrecord_roundtrip": (
+            "SELECT doc_id, length(text) AS n_chars FROM documents"
+        ),
         "kg_linked_mentions": _LINKED_MENTIONS_SQL,
         "kg_triples_linked": _TRIPLES_LINKED_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
