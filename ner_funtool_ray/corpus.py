@@ -62,14 +62,30 @@ def _derive_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
+def corpus_from_documents(
+    sf_dir: str, rows_per_block: int | None = None
+) -> "ray.data.Dataset":
     """``documents.parquet`` → the (repo, path, commit, lang, content) table.
 
     Pure per-row mapping (no shuffle); matches CORPUS_FROM_DOCUMENTS_SQL.
-    """
+
+    ``rows_per_block`` controls the READ split (no shuffle, scale-safe —
+    big tables defer to Ray's target-block-size splitting regardless).
+    Expensive fused consumers (the model actor pools) pass a small value
+    so the block count, which gates an actor pool's task parallelism,
+    exceeds the pool size; cheap aggregates keep the default coarse
+    split where per-block scheduling overhead dominates."""
+    kwargs = {}
+    if rows_per_block is not None:
+        kwargs["rows_per_block"] = rows_per_block
+        # the mid-table floor (64 blocks) would recoalesce the fine split
+        kwargs["min_rows_per_block"] = rows_per_block
+        kwargs["max_blocks"] = 1024
+        kwargs["mid_block_cap"] = 1024
     ds = read_parquet_auto(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
+        **kwargs,
     )
     return ds.map_batches(_derive_batch, batch_format="pyarrow")
 

@@ -36,7 +36,14 @@ def tagged_sentences(
 
     ``model``: ``bilstm`` (T2, lstm_crf) or ``bert`` (T3/T4 numpy
     transformer, the reference's bert_crf / cascade_bert_crf configs)."""
-    sents = split_to_sentences(ingest(corpus_from_documents(sf_dir)))
+    # fine READ split (no shuffle): the model actor pool's task
+    # parallelism is gated by upstream block count — the default 10-block
+    # mid-table split left 20 of 30 actors idle (measured; the
+    # scaled_model_triples job hit the same wall).  ~80 docs/task keeps
+    # per-task model time ~0.3 s, well above scheduling overhead.
+    sents = split_to_sentences(
+        ingest(corpus_from_documents(sf_dir, rows_per_block=80))
+    )
     return tag_sentences(
         sents,
         cascade=cascade,
@@ -200,7 +207,11 @@ def wol_sentence_losses(sf_dir: str, concurrency=None) -> "ray.data.Dataset":
 
     from ner_funtool_ray.stages.tag import WolScorer
 
-    sents = split_to_sentences(ingest(corpus_from_documents(sf_dir)))
+    # fine read split for the same pool-starvation reason as
+    # tagged_sentences (model actor pool behind a 10-block default read)
+    sents = split_to_sentences(
+        ingest(corpus_from_documents(sf_dir, rows_per_block=80))
+    )
     both = gold_tag_sentences(sents, max_seq_len=MAX_SEQ_LEN)
     if concurrency is None:
         try:
