@@ -792,6 +792,12 @@ def _q_dedup_representatives(sf_dir: str):
     return dedup_representatives(sf_dir)
 
 
+def _q_dedup_normalized_best(sf_dir: str):
+    from ner_funtool_ray.pipelines.textops import dedup_normalized_best
+
+    return dedup_normalized_best(sf_dir)
+
+
 def _q_vocab_count(sf_dir: str):
     from ner_funtool_ray.pipelines.textops import vocab_count
 
@@ -1565,6 +1571,12 @@ def _q_doc_dup_ngram_coverage(sf_dir: str):
     return doc_dup_ngram_coverage(sf_dir)
 
 
+def _q_doc_dup_span_scrub(sf_dir: str):
+    from ner_funtool_ray.stages.sentdedup import doc_dup_span_scrub
+
+    return doc_dup_span_scrub(sf_dir)
+
+
 def _q_entity_cooccurrence_lift(sf_dir: str):
     from ner_funtool_ray.pipelines.graph import entity_cooccurrence_lift
 
@@ -2141,6 +2153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_representatives": _q_dedup_representatives,
+        "dedup_normalized_best": _q_dedup_normalized_best,
         "vocab_count": _q_vocab_count,
         "lang_source_counts": _q_lang_source,
         "topk_cosine": _q_topk_cosine,
@@ -2318,6 +2331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": _q_daily_active_users,
         "dedup_sentences": _q_dedup_sentences,
         "doc_dup_ngram_coverage": _q_doc_dup_ngram_coverage,
+        "doc_dup_span_scrub": _q_doc_dup_span_scrub,
         "tfrecord_roundtrip": _q_tfrecord_roundtrip,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
@@ -2362,6 +2376,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _FINGERPRINTS_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_representatives": _DEDUP_REPRESENTATIVES_SQL,
+        "dedup_normalized_best": _textops.DEDUP_NORMALIZED_BEST_SQL,
         "vocab_count": _VOCAB_COUNT_SQL,
         "lang_source_counts": _LANG_SOURCE_SQL,
         "topk_cosine": _TOPK_SQL,
@@ -2526,6 +2541,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_active_users": _min.DAILY_ACTIVE_USERS_SQL,
         "dedup_sentences": _sd.DEDUP_SENTENCES_SQL,
         "doc_dup_ngram_coverage": _sd.DOC_DUP_NGRAM_SQL,
+        "doc_dup_span_scrub": _sd.DOC_DUP_SPAN_SCRUB_SQL,
         # identity round-trip through real TFRecord files — the oracle is
         # the plain projection the features were built from
         "tfrecord_roundtrip": (

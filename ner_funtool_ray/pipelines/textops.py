@@ -86,6 +86,106 @@ def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def dedup_normalized_best(
+    sf_dir: str, n_buckets: int = 32
+) -> "ray.data.Dataset":
+    """Normalization-keyed dedup with QUALITY-PRIORITY keep (the
+    FineWeb/Dolma pattern): documents are grouped by their lowercased
+    word sequence (punctuation- and whitespace-insensitive, unlike
+    :func:`dedup_exact`'s whitespace-only normalization), and each group
+    keeps its highest-quality member — max ``n_chars``, ties broken by
+    min ``doc_id`` — rather than first-by-id →
+    ``(doc_id, n_chars, group_size)``.
+
+    Plan: one scan emits per-batch PRE-REDUCED partials (one row per key
+    per batch: running best + count — argmax-by-(n_chars,−doc_id) is
+    associative, so batch partials merge exactly), then one bounded
+    exchange on ``bucket = md5(key) % n_buckets`` where a pandas groupby
+    finishes the argmax.  The corpus text never shuffles; only
+    (key, doc_id, n_chars, cnt) rows move."""
+    import hashlib
+
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = [
+            " ".join(tokenize_words((t or "").lower()))
+            for t in batch["text"].to_pylist()
+        ]
+        hashed = [hashlib.md5(k.encode("utf-8")).hexdigest() for k in keys]
+        df = pd.DataFrame(
+            {
+                "key": hashed,
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_chars": batch["n_chars"].to_numpy(),
+            }
+        ).sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        agg = (
+            df.groupby("key", sort=False)
+            .agg(
+                doc_id=("doc_id", "first"),
+                n_chars=("n_chars", "first"),
+                group_size=("doc_id", "size"),
+            )
+            .reset_index()
+        )
+        agg["bucket"] = [
+            int(k[:8], 16) % n_buckets for k in agg["key"]
+        ]
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def finish(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        out = (
+            g.groupby("key", sort=False)
+            .agg(
+                doc_id=("doc_id", "first"),
+                n_chars=("n_chars", "first"),
+                group_size=("group_size", "sum"),
+            )
+            .reset_index(drop=True)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+                "n_chars": pa.array(
+                    out["n_chars"].to_numpy(), type=pa.int64()
+                ),
+                "group_size": pa.array(
+                    out["group_size"].to_numpy(), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _read_documents(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+DEDUP_NORMALIZED_BEST_SQL = r"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         array_to_string(regexp_extract_all(lower(text), '\w+'), ' ') AS key
+  FROM documents
+)
+SELECT doc_id, n_chars, group_size FROM (
+  SELECT doc_id, n_chars,
+         CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS group_size,
+         row_number() OVER (
+           PARTITION BY key ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM k
+) WHERE rn = 1
+"""
+
+
 def vocab_count(sf_dir: str, min_count: int = 5) -> "ray.data.Dataset":
     """Word frequency over all documents (word, cnt), min_count-filtered —
     reference ``vocab_build`` aggregation semantics (data_preprocess.py:87-102)

@@ -59,8 +59,17 @@ def write_eval_results(path: str, results: dict) -> None:
 
 
 def write_tsv(ds: "ray.data.Dataset", out_dir: str) -> None:
-    """Distributed TSV sink (test_results.tsv shape, run_bert_crf.py:850-863)."""
-    ds.write_csv(out_dir)
+    """Distributed TSV sink (test_results.tsv shape, run_bert_crf.py:850-863):
+    tab-delimited like the reference's '\t'.join, one shard per block so a
+    256-node run never funnels rows through the driver."""
+    def _tab_opts() -> dict:
+        # built lazily on the writing worker: pyarrow WriteOptions is not
+        # picklable, so it must not cross the object store
+        import pyarrow.csv as pacsv
+
+        return {"write_options": pacsv.WriteOptions(delimiter="\t")}
+
+    ds.write_csv(out_dir, arrow_csv_args_fn=_tab_opts)
 
 
 def write_entities(path: str, mentions: "ray.data.Dataset",

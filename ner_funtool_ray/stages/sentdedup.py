@@ -248,6 +248,148 @@ def doc_dup_ngram_coverage(
     return ds.map_batches(mask, batch_format="pyarrow")
 
 
+def doc_dup_span_scrub(
+    sf_dir: str, n: int = _NGRAM_N, broadcast_limit: int = 5_000_000
+) -> "ray.data.Dataset":
+    """ExactSubstr-style duplicate-span REMOVAL (the apply step of
+    :func:`doc_dup_ngram_coverage`, the way ``minhash_dedup_corpus`` is
+    the apply step of the LSH signal): every token position covered by a
+    word n-gram that also occurs in ANOTHER document is deleted, and the
+    document is reassembled from the surviving tokens in original order →
+    ``(doc_id, scrubbed_text, n_tokens, n_kept)``.
+
+    This is the word-level analogue of the suffix-array ExactSubstr
+    dedup of Lee et al. (2022), "Deduplicating Training Data Makes
+    Language Models Better": instead of byte-level suffix arrays the
+    span finder is the same distributed n-gram plan the coverage signal
+    uses — per-batch distinct (gram, doc) partials, one bounded group
+    sum, a guarded dup-set broadcast — so the corpus text itself is
+    never shuffled; the second pass re-derives spans locally with the
+    +1/−1 sweep and drops covered tokens."""
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _grams(tokens: list[str]) -> list[str]:
+        return [
+            " ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)
+        ]
+
+    def gram_pairs(batch: pa.Table) -> pd.DataFrame:
+        rows = {
+            (g, d)
+            for d, txt in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            )
+            for g in set(_grams(_WORD_RE.findall(txt or "")))
+        }
+        return pd.DataFrame(sorted(rows), columns=["gram", "doc_id"])[["gram"]]
+
+    counts = bucketed_group_sum(
+        ds.map_batches(gram_pairs, batch_format="pyarrow"),
+        keys=["gram"],
+        count_col="n_docs",
+    )
+    import pyarrow.compute as pc
+
+    dups = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n_docs"], 1)).select(["gram"]),
+        batch_format="pyarrow",
+    ).materialize()
+    if dups.count() > broadcast_limit:
+        raise ValueError(
+            f"{dups.count()} duplicated {n}-grams exceed broadcast_limit="
+            f"{broadcast_limit}; raise the limit or pre-shard the corpus"
+        )
+    dup_set: set[str] = set()
+    for b in dups.iter_batches(batch_format="pyarrow"):
+        dup_set.update(b["gram"].to_pylist())
+    dup_ref = ray.put(dup_set)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        doc_ids, texts, n_tok, n_kept = [], [], [], []
+        for d, txt in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = _WORD_RE.findall(txt or "")
+            hits = np.fromiter(
+                (i for i, g in enumerate(_grams(toks)) if g in dup),
+                dtype=np.int64,
+            )
+            if len(hits):
+                diff = np.zeros(len(toks) + n, dtype=np.int64)
+                np.add.at(diff, hits, 1)
+                np.add.at(diff, hits + n, -1)
+                keep = np.cumsum(diff)[: len(toks)] == 0
+                kept = [t for t, k in zip(toks, keep) if k]
+            else:
+                kept = toks
+            doc_ids.append(d)
+            texts.append(" ".join(kept))
+            n_tok.append(len(toks))
+            n_kept.append(len(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "scrubbed_text": pa.array(texts, type=pa.string()),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "n_kept": pa.array(n_kept, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def make_dup_span_scrub_sql(n: int = _NGRAM_N) -> str:
+    joined = " || ' ' || ".join(f"l[i + {j}]" for j in range(n))
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+') AS l FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(range(1, len(l) - {n - 2})) AS pos,
+         unnest(list_transform(range(1, len(l) - {n - 2}),
+                               i -> {joined})) AS gram
+  FROM t
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY gram
+  ) WHERE c > 1
+),
+cov AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT g.doc_id, unnest(range(g.pos, g.pos + {n})) AS p
+    FROM g JOIN dup USING (gram)
+  )
+),
+w AS (
+  SELECT doc_id, unnest(range(1, len(l) + 1)) AS p, unnest(l) AS w FROM t
+),
+kept AS (
+  SELECT w.doc_id, w.p, w.w
+  FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.p = cov.p
+  WHERE cov.p IS NULL
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(w, ' ' ORDER BY p) AS scrubbed_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(agg.scrubbed_text, '') AS scrubbed_text,
+       CAST(len(t.l) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+
+DOC_DUP_SPAN_SCRUB_SQL = make_dup_span_scrub_sql(_NGRAM_N)
+
+
 def make_dup_ngram_sql(n: int = _NGRAM_N) -> str:
     joined = " || ' ' || ".join(f"l[i + {j}]" for j in range(n))
     return rf"""
@@ -289,4 +431,7 @@ __all__ = [
     "doc_dup_ngram_coverage",
     "make_dup_ngram_sql",
     "DOC_DUP_NGRAM_SQL",
+    "doc_dup_span_scrub",
+    "make_dup_span_scrub_sql",
+    "DOC_DUP_SPAN_SCRUB_SQL",
 ]

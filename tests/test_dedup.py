@@ -365,3 +365,43 @@ def test_ivf_topk_probes_own_partition_and_orders():
     assert out.iloc[0]["vec_id"] == 0
     assert out.iloc[0]["score"] == 1.0
     assert (out["score"].to_numpy()[:-1] >= out["score"].to_numpy()[1:]).all()
+
+
+def test_dedup_normalized_best_planted(ray_session, tmp_path):
+    """Quality-priority keep: punctuation variants of one doc collapse to a
+    single normalized group; the LONGEST raw form wins, ties by min id."""
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.textops import dedup_normalized_best
+
+    docs = [
+        (1, "the quick brown fox"),            # 19 chars
+        (2, "The quick, brown fox!!"),         # 22 chars → kept
+        (3, "THE QUICK BROWN FOX"),            # 19 chars
+        (4, "a different document entirely"),  # own group
+        (5, "The quick, brown fox??"),         # 22 chars, tie → id 2 wins
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                "text": [t for _, t in docs],
+                "n_chars": pa.array(
+                    [len(t) for _, t in docs], type=pa.int64()
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = (
+        dedup_normalized_best(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [2, 4]
+    assert out.loc[2, "group_size"] == 4
+    assert out.loc[4, "group_size"] == 1
+    # bucket-count invariance: the argmax must not depend on layout
+    out2 = dedup_normalized_best(str(tmp_path), n_buckets=3).to_pandas()
+    assert sorted(out2["doc_id"]) == [2, 4]

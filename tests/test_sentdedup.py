@@ -89,6 +89,36 @@ def test_dup_ngram_coverage_planted(ray_session, planted_dir):
     assert (df["n_masked"] <= df["n_tokens"]).all()
 
 
+def test_dup_span_scrub_planted(ray_session, planted_dir):
+    from ner_funtool_ray.stages.sentdedup import doc_dup_span_scrub
+
+    df = (
+        doc_dup_span_scrub(planted_dir, n=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1: positions 0-4 covered (shared 3-grams with doc 3) → only the
+    # trailing unique words survive, in original order
+    assert df.loc[1, "scrubbed_text"] == "alpha text one"
+    assert df.loc[1, "n_tokens"] == 8 and df.loc[1, "n_kept"] == 3
+    # consistency with the coverage signal: kept = tokens − masked
+    from ner_funtool_ray.stages.sentdedup import doc_dup_ngram_coverage
+
+    cov = (
+        doc_dup_ngram_coverage(planted_dir, n=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (df["n_kept"] == cov["n_tokens"] - cov["n_masked"]).all()
+    # scrubbed text re-tokenizes to exactly n_kept words
+    import re
+
+    for _, r in df.iterrows():
+        assert len(re.findall(r"\w+", r["scrubbed_text"])) == r["n_kept"]
+
+
 def test_daily_active_users_consistency(ray_session):
     from ner_funtool_ray.pipelines.mining import daily_active_users
 

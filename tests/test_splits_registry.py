@@ -40,6 +40,26 @@ def test_write_eval_results(tmp_path):
     assert open(p).read() == "f1 = 0.9\nprecision = 0.8\n"
 
 
+def test_write_tsv_roundtrip(tmp_path, ray_session):
+    from ner_funtool_ray.sources.splits import write_tsv
+
+    ds = ray.data.from_arrow(
+        pa.table({"p_ORG": [0.25, 0.5], "p_LOC": [0.75, 0.5]})
+    )
+    out = str(tmp_path / "test_results")
+    write_tsv(ds, out)
+    import glob
+
+    lines = []
+    for f in sorted(glob.glob(f"{out}/*")):
+        lines.extend(open(f).read().splitlines())
+    header = [ln for ln in lines if ln.startswith('"p_ORG"')]
+    # tab-delimited (reference '\t'.join shape), values round-trip
+    assert header and "\t" in header[0]
+    data = sorted(ln for ln in lines if not ln.startswith('"'))
+    assert data == ["0.25\t0.75", "0.5\t0.5"]
+
+
 def test_write_entities(tmp_path):
     ds = ray.data.from_arrow(
         pa.table({"entity_type": ["ORG", "LOC"], "surface": ["清华", "北京"]})
