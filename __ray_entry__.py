@@ -681,6 +681,82 @@ ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DE
 LIMIT 10
 """
 
+_ANN_IVFPQ_SQL = """
+WITH cents0 AS (
+  SELECT c, l,
+    md5_number_lower('ivf:7:' || c || ':' || l) / 18446744073709551616.0 * 2.0 - 1.0 AS p
+  FROM (SELECT unnest(range(16)) AS c) CROSS JOIN (SELECT unnest(range(64)) AS l)
+),
+cnorm AS (SELECT c, sqrt(sum(p*p)) AS nc FROM cents0 GROUP BY c),
+cu AS (SELECT c0.c, c0.l, c0.p / cn.nc AS u FROM cents0 c0 JOIN cnorm cn ON cn.c = c0.c),
+ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS l,
+         unnest(embedding::DOUBLE[]) AS e
+  FROM embeddings
+),
+en AS (SELECT vec_id, sqrt(sum(e*e)) AS ne FROM ev GROUP BY vec_id),
+sims AS (
+  SELECT v.vec_id, cu.c, sum((v.e / n.ne) * cu.u) AS s
+  FROM ev v JOIN en n ON n.vec_id = v.vec_id JOIN cu ON cu.l = v.l
+  GROUP BY v.vec_id, cu.c
+),
+assign AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT c FROM (
+    SELECT s.c, row_number() OVER (ORDER BY s.s DESC, s.c) AS rn
+    FROM sims s WHERE s.vec_id = 0
+  ) WHERE rn <= 4
+),
+u AS (
+  SELECT v.vec_id, v.l // 8 AS s, v.l % 8 AS j, v.e / n.ne AS ul
+  FROM ev v JOIN en n ON n.vec_id = v.vec_id
+),
+cb AS (
+  SELECT s, c, j,
+    md5_number_lower('pq:7:' || s || ':' || c || ':' || j)
+      / 18446744073709551616.0 * 2.0 - 1.0 AS p
+  FROM (SELECT unnest(range(8)) AS s)
+  CROSS JOIN (SELECT unnest(range(16)) AS c)
+  CROSS JOIN (SELECT unnest(range(8)) AS j)
+),
+dist AS (
+  SELECT u.vec_id, u.s, cb.c, sum((u.ul - cb.p) * (u.ul - cb.p)) AS d2
+  FROM u JOIN cb ON cb.s = u.s AND cb.j = u.j
+  GROUP BY u.vec_id, u.s, cb.c
+),
+code AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, c) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT cb.s, cb.c, sum(uq.ul * cb.p) AS v
+  FROM cb JOIN (SELECT * FROM u WHERE vec_id = 0) uq
+    ON uq.s = cb.s AND uq.j = cb.j
+  GROUP BY cb.s, cb.c
+),
+adc AS (
+  SELECT code.vec_id, sum(lut.v) AS adc
+  FROM code
+  JOIN lut ON lut.s = code.s AND lut.c = code.c
+  JOIN assign a ON a.vec_id = code.vec_id
+  JOIN probes p ON p.c = a.c
+  GROUP BY code.vec_id
+)
+SELECT vec_id, round(adc, 4) AS score
+FROM adc
+ORDER BY adc DESC, vec_id
+LIMIT 10
+"""
+
 _ANN_MULTIQUERY_SQL = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8)
 SELECT query_id, vec_id, score FROM (
@@ -1187,6 +1263,26 @@ def _q_ann_ivf_index_topk(sf_dir: str):
 
 
 _TEXT_SEARCH_TERMS = ["query", "window", "scan"]
+
+
+def _q_ann_ivfpq_topk(sf_dir: str):
+    """IVF-PQ ANN: md5-derived coarse quantizer + md5-derived product
+    codebook; probed cells ranked by asymmetric distance over 8-byte
+    codes (oracle-exact — both quantizers reproduce in SQL)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.sources.io import read_parquet_auto
+    from ner_funtool_ray.stages.similarity import ivfpq_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrow = tbl.filter(pc.equal(tbl["vec_id"], 0))
+    query = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    ds = read_parquet_auto(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ivfpq_topk(ds, query, k=10, n_centroids=16, n_probe=4, m=8, ksub=16)
 
 
 def _q_text_index_search(sf_dir: str):
@@ -2179,6 +2275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_multiquery_topk": _q_ann_multiquery,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_index_topk": _q_ann_ivf_index_topk,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "text_index_search": _q_text_index_search,
         "winnow_fingerprints": _q_winnow_fingerprints,
         # relational operator coverage (groupby / broadcast join / top-k /
@@ -2387,6 +2484,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_multiquery_topk": _ANN_MULTIQUERY_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "ann_ivf_index_topk": _ANN_IVF_SQL,
+        "ann_ivfpq_topk": _ANN_IVFPQ_SQL,
         "dedup_simhash": _SIMHASH_CLUSTERS_SQL,
         "dedup_minhash_lsh": _MINHASH_CLUSTERS_SQL,
         "dedup_editdistance": _ed.DEDUP_EDITDISTANCE_SQL,

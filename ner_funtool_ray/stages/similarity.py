@@ -431,3 +431,115 @@ def query_ivf_index(
             batch_format="pyarrow",
         )
     return top
+
+
+def pq_codebook(
+    m: int, ksub: int, dsub: int, seed: int = 7
+) -> np.ndarray:
+    """(m, ksub, dsub) product-quantization codebook with md5-derived
+    entries — the deterministic stand-in for per-subspace k-means (same
+    convention as :func:`ivf_centroids`, giving IVF-PQ an exact DuckDB
+    twin; trained codebooks slot into the same call sites).  Entry
+    ``[s, c, j]`` is ``md5_unit('pq:<seed>:<s>:<c>:<j>')``."""
+    from ner_funtool_ray.functions.md5vec import md5_unit_batch
+
+    keys = [
+        f"pq:{seed}:{s}:{c}:{j}"
+        for s in range(m)
+        for c in range(ksub)
+        for j in range(dsub)
+    ]
+    return md5_unit_batch(keys).reshape(m, ksub, dsub)
+
+
+def pq_encode(unit: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(N, m) uint8 PQ codes for unit-normalized rows: per subspace the
+    nearest codebook entry by squared L2, ties to the lowest code id
+    (np.argmin returns the first minimum, matching the SQL
+    ``row_number() ... ORDER BY d2 ASC, c`` tie-break)."""
+    m, ksub, dsub = cb.shape
+    sub = unit.reshape(unit.shape[0], m, dsub)
+    # (N, m, ksub): squared distance of each subvector to each entry
+    d2 = ((sub[:, :, None, :] - cb[None]) ** 2).sum(axis=-1)
+    return np.argmin(d2, axis=-1).astype(np.uint8)
+
+
+def ivfpq_topk(
+    embeddings: "ray.data.Dataset",
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int | None = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> "ray.data.Dataset":
+    """IVF-PQ approximate top-k — the memory-compressed scale path of the
+    ANN family: vectors in the ``n_probe`` probed coarse cells are ranked
+    by ASYMMETRIC DISTANCE (the dot of the query against each vector's
+    product-quantized reconstruction, computed as ``m`` lookups into a
+    per-query table), never by the raw floats.  At 100 TB the codes are
+    ``m`` bytes per vector (64 B of float32 → 8 B here), so a worker
+    holds ~50× more index in heap than IVF-flat; the probed-cell scan
+    layout is identical to :func:`query_ivf_index`'s partitioned parquet.
+
+    Fully deterministic (md5-derived coarse centroids AND codebook), so
+    the whole path — assignment, probes, codes, ADC ranking — has an
+    exact DuckDB twin.  Output ``(vec_id, score)`` where score is the ADC
+    approximation of cosine (query side exactly unit-normalized), ordered
+    (score DESC, id), rounded like the IVF twin."""
+    query = np.asarray(query_vec, dtype=np.float64)
+    d = dim or query.shape[0]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    cents = ivf_centroids(n_centroids, d, seed)
+    cb = pq_codebook(m, ksub, dsub, seed)
+
+    qunit = query / max(np.linalg.norm(query), 1e-30)
+    qsims = cents @ qunit
+    order = np.lexsort((np.arange(n_centroids), -qsims))
+    probes = np.sort(order[:n_probe])
+    # per-query ADC lookup table: lut[s, c] = dot(q_s, cb[s, c])
+    lut = np.einsum("sj,scj->sc", qunit.reshape(m, dsub), cb)
+    shared = ray.put((cents, probes, cb, lut))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        c, pr, book, table = ray.get(shared)
+        empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        mat = _batch_matrix(batch, vec_col)
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1), 1e-30)[:, None]
+        assign = np.argmax(unit @ c.T, axis=1)  # first max = lowest id
+        mask = np.isin(assign, pr)
+        if not mask.any():
+            return empty
+        idx = np.nonzero(mask)[0]
+        codes = pq_encode(unit[idx], book)  # (B', m)
+        adc = table[np.arange(book.shape[0])[None, :], codes].sum(axis=1)
+        ids = np.asarray(batch[id_col]).astype(np.int64)[idx]
+        byid = np.argsort(ids, kind="stable")
+        take = byid[np.argsort(-adc[byid], kind="stable")[:k]]
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(idx[take])),
+            "score": pa.array(adc[take], type=pa.float64()),
+        })
+
+    partial = embeddings.map_batches(candidates, batch_format="pyarrow")
+    top = partial.sort(["score", id_col], descending=[True, False]).limit(k)
+    if round_to is not None:
+        top = top.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("score"),
+                "score",
+                pa.array(np.round(t["score"].to_numpy(), round_to)),
+            ),
+            batch_format="pyarrow",
+        )
+    return top
