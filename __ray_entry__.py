@@ -2055,6 +2055,12 @@ def _q_doc_unigram_logprob(sf_dir: str):
     return doc_unigram_logprob(sf_dir)
 
 
+def _q_doc_bigram_logprob(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import doc_bigram_logprob
+
+    return doc_bigram_logprob(sf_dir)
+
+
 def _q_top_supplier_revenue(sf_dir: str):
     from ner_funtool_ray.pipelines.relational import top_supplier_revenue
 
@@ -2396,6 +2402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_clean": _q_doc_clean,
         "pii_redact": _q_pii_redact,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "doc_bigram_logprob": _q_doc_bigram_logprob,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "semantic_dedup": _q_semantic_dedup,
         "curated_documents": _q_curated_documents,
@@ -2607,6 +2614,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_clean": _cur.DOC_CLEAN_SQL,
         "pii_redact": _cur.PII_REDACT_SQL,
         "doc_unigram_logprob": _cur.DOC_UNIGRAM_LOGPROB_SQL,
+        "doc_bigram_logprob": _cur.DOC_BIGRAM_LOGPROB_SQL,
         "top_supplier_revenue": _rel.TOP_SUPPLIER_REVENUE_SQL,
         "semantic_dedup": _emb.SEMANTIC_DEDUP_SQL,
         "curated_documents": _cur.make_curated_sql(_MINHASH_CLUSTERS_SQL),

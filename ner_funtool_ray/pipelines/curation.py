@@ -1247,6 +1247,215 @@ DOC_UNIGRAM_LOGPROB_SQL = make_unigram_logprob_sql()
 __all__ += ["doc_unigram_logprob", "DOC_UNIGRAM_LOGPROB_SQL", "make_unigram_logprob_sql"]
 
 
+def _bigram_model(
+    sf_dir: str, vocab_k: int = 100_000
+) -> "tuple[np.ndarray, np.ndarray, np.int64] | None":
+    """Fit the corpus CONDITIONAL bigram model → ``(sorted_keys,
+    millibits, oov_mb)`` where a key is ``w1 + ' ' + w2`` (tokens cannot
+    contain spaces, so the join is injective) and millibits encode
+    ``-log2(cnt(w1 w2) / cnt(w1 ·))`` — the true LM conditional, not the
+    joint.  Bigrams never cross document boundaries.
+
+    Distributed shape: (1) per-batch bigram Counters → bounded-bucket
+    group sum (exact corpus counts); (2) ONE more bounded exchange
+    re-keyed on ``w1`` only, so each group holds every continuation of
+    its prefixes and computes prefix totals + conditional millibits
+    locally; (3) a distributed sort+limit ships only the top ``vocab_k``
+    rows (count desc, key asc) to the driver for broadcast.  OOV bigrams
+    floor at ``p = 1/total`` exactly like the unigram model."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    docs = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        toks = pc.split_pattern_regex(low, "[^0-9a-z_]+")
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        keep = flat != ""
+        flat = flat[keep]
+        sizes = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        doc_idx = np.repeat(np.arange(len(sizes)), sizes)[keep]
+        if len(flat) < 2:
+            return pa.table(
+                {"w1": pa.array([], type=pa.string()),
+                 "w2": pa.array([], type=pa.string()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        same_doc = doc_idx[1:] == doc_idx[:-1]
+        w1, w2 = flat[:-1][same_doc], flat[1:][same_doc]
+        keys, c = np.unique(
+            np.char.add(np.char.add(w1, " "), w2), return_counts=True
+        )
+        parts = np.char.partition(keys, " ")
+        return pa.table(
+            {"w1": pa.array(parts[:, 0].astype(object)),
+             "w2": pa.array(parts[:, 2].astype(object)),
+             "cnt": pa.array(c, type=pa.int64())}
+        )
+
+    counts_ds = bucketed_group_sum(
+        docs.map_batches(partial_counts, batch_format="pyarrow"),
+        keys=["w1", "w2"],
+        sum_cols={"cnt": "cnt"},
+        driver_cap=None,
+    )
+    total_raw = counts_ds.sum("cnt")
+    if not total_raw:
+        return None
+    total = int(total_raw)
+
+    def add_prefix_bucket(batch: pa.Table) -> pa.Table:
+        b = [
+            zlib.crc32(w.encode("utf-8")) % 64
+            for w in batch["w1"].to_pylist()
+        ]
+        return batch.append_column("pb", pa.array(b, type=pa.int64()))
+
+    def conditional_mb(group: "pd.DataFrame") -> pa.Table:
+        pcnt = group.groupby("w1", sort=False)["cnt"].transform("sum")
+        mb = np.floor(
+            -np.log2(group["cnt"].to_numpy() / pcnt.to_numpy()) * 1000.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "w1": pa.array(group["w1"], type=pa.string()),
+                "w2": pa.array(group["w2"], type=pa.string()),
+                "cnt": pa.array(group["cnt"].to_numpy(), type=pa.int64()),
+                "mb": pa.array(mb, type=pa.int64()),
+            }
+        )
+
+    with_mb = (
+        counts_ds.map_batches(add_prefix_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(conditional_mb, batch_format="pandas")
+    )
+    top = (
+        with_mb.sort(["cnt", "w1", "w2"], descending=[True, False, False])
+        .limit(vocab_k)
+        .to_pandas()
+    )
+    joined = (top["w1"].astype(str) + " " + top["w2"].astype(str)).to_numpy(
+        dtype=object
+    ).astype(str)
+    order = np.argsort(joined, kind="stable")
+    keys = joined[order]
+    mbs = top["mb"].to_numpy()[order].astype(np.int64)
+    oov_mb = np.int64(np.floor(np.log2(float(total)) * 1000.0 + 0.5))
+    return keys, mbs, oov_mb
+
+
+def doc_bigram_logprob(
+    sf_dir: str, vocab_k: int = 100_000
+) -> "ray.data.Dataset":
+    """Conditional-bigram language-model surprisal per document →
+    ``(doc_id, n_bigrams, total_millibits)`` — the KenLM-style CCNet
+    quality filter one order above :func:`doc_unigram_logprob`: each
+    within-document bigram scores ``-log2 p(w2|w1)`` millibits under the
+    corpus model (top ``vocab_k`` bigrams broadcast; OOV at the
+    ``1/total`` floor), and the per-doc integer sum is associative,
+    so any batch layout produces the same totals.  Docs with fewer than
+    two tokens emit no row (no bigram rows in the SQL twin either)."""
+    import pyarrow.compute as pc
+
+    docs = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    model = _bigram_model(sf_dir, vocab_k)
+    if model is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_bigrams": pa.array([], type=pa.int64()),
+                    "total_millibits": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    model_ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, vmb, oov = ray.get(model_ref)
+        low = pc.utf8_lower(batch["text"])
+        toks = pc.split_pattern_regex(low, "[^0-9a-z_]+")
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        keep = flat != ""
+        flat = flat[keep]
+        sizes = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        doc_idx = np.repeat(np.arange(len(sizes)), sizes)[keep]
+        n_bg = np.zeros(len(sizes), dtype=np.int64)
+        tot_mb = np.zeros(len(sizes), dtype=np.int64)
+        if len(flat) >= 2:
+            same_doc = doc_idx[1:] == doc_idx[:-1]
+            bg_doc = doc_idx[:-1][same_doc]
+            bkeys = np.char.add(
+                np.char.add(flat[:-1][same_doc], " "), flat[1:][same_doc]
+            )
+            pos = np.searchsorted(vocab, bkeys)
+            pos_c = np.clip(pos, 0, len(vocab) - 1)
+            hit = (vocab[pos_c] == bkeys) if len(vocab) else np.zeros(
+                len(bkeys), dtype=bool
+            )
+            bg_mb = np.where(hit, vmb[pos_c], oov)
+            n_bg = np.bincount(bg_doc, minlength=len(sizes)).astype(np.int64)
+            tot_mb = np.bincount(
+                bg_doc, weights=bg_mb, minlength=len(sizes)
+            ).astype(np.int64)
+        nz = n_bg > 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(nz)),
+                "n_bigrams": pa.array(n_bg[nz], type=pa.int64()),
+                "total_millibits": pa.array(tot_mb[nz], type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def make_bigram_logprob_sql(vocab_k: int = 100_000) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS l
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i])) AS w1,
+         unnest(list_transform(range(1, len(l)), i -> l[i + 1])) AS w2
+  FROM t
+),
+cnts AS (SELECT w1, w2, count(*) AS cnt FROM g GROUP BY w1, w2),
+pfx AS (SELECT w1, sum(cnt) AS pcnt FROM cnts GROUP BY w1),
+tot AS (SELECT sum(cnt) AS total FROM cnts),
+vocab AS (
+  SELECT c.w1, c.w2, c.cnt, p.pcnt
+  FROM cnts c JOIN pfx p USING (w1)
+  ORDER BY c.cnt DESC, c.w1, c.w2 LIMIT {vocab_k}
+),
+mb AS (
+  SELECT w1, w2, CAST(round(-log2(cnt / pcnt) * 1000) AS BIGINT) AS mb
+  FROM vocab
+),
+oov AS (SELECT CAST(round(log2(total) * 1000) AS BIGINT) AS mb FROM tot)
+SELECT g.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(coalesce(mb.mb, (SELECT mb FROM oov))) AS BIGINT)
+         AS total_millibits
+FROM g LEFT JOIN mb ON mb.w1 = g.w1 AND mb.w2 = g.w2
+GROUP BY g.doc_id
+"""
+
+
+DOC_BIGRAM_LOGPROB_SQL = make_bigram_logprob_sql()
+
+__all__ += ["doc_bigram_logprob", "DOC_BIGRAM_LOGPROB_SQL", "make_bigram_logprob_sql"]
+
+
 # --- end-to-end curation verdict ----------------------------------------------
 
 

@@ -75,6 +75,46 @@ def test_unigram_logprob_oov_floor():
     assert (j["n_tokens_cap"] == j["n_tokens"]).all()
 
 
+def test_bigram_logprob_planted_conditionals(tmp_path, ray_session):
+    """Conditional p(w2|w1) (not joint), bigrams never cross docs, and a
+    doc with <2 tokens emits no row."""
+    import pyarrow as pa
+
+    from ner_funtool_ray.pipelines.curation import doc_bigram_logprob
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                # doc1 bigrams: (a,b) (b,a) (a,c); doc2: (c,a);
+                # doc boundary between them must NOT create (c,c)
+                "text": ["a b a c", "c a", "x"],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = doc_bigram_logprob(str(tmp_path)).to_pandas().set_index("doc_id")
+    # corpus: cnt(a,b)=1 cnt(b,a)=1 cnt(a,c)=1 cnt(c,a)=1
+    # prefixes: a·=2, b·=1, c·=1 → mb: (a,b)=1000 (b,a)=0 (a,c)=1000 (c,a)=0
+    assert list(got.index) == [1, 2]
+    assert got.loc[1, "n_bigrams"] == 3
+    assert got.loc[1, "total_millibits"] == 2000
+    assert got.loc[2, "n_bigrams"] == 1
+    assert got.loc[2, "total_millibits"] == 0
+
+
+def test_bigram_logprob_oov_floor(ray_session):
+    """With a tiny vocab cap, rare bigrams score at the 1/total floor —
+    so totals only go up and bigram counts are unchanged."""
+    from ner_funtool_ray.pipelines.curation import doc_bigram_logprob
+
+    full = doc_bigram_logprob(SF).to_pandas().set_index("doc_id")
+    capped = doc_bigram_logprob(SF, vocab_k=5).to_pandas().set_index("doc_id")
+    j = full.join(capped, rsuffix="_cap")
+    assert (j["total_millibits_cap"] >= j["total_millibits"]).all()
+    assert (j["n_bigrams_cap"] == j["n_bigrams"]).all()
+
+
 def test_top_supplier_revenue_bruteforce():
     from ner_funtool_ray.pipelines.relational import top_supplier_revenue
 
