@@ -1008,6 +1008,14 @@ def _q_albert_mentions(sf_dir: str):
     return model_mentions(sf_dir, model="albert")
 
 
+def _q_softmax_mentions(sf_dir: str):
+    """T2 head variant: BiLSTM → softmax-argmax decode (use_crf=False,
+    run_multitask_bert_crf.py:71-76 / lstm_crf_layer softmax branch)."""
+    from ner_funtool_ray.pipelines.tagging import model_mentions
+
+    return model_mentions(sf_dir, model="bilstm", use_crf=False)
+
+
 def _q_bert_lstm_mentions(sf_dir: str):
     """T3 stacked variant: transformer → BiLSTM → CRF (use_lstm,
     layers/lstm_crf_layer.py crf_only=False)."""
@@ -2450,6 +2458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_cascade_lstm_mentions": _q_cascade_lstm_mentions,
         "ner_albert_mentions": _q_albert_mentions,
         "ner_bert_lstm_mentions": _q_bert_lstm_mentions,
+        "ner_softmax_mentions": _q_softmax_mentions,
         "ner_wol_losses": _q_wol_losses,
         "ner_train_report": _q_train_report,
         "ner_train_wol_report": _q_train_wol_report,

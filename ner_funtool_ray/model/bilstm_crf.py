@@ -144,16 +144,31 @@ def viterbi_decode_batch(
     return paths
 
 
+def softmax_decode_batch(
+    logits: np.ndarray, lengths: np.ndarray
+) -> np.ndarray:
+    """The ``use_crf=False`` head (`lstm_crf_layer.py:129-135` softmax
+    branch / `run_multitask_bert_crf.py:71-76`): per-position argmax of
+    the unary logits, no transition model.  Returns (B, S) int32 paths;
+    positions ≥ length are 0, matching :func:`viterbi_decode_batch`."""
+    B, S, _ = logits.shape
+    paths = logits.argmax(axis=2).astype(np.int32)
+    mask = np.arange(S)[None, :] < lengths[:, None]
+    return np.where(mask, paths, 0).astype(np.int32)
+
+
 class BiLstmCrf:
     """Deterministic numpy tagger: ids → BMES tag-id paths.
 
     ``predict(input_ids, lengths)`` is a pure function of the weights —
     identical results in any process → exact Ray-vs-oracle parity.
-    """
+    ``use_crf=False`` swaps Viterbi for the per-position softmax argmax
+    (`lstm_crf_layer.py` softmax branch)."""
 
-    def __init__(self, weights: dict[str, np.ndarray]):
+    def __init__(self, weights: dict[str, np.ndarray], use_crf: bool = True):
         self.w = weights
         self.n_tags = weights["proj_w"].shape[1]
+        self.use_crf = use_crf
 
     def encode(self, input_ids: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         emb = self.w["embedding"][input_ids]  # (B, S, D)
@@ -170,9 +185,10 @@ class BiLstmCrf:
 
     def predict(self, input_ids: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         """(B, S) int ids, (B,) lengths → (B, S) best tag-id paths."""
-        return viterbi_decode_batch(
-            self.logits(input_ids, lengths), self.w["crf_trans"], lengths
-        )
+        logits = self.logits(input_ids, lengths)
+        if not self.use_crf:
+            return softmax_decode_batch(logits, lengths)
+        return viterbi_decode_batch(logits, self.w["crf_trans"], lengths)
 
 
 class CascadeTagger(BiLstmCrf):

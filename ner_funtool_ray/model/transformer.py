@@ -105,8 +105,9 @@ def init_transformer_weights(
 class TransformerEncoder:
     """ids/mask/segments → (B, S, H) hidden states, numpy, deterministic."""
 
-    def __init__(self, weights: dict[str, np.ndarray]):
+    def __init__(self, weights: dict[str, np.ndarray], use_crf: bool = True):
         self.w = weights
+        self.use_crf = use_crf
         self.n_layers = int(weights["n_layers"])
         self.n_heads = int(weights["n_heads"])
 
@@ -169,7 +170,9 @@ class TransformerEncoder:
 
 class BertCrf(TransformerEncoder):
     """T3: transformer encoder → dense → CRF Viterbi over true lengths
-    (the ``crf_only=True`` head of `run_bert_crf.py:505-542`)."""
+    (the ``crf_only=True`` head of `run_bert_crf.py:505-542`);
+    ``use_crf=False`` decodes by per-position softmax argmax instead
+    (`lstm_crf_layer.py:129-135` softmax branch)."""
 
     def predict(
         self,
@@ -177,9 +180,13 @@ class BertCrf(TransformerEncoder):
         input_mask: np.ndarray,
         segment_ids: np.ndarray | None = None,
     ) -> np.ndarray:
+        from ner_funtool_ray.model.bilstm_crf import softmax_decode_batch
+
         enc = self.encode(input_ids, input_mask, segment_ids)
         logits = enc @ self.w["proj_w"] + self.w["proj_b"]
         lengths = input_mask.astype(np.int32).sum(axis=1)
+        if not self.use_crf:
+            return softmax_decode_batch(logits, lengths)
         return viterbi_decode_batch(logits, self.w["crf_trans"], lengths)
 
 
@@ -256,8 +263,9 @@ class AlbertEncoder:
     once to H, then ``n_layers`` applications of the per-group shared
     layer weights (`modeling_albert.py:1020-1120` transformer_model)."""
 
-    def __init__(self, weights: dict[str, np.ndarray]):
+    def __init__(self, weights: dict[str, np.ndarray], use_crf: bool = True):
         self.w = weights
+        self.use_crf = use_crf
         self.n_layers = int(weights["n_layers"])
         self.n_groups = int(weights["n_groups"])
         self.n_heads = int(weights["n_heads"])
@@ -388,6 +396,10 @@ class BertBilstmCrf(TransformerEncoder):
         cat = np.concatenate([fw, bw], axis=-1)  # lstm_crf_layer.py:101
         hid = np.tanh(cat @ w["stack_hid_w"] + w["stack_hid_b"])
         logits = hid @ w["stack_proj_w"] + w["stack_proj_b"]
+        if not self.use_crf:
+            from ner_funtool_ray.model.bilstm_crf import softmax_decode_batch
+
+            return softmax_decode_batch(logits, lengths)
         return viterbi_decode_batch(logits, w["crf_trans"], lengths)
 
 
@@ -404,6 +416,10 @@ class AlbertCrf(AlbertEncoder):
         enc = self.encode(input_ids, input_mask, segment_ids)
         logits = enc @ self.w["proj_w"] + self.w["proj_b"]
         lengths = input_mask.astype(np.int32).sum(axis=1)
+        if not self.use_crf:
+            from ner_funtool_ray.model.bilstm_crf import softmax_decode_batch
+
+            return softmax_decode_batch(logits, lengths)
         return viterbi_decode_batch(logits, self.w["crf_trans"], lengths)
 
 

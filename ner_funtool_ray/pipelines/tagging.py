@@ -30,7 +30,11 @@ MAX_SEQ_LEN = 128
 
 
 def tagged_sentences(
-    sf_dir: str, cascade: bool = False, model: str = "bilstm", concurrency=None
+    sf_dir: str,
+    cascade: bool = False,
+    model: str = "bilstm",
+    concurrency=None,
+    use_crf: bool = True,
 ) -> "ray.data.Dataset":
     """sf documents → sentence rows + pred_tags (model actor pool).
 
@@ -50,14 +54,20 @@ def tagged_sentences(
         model=model,
         max_seq_len=MAX_SEQ_LEN,
         concurrency=concurrency,
+        use_crf=use_crf,
     )
 
 
 def model_mentions(
-    sf_dir: str, cascade: bool = False, model: str = "bilstm"
+    sf_dir: str,
+    cascade: bool = False,
+    model: str = "bilstm",
+    use_crf: bool = True,
 ) -> "ray.data.Dataset":
     """Model-detected mentions with provenance + canonical entity ids."""
-    mentions = decode_mentions(tagged_sentences(sf_dir, cascade, model))
+    mentions = decode_mentions(
+        tagged_sentences(sf_dir, cascade, model, use_crf=use_crf)
+    )
     return canonicalize(mentions)
 
 

@@ -51,6 +51,7 @@ class NerTagger:
         seed: int = 7,
         text_col: str = "sentence",
         out_col: str = "pred_tags",
+        use_crf: bool = True,
     ):
         self.char2id = default_char_vocab()
         # vectorized encode: codepoint → id lookup table (BMP; astral →
@@ -74,7 +75,9 @@ class NerTagger:
                 n_tags=len(TAGS),
                 seed=seed,
             )
-        self.model = BiLstmCrf(w)
+        # use_crf=False → softmax-argmax decode (`use_crf` flag,
+        # `run_multitask_bert_crf.py:71-76` / lstm_crf_layer softmax branch)
+        self.model = BiLstmCrf(w, use_crf=use_crf)
 
     def _encode(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         ids = [
@@ -275,6 +278,7 @@ class BertNerTagger:
         out_col: str = "pred_tags",
         use_albert: bool = False,
         use_lstm: bool = False,
+        use_crf: bool = True,
     ):
         from ner_funtool_ray.functions.tokenization import FullTokenizer
         from ner_funtool_ray.model.transformer import (
@@ -322,7 +326,7 @@ class BertNerTagger:
                 max_position=max_seq_len + 2,
                 seed=seed,
             )
-        self.model = model_cls(w)
+        self.model = model_cls(w, use_crf=use_crf)
         self._cls = self.vocab["[CLS]"]
         self._sep = self.vocab["[SEP]"]
         # char → piece-id list memo: single chars tokenize deterministically
@@ -540,6 +544,7 @@ def tag_sentences(
     batch_size: int = 256,
     concurrency=None,
     max_seq_len: int = 128,
+    use_crf: bool = True,
 ) -> "ray.data.Dataset":
     """Actor-pool tagging stage.  ``model`` selects the encoder family:
     ``bilstm`` (T2, `model_lstm_crf.py`) or ``bert`` (T3/T4 transformer,
@@ -560,12 +565,18 @@ def tag_sentences(
         n = max(1, cpus - 2)
         concurrency = (n, n)
     cls = _TAGGER_CLASSES[(model, cascade)]
+    kwargs = {"weights_path": weights_path, "max_seq_len": max_seq_len}
+    if not use_crf:
+        # softmax-argmax decode (the reference's use_crf=False branch);
+        # the cascade heads already define their own decode split
+        if cascade:
+            raise ValueError(
+                "use_crf=False applies to the single-head taggers only"
+            )
+        kwargs["use_crf"] = False
     return sentences.map_batches(
         cls,
-        fn_constructor_kwargs={
-            "weights_path": weights_path,
-            "max_seq_len": max_seq_len,
-        },
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

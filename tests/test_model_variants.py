@@ -234,3 +234,52 @@ def test_wol_report_runs():
     assert list(rep.columns) == ["n_sentences", "mean_wol_loss"]
     assert rep["n_sentences"][0] > 0
     assert rep["mean_wol_loss"][0] > 0
+
+
+def test_softmax_decode_matches_bruteforce_and_differs_from_viterbi():
+    """use_crf=False (softmax branch): per-position argmax of the logits,
+    zero past true length; with CRF transitions active the two decoders
+    must disagree somewhere on random inputs."""
+    import numpy as np
+
+    from ner_funtool_ray.model.bilstm_crf import (
+        BiLstmCrf,
+        init_weights,
+        softmax_decode_batch,
+        viterbi_decode_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    w = init_weights(vocab_size=50, emb_dim=8, hidden=12, n_tags=5, seed=3)
+    ids = rng.integers(1, 50, size=(16, 20)).astype(np.int32)
+    lengths = rng.integers(1, 21, size=16).astype(np.int32)
+    m_soft = BiLstmCrf(w, use_crf=False)
+    m_crf = BiLstmCrf(w)
+    logits = m_soft.logits(ids, lengths)
+    got = m_soft.predict(ids, lengths)
+    # brute-force row-by-row argmax
+    for b in range(16):
+        L = int(lengths[b])
+        assert list(got[b, :L]) == list(logits[b, :L].argmax(axis=1))
+        assert (got[b, L:] == 0).all()
+    np.testing.assert_array_equal(got, softmax_decode_batch(logits, lengths))
+    assert (got != m_crf.predict(ids, lengths)).any()
+
+
+def test_softmax_tagger_pipeline_runs(ray_session):
+    """use_crf=False plumbs through the actor pool; cascade rejects it."""
+    import pytest as _pytest
+
+    from ner_funtool_ray.pipelines.tagging import model_mentions
+    from ner_funtool_ray.stages.tag import tag_sentences
+
+    df = model_mentions(
+        "/root/testdata/sf0.001", model="bilstm", use_crf=False
+    ).to_pandas()
+    assert len(df) > 0 and "entity_id" in df.columns
+    import ray.data as rd
+
+    with _pytest.raises(ValueError, match="single-head"):
+        tag_sentences(
+            rd.from_items([{"sentence": "x"}]), cascade=True, use_crf=False
+        )
