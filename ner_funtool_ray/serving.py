@@ -61,7 +61,16 @@ class _NerServer:
     """Actor body: model pinned once per server (T6/T7 pattern)."""
 
     def __init__(self, model: str = "bilstm", cascade: bool = False,
-                 weights_path: str | None = None, max_seq_len: int = 128):
+                 weights_path: str | None = None, max_seq_len: int = 128,
+                 bundle: str | None = None):
+        if bundle is not None:
+            # K7 exported-bundle load (`export.py`): signature picks the
+            # class, sha-checked weights.npz supplies the tensors — the
+            # from_saved_model serving role (`infer_offline.py:76-77`)
+            from ner_funtool_ray.model.export import load_bundle
+
+            self.tagger = load_bundle(bundle)
+            return
         from ner_funtool_ray.stages.tag import _TAGGER_CLASSES
 
         self.tagger = _TAGGER_CLASSES[(model, cascade)](
@@ -83,12 +92,15 @@ def start_server(
     model: str = "bilstm",
     cascade: bool = False,
     weights_path: str | None = None,
+    bundle: str | None = None,
 ) -> "ray.actor.ActorHandle":
     """Start (or connect to) the named serving actor.  ``get_if_exists``
     makes this idempotent across clients — one model instance per name,
-    like one TF-Serving deployment per endpoint."""
+    like one TF-Serving deployment per endpoint.  ``bundle`` serves an
+    exported K7 bundle directory instead of a (model, cascade) family."""
     return NerServerActor.options(name=name, get_if_exists=True).remote(
-        model=model, cascade=cascade, weights_path=weights_path
+        model=model, cascade=cascade, weights_path=weights_path,
+        bundle=bundle,
     )
 
 

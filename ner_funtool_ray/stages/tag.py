@@ -545,11 +545,14 @@ def tag_sentences(
     concurrency=None,
     max_seq_len: int = 128,
     use_crf: bool = True,
+    bundle: str | None = None,
 ) -> "ray.data.Dataset":
     """Actor-pool tagging stage.  ``model`` selects the encoder family:
     ``bilstm`` (T2, `model_lstm_crf.py`) or ``bert`` (T3/T4 transformer,
     `run_bert_crf.py:505-542` / `run_multitask_bert_crf.py:572-653`);
-    ``cascade`` selects the BMEO+attr two-head variant.  concurrency ×
+    ``cascade`` selects the BMEO+attr two-head variant; ``bundle`` runs
+    an exported K7 bundle directory instead (each actor loads the
+    sha-checked bundle once in ``__init__``).  concurrency ×
     num_cpus sizes the pool (default: autoscale to cluster CPUs);
     batch_size bounds the (B, S) dense matrices per actor heap."""
     if concurrency is None:
@@ -564,6 +567,16 @@ def tag_sentences(
             cpus = 8
         n = max(1, cpus - 2)
         concurrency = (n, n)
+    if bundle is not None:
+        from ner_funtool_ray.model.export import BundleTagger
+
+        return sentences.map_batches(
+            BundleTagger,
+            fn_constructor_kwargs={"bundle": bundle},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     cls = _TAGGER_CLASSES[(model, cascade)]
     kwargs = {"weights_path": weights_path, "max_seq_len": max_seq_len}
     if not use_crf:
