@@ -1429,6 +1429,22 @@ def _q_purchase_view_gap(sf_dir: str):
     return purchase_view_gap(sf_dir)
 
 
+def _q_orders_nearby_count(sf_dir: str):
+    """Pure time-band range join (no equi key): binned-replication plan,
+    counts not pairs (`stages/rangejoin.py:_binned_plan`)."""
+    from ner_funtool_ray.pipelines.relational import orders_nearby_count
+
+    return orders_nearby_count(sf_dir)
+
+
+def _q_user_event_burst(sf_dir: str):
+    """Keyed band range join: user-hash co-location + per-key-slice
+    searchsorted (`stages/rangejoin.py:_keyed_plan`)."""
+    from ner_funtool_ray.pipelines.relational import user_event_burst
+
+    return user_event_burst(sf_dir)
+
+
 def _q_top_order_per_customer(sf_dir: str):
     from ner_funtool_ray.pipelines.relational import top_order_per_customer
 
@@ -2307,6 +2323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "customers_without_big_orders": _q_customers_without_big_orders,
         "purchase_view_gap": _q_purchase_view_gap,
+        "orders_nearby_count": _q_orders_nearby_count,
+        "user_event_burst": _q_user_event_burst,
         "top_order_per_customer": _q_top_order_per_customer,
         "event_props_k": _q_event_props_k,
         "sample_documents": _q_sample_documents,
@@ -2518,6 +2536,8 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": _rel.USER_SESSIONS_SQL,
         "customers_without_big_orders": _rel.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
         "purchase_view_gap": _rel.PURCHASE_VIEW_GAP_SQL,
+        "orders_nearby_count": _rel.ORDERS_NEARBY_COUNT_SQL,
+        "user_event_burst": _rel.USER_EVENT_BURST_SQL,
         "top_order_per_customer": _rel.TOP_ORDER_PER_CUSTOMER_SQL,
         "event_props_k": _rel.EVENT_PROPS_K_SQL,
         "sample_documents": _rel.SAMPLE_DOCUMENTS_SQL,

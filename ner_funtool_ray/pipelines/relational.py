@@ -2255,3 +2255,72 @@ JOIN customer c ON c.c_custkey = e.user_id
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY 1
 """
+
+
+def orders_nearby_count(sf_dir: str, days: int = 3) -> "ray.data.Dataset":
+    """Pure time-band range join (no equi key): for each order, how many
+    OTHER orders — any customer — were placed strictly after it and within
+    ``days`` days.  The reference has no join at all (SURVEY §2.5); Ray
+    Data has no range-join operator; `stages/rangejoin.py` supplies the
+    binned-replication plan (left ×2 bins, rights in their own bin, counts
+    not pairs), so the |matches| pair expansion never materializes."""
+    from ner_funtool_ray.stages.rangejoin import banded_count_join
+
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    return banded_count_join(
+        orders,
+        orders,
+        left_id="o_orderkey",
+        left_ts="o_orderdate",
+        right_ts="o_orderdate",
+        band_us=days * 86_400_000_000,
+        out_col="n_within",
+    )
+
+
+ORDERS_NEARBY_COUNT_SQL = """
+SELECT a.o_orderkey,
+       CAST(count(b.o_orderkey) AS BIGINT) AS n_within
+FROM orders a
+LEFT JOIN orders b
+  ON b.o_orderdate > a.o_orderdate
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 3 DAY
+GROUP BY a.o_orderkey
+"""
+
+
+def user_event_burst(sf_dir: str, minutes: int = 10) -> "ray.data.Dataset":
+    """Keyed band range join: for each event, how many LATER events the
+    same user produced within ``minutes`` minutes (burst detection).  The
+    equi key (user) lets `stages/rangejoin.py` co-locate both sides by
+    key hash — no replication, one ts-sorted searchsorted per key slice
+    per bucket."""
+    from ner_funtool_ray.stages.rangejoin import banded_count_join
+
+    events = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return banded_count_join(
+        events,
+        events,
+        left_id="event_id",
+        left_ts="ts",
+        right_ts="ts",
+        band_us=minutes * 60_000_000,
+        key="user_id",
+        out_col="n_burst",
+    )
+
+
+USER_EVENT_BURST_SQL = """
+SELECT a.event_id,
+       CAST(count(b.event_id) AS BIGINT) AS n_burst
+FROM events a
+LEFT JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+GROUP BY a.event_id
+"""
