@@ -753,7 +753,10 @@ adc AS (
 )
 SELECT vec_id, round(adc, 4) AS score
 FROM adc
-ORDER BY adc DESC, vec_id
+-- rank on the ROUNDED adc: PQ makes exact adc ties at the k boundary
+-- common, and hash-agg sum order isn't bit-stable between tied groups,
+-- so full-precision ranking flips the boundary id nondeterministically
+ORDER BY round(adc, 4) DESC, vec_id
 LIMIT 10
 """
 

@@ -491,7 +491,17 @@ def ivfpq_topk(
     the whole path — assignment, probes, codes, ADC ranking — has an
     exact DuckDB twin.  Output ``(vec_id, score)`` where score is the ADC
     approximation of cosine (query side exactly unit-normalized), ordered
-    (score DESC, id), rounded like the IVF twin."""
+    (score DESC, id).
+
+    Ranking happens on the ROUNDED score (``round_to``, default 4): PQ
+    maps different vectors to identical codes, so exact ADC ties at the
+    k boundary are COMMON, and the SQL twin assembles each adc as a
+    hash-agg ``sum`` of 8 joined doubles whose order isn't bit-stable
+    between tied groups — ranking full-precision values there flips the
+    boundary id nondeterministically (observed: two vectors tied at
+    rank 10/11).  Rounding first makes the (score, id) tie-break decide
+    identically in both engines; the residual x.xxxx5-boundary rounding
+    hazard is the documented millibit-style cross-engine risk."""
     query = np.asarray(query_vec, dtype=np.float64)
     d = dim or query.shape[0]
     if d % m:
@@ -523,6 +533,8 @@ def ivfpq_topk(
         idx = np.nonzero(mask)[0]
         codes = pq_encode(unit[idx], book)  # (B', m)
         adc = table[np.arange(book.shape[0])[None, :], codes].sum(axis=1)
+        if round_to is not None:
+            adc = np.round(adc, round_to)
         ids = np.asarray(batch[id_col]).astype(np.int64)[idx]
         byid = np.argsort(ids, kind="stable")
         take = byid[np.argsort(-adc[byid], kind="stable")[:k]]
@@ -532,14 +544,4 @@ def ivfpq_topk(
         })
 
     partial = embeddings.map_batches(candidates, batch_format="pyarrow")
-    top = partial.sort(["score", id_col], descending=[True, False]).limit(k)
-    if round_to is not None:
-        top = top.map_batches(
-            lambda t: t.set_column(
-                t.schema.get_field_index("score"),
-                "score",
-                pa.array(np.round(t["score"].to_numpy(), round_to)),
-            ),
-            batch_format="pyarrow",
-        )
-    return top
+    return partial.sort(["score", id_col], descending=[True, False]).limit(k)

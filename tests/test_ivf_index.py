@@ -136,3 +136,39 @@ def test_pq_encode_deterministic_and_compact():
     lut = np.einsum("sj,scj->sc", q.reshape(8, 8), cb)
     adc = lut[np.arange(8)[None, :], codes].sum(axis=1)
     assert adc[:50].mean() > adc[50:].mean() + 0.1
+
+
+def test_ivfpq_boundary_tie_breaks_by_lowest_id(ray_session):
+    """PQ maps duplicate vectors to identical codes, so exact ADC ties at
+    the k boundary are common; the rank must cut tie groups by lowest id
+    (the r4 flake: full-precision ranking let DuckDB's hash-agg sum order
+    flip the boundary id).  Ranking happens on the ROUNDED score."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from ner_funtool_ray.stages.similarity import ivfpq_topk
+
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=64)
+    # 30 identical vectors (one tie group) + the query vector itself
+    ids = list(range(1, 31)) + [0]
+    vecs = [v.tolist()] * 30 + [rng.normal(size=64).tolist()]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(5)
+    out = ivfpq_topk(
+        ds, np.asarray(vecs[-1]), k=10, n_centroids=4, n_probe=4,
+        m=8, ksub=16,
+    ).to_pandas()
+    dup_ids = [i for i in out["vec_id"].tolist() if i != 0]
+    # the tie group fills the remaining slots with its LOWEST ids, in order
+    assert dup_ids == sorted(dup_ids)
+    assert dup_ids == list(range(1, len(dup_ids) + 1))
+    assert len(out) == 10
