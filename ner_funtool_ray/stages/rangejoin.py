@@ -23,6 +23,18 @@ Two distributed plans, chosen by whether an equi key exists:
   counts are then summed by left id (a shuffle over 2·|left| count
   rows, not over matches).
 
+**Skew** (``n_salt``): a flash-crowd band (pure plan) or a hot key
+(keyed plan) concentrates one group; ``n_salt=s`` sub-splits every
+right group by a mixed ts hash into ``s`` shards and replicates lefts
+×s (so ×2s in the pure plan), turning the hottest group into ``s``
+parallel groups at the cost of s× more slim count partials.  Counts
+are additive, so the per-shard partials sum to the exact answer —
+``n_salt`` changes the schedule, never the result.  Caveat: rights with
+the IDENTICAL microsecond timestamp share a salt (the hash must be a
+row-layout-independent function of the data), so a crowd at one exact
+instant still lands together; at µs resolution that is the degenerate
+case, and its count contribution is a constant per left row anyway.
+
 Both plans are exact (integer-µs comparisons, no floats) and have
 DuckDB twins of the literal ``JOIN … ON b.ts > a.ts AND b.ts <= a.ts +
 INTERVAL`` form.
@@ -33,9 +45,19 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 multiplier
+
+
+def _salt_of(ts: np.ndarray, n_salt: int) -> np.ndarray:
+    """Deterministic, layout-independent shard of a ts column."""
+    if n_salt <= 1:
+        return np.zeros(len(ts), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        h = (ts.astype(np.uint64) * _MIX) >> np.uint64(33)
+    return (h % np.uint64(n_salt)).astype(np.int64)
 
 
 def _ts_us(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
@@ -56,21 +78,25 @@ def banded_count_join(
     band_us: int,
     key: str | None = None,
     n_buckets: int = 64,
+    n_salt: int = 1,
     out_col: str = "n_within",
 ) -> "ray.data.Dataset":
     """(left_id, count of right rows with right_ts ∈ (left_ts, left_ts +
     band_us], same ``key`` if given).  Lefts with zero matches are kept
-    (count 0) — LEFT-join count semantics."""
+    (count 0) — LEFT-join count semantics.  ``n_salt`` sub-shards hot
+    groups (see module docstring); any value gives identical results."""
     if band_us <= 0:
         raise ValueError(f"band_us must be positive, got {band_us}")
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
 
     if key is not None:
         return _keyed_plan(
             left, right, left_id, left_ts, right_ts, band_us, key,
-            n_buckets, out_col,
+            n_buckets, n_salt, out_col,
         )
     return _binned_plan(
-        left, right, left_id, left_ts, right_ts, band_us, out_col
+        left, right, left_id, left_ts, right_ts, band_us, n_salt, out_col
     )
 
 
@@ -83,29 +109,65 @@ def _count_in_bands(
     return (hi - lo).astype(np.int64)
 
 
+def _sum_partials(partials, left_id, out_col):
+    """groupby-sum of (lid, partial) count rows → (left_id, out_col)."""
+    agg = partials.groupby("lid").sum("partial")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                left_id: batch["lid"],
+                out_col: batch["sum(partial)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _replicate(arrs: dict[str, np.ndarray], times: int) -> dict:
+    if times == 1:
+        return arrs
+    return {k: np.tile(v, times) for k, v in arrs.items()}
+
+
 def _keyed_plan(
-    left, right, left_id, left_ts, right_ts, band_us, key, n_buckets, out_col
+    left, right, left_id, left_ts, right_ts, band_us, key,
+    n_buckets, n_salt, out_col,
 ):
     def tag_left(batch: pa.Table) -> pa.Table:
         k = batch[key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = {
+            "k": k,
+            "lid": batch[left_id]
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "ts_us": _ts_us(batch[left_ts]),
+        }
+        rep = _replicate(base, n_salt)
+        # left replica j probes right shard j of its key bucket
+        salts = np.repeat(np.arange(n_salt, dtype=np.int64), len(batch))
+        bucket = (rep["k"] % n_buckets) * n_salt + salts
+        n = len(bucket)
         return pa.table(
             {
-                "bucket": pa.array((k % n_buckets).astype(np.int64)),
-                "k": pa.array(k),
-                "lid": batch[left_id].cast(pa.int64()),
-                "ts_us": pa.array(_ts_us(batch[left_ts])),
-                "side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+                "bucket": pa.array(bucket),
+                "k": pa.array(rep["k"]),
+                "lid": pa.array(rep["lid"]),
+                "ts_us": pa.array(rep["ts_us"]),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
             }
         )
 
     def tag_right(batch: pa.Table) -> pa.Table:
         k = batch[key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _ts_us(batch[right_ts])
+        bucket = (k % n_buckets) * n_salt + _salt_of(ts, n_salt)
         return pa.table(
             {
-                "bucket": pa.array((k % n_buckets).astype(np.int64)),
+                "bucket": pa.array(bucket),
                 "k": pa.array(k),
                 "lid": pa.array(np.zeros(len(batch), dtype=np.int64)),
-                "ts_us": pa.array(_ts_us(batch[right_ts])),
+                "ts_us": pa.array(ts),
                 "side": pa.array(np.ones(len(batch), dtype=np.int8)),
             }
         )
@@ -113,6 +175,9 @@ def _keyed_plan(
     both = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
+    direct = n_salt == 1  # each left appears once → counts are final
+    id_out = left_id if direct else "lid"
+    cnt_out = out_col if direct else "partial"
 
     def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lefts = g[g["side"] == 0]
@@ -120,8 +185,8 @@ def _keyed_plan(
         if lefts.empty:
             return pd.DataFrame(
                 {
-                    left_id: pd.Series([], dtype="int64"),
-                    out_col: pd.Series([], dtype="int64"),
+                    id_out: pd.Series([], dtype="int64"),
+                    cnt_out: pd.Series([], dtype="int64"),
                 }
             )
         out = np.zeros(len(lefts), dtype=np.int64)
@@ -139,36 +204,48 @@ def _keyed_plan(
                 if s == e:
                     continue
                 out[l_sel] = _count_in_bands(l_ts[l_sel], r_ts[s:e], band_us)
-        return pd.DataFrame(
-            {left_id: lefts["lid"].to_numpy(), out_col: out}
-        )
+        return pd.DataFrame({id_out: lefts["lid"].to_numpy(), cnt_out: out})
 
-    return (
+    counted = (
         both.groupby("bucket").map_groups(count_bucket, batch_format="pandas")
     )
+    if direct:
+        return counted
+    return _sum_partials(counted, left_id, out_col)
 
 
-def _binned_plan(left, right, left_id, left_ts, right_ts, band_us, out_col):
+def _binned_plan(
+    left, right, left_id, left_ts, right_ts, band_us, n_salt, out_col
+):
     def tag_left(batch: pa.Table) -> pa.Table:
         ts = _ts_us(batch[left_ts])
         lid = batch[left_id].cast(pa.int64()).to_numpy(zero_copy_only=False)
         b0 = ts // band_us
         # the band (t, t+band] overlaps exactly bins t//band and t//band+1
-        bins = np.concatenate([b0, b0 + 1])
+        bins2 = np.concatenate([b0, b0 + 1])
+        rep = _replicate(
+            {"bin": bins2, "lid": np.tile(lid, 2), "ts_us": np.tile(ts, 2)},
+            n_salt,
+        )
+        salts = np.repeat(
+            np.arange(n_salt, dtype=np.int64), 2 * len(batch)
+        )
+        part = rep["bin"] * n_salt + salts
         return pa.table(
             {
-                "bin": pa.array(bins),
-                "lid": pa.array(np.concatenate([lid, lid])),
-                "ts_us": pa.array(np.concatenate([ts, ts])),
-                "side": pa.array(np.zeros(2 * len(batch), dtype=np.int8)),
+                "bin": pa.array(part),
+                "lid": pa.array(rep["lid"]),
+                "ts_us": pa.array(rep["ts_us"]),
+                "side": pa.array(np.zeros(len(part), dtype=np.int8)),
             }
         )
 
     def tag_right(batch: pa.Table) -> pa.Table:
         ts = _ts_us(batch[right_ts])
+        part = (ts // band_us) * n_salt + _salt_of(ts, n_salt)
         return pa.table(
             {
-                "bin": pa.array(ts // band_us),
+                "bin": pa.array(part),
                 "lid": pa.array(np.zeros(len(batch), dtype=np.int64)),
                 "ts_us": pa.array(ts),
                 "side": pa.array(np.ones(len(batch), dtype=np.int8)),
@@ -203,15 +280,5 @@ def _binned_plan(left, right, left_id, left_ts, right_ts, band_us, out_col):
     partials = (
         both.groupby("bin").map_groups(count_bin, batch_format="pandas")
     )
-    # each left id has exactly 2 partials (its 2 replicas); sum them
-    agg = partials.groupby("lid").sum("partial")
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                left_id: batch["lid"],
-                out_col: batch["sum(partial)"].cast(pa.int64()),
-            }
-        )
-
-    return agg.map_batches(rename, batch_format="pyarrow")
+    # each left id has exactly 2·n_salt partials (its replicas); sum them
+    return _sum_partials(partials, left_id, out_col)

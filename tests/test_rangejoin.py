@@ -22,7 +22,7 @@ def _brute(left_df, right_df, band_us, key=None):
     return out
 
 
-def _run(left_df, right_df, band_us, key=None):
+def _run(left_df, right_df, band_us, key=None, n_salt=1):
     from ner_funtool_ray.stages.rangejoin import banded_count_join
 
     cols = ["id", "ts"] + ([key] if key else [])
@@ -31,7 +31,7 @@ def _run(left_df, right_df, band_us, key=None):
     right = ray.data.from_arrow(pa.Table.from_pandas(right_df[rcols]))
     got = banded_count_join(
         left, right, left_id="id", left_ts="ts", right_ts="ts",
-        band_us=band_us, key=key, n_buckets=4,
+        band_us=band_us, key=key, n_buckets=4, n_salt=n_salt,
     ).to_pandas()
     return dict(zip(got["id"].astype(int), got["n_within"].astype(int)))
 
@@ -77,6 +77,34 @@ def test_keyed_isolates_keys(ray_session):
     left = pd.DataFrame({"id": [1, 2], "ts": [0, 0], "k": [1, 2]})
     right = pd.DataFrame({"ts": [5, 6, 7], "k": [1, 1, 2]})
     assert _run(left, right, band_us=10, key="k") == {1: 2, 2: 1}
+
+
+@pytest.mark.parametrize("key", [None, "k"])
+@pytest.mark.parametrize("n_salt", [2, 5])
+def test_salting_changes_schedule_not_result(ray_session, key, n_salt):
+    """Hot-group sub-sharding (n_salt) must be result-invariant: counts
+    are additive over the ts-hash shards."""
+    rng = np.random.default_rng(3)
+    # hot cluster: half the rights inside one band-width window
+    hot = rng.integers(500, 550, 60)
+    cold = rng.integers(0, 1000, 60)
+    left = pd.DataFrame(
+        {
+            "id": np.arange(40),
+            "ts": rng.integers(400, 700, 40),
+            "k": rng.integers(0, 3, 40),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "ts": np.concatenate([hot, cold]),
+            "k": rng.integers(0, 3, 120),
+        }
+    )
+    band = 50
+    assert _run(left, right, band, key=key, n_salt=n_salt) == _brute(
+        left, right, band, key=key
+    )
 
 
 def test_bad_band_raises(ray_session):
