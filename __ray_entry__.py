@@ -1610,6 +1610,14 @@ def _q_user_funnel_counts(sf_dir: str):
     return user_funnel_counts(sf_dir)
 
 
+def _q_event_user_skew(sf_dir: str):
+    """Key-skew profile (top-20 heaviest user_ids, share + cume share) —
+    the diagnostic behind the hot-key mitigations."""
+    from ner_funtool_ray.pipelines.analytic import event_user_skew
+
+    return event_user_skew(sf_dir)
+
+
 def _q_doc_bigram_commonality(sf_dir: str):
     from ner_funtool_ray.pipelines.analytic import doc_bigram_commonality
 
@@ -2449,6 +2457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_bfs_depth": _q_entity_bfs_depth,
         "entity_triangle_counts": _q_entity_triangle_counts,
         "user_funnel_counts": _q_user_funnel_counts,
+        "event_user_skew": _q_event_user_skew,
         "doc_bigram_commonality": _q_doc_bigram_commonality,
         "doc_repetition": _q_doc_repetition,
         "events_gapfill": _q_events_gapfill,
@@ -2664,6 +2673,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_bfs_depth": _graph.make_bfs_sql(_TRIPLES_SQL),
         "entity_triangle_counts": _graph.make_triangles_sql(_TRIPLES_SQL),
         "user_funnel_counts": _rel.USER_FUNNEL_COUNTS_SQL,
+        "event_user_skew": _ana.EVENT_USER_SKEW_SQL,
         "doc_bigram_commonality": _ana.DOC_BIGRAM_COMMONALITY_SQL,
         "doc_repetition": _ana.DOC_REPETITION_SQL,
         "events_gapfill": _rel.EVENTS_GAPFILL_SQL,

@@ -1801,3 +1801,79 @@ ranked AS (
 )
 SELECT bigram, cab, lift_ppm FROM ranked WHERE rn <= 20
 """
+
+
+def event_user_skew(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Key-skew profile of `events.user_id`: the top-``k`` heaviest keys
+    with count, dense rank, share of total and cumulative share — the
+    diagnostic that decides WHEN the engine's hot-key mitigations
+    (`stages/skewjoin.py` map-side broadcast, `stages/rangejoin.py`
+    ``n_salt``) are worth their replication cost.  At 100 TB this is the
+    first query run against any new key column.
+
+    Plan: per-batch partial counts (combiner) → one groupby(key) sum over
+    DISTINCT keys (not raw rows) → distributed sort + limit(k) → the k
+    rows (bounded by construction) get rank/share driver-side.  total is
+    an integer ``Dataset.sum``; every share is one int/int double divide
+    (correctly rounded, so bit-identical to the DuckDB twin), and the
+    cumulative share divides an INTEGER running sum — never a float
+    accumulation."""
+    ev = read_parquet_auto(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            batch["user_id"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(vals, type=pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .sum("cnt")
+    )
+    total = int(counts.sum("sum(cnt)"))
+    top = (
+        counts.sort(["sum(cnt)", "user_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    cnt = top["sum(cnt)"].to_numpy(np.int64)
+    cume = np.cumsum(cnt)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(top["user_id"].to_numpy(np.int64)),
+                "cnt": pa.array(cnt),
+                "rnk": pa.array(np.arange(1, len(cnt) + 1, dtype=np.int64)),
+                "share": pa.array(cnt / float(total), type=pa.float64()),
+                "cume_share": pa.array(
+                    cume / float(total), type=pa.float64()
+                ),
+            }
+        )
+    )
+
+
+EVENT_USER_SKEW_SQL = """
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+     t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+     r AS (SELECT user_id, cnt,
+                  row_number() OVER (ORDER BY cnt DESC, user_id) AS rnk,
+                  sum(cnt) OVER (ORDER BY cnt DESC, user_id
+                                 ROWS UNBOUNDED PRECEDING) AS cume_cnt
+           FROM c)
+SELECT r.user_id,
+       CAST(r.cnt AS BIGINT) AS cnt,
+       CAST(r.rnk AS BIGINT) AS rnk,
+       r.cnt / t.total AS share,
+       r.cume_cnt / t.total AS cume_share
+FROM r, t
+WHERE r.rnk <= 20
+ORDER BY r.rnk
+"""
