@@ -144,3 +144,45 @@ def test_bundle_tag_stage_and_server(ray_session, tmp_path):
     assert out and out[0]["text"] == "中国首都是北京"
     assert isinstance(out[0]["entities"], list)
     stop_server("bundle-test-server")
+
+
+def test_train_export_serve_lifecycle(ray_session, tmp_path):
+    """The full reference lifecycle on Ray: train (epoch loop) → export
+    (K7 bundle) → serve (T6 actor) → predictions match a direct tagger
+    built from the trained weights."""
+    import numpy as np
+
+    from ner_funtool_ray.pipelines.training import train_bilstm_crf
+    from ner_funtool_ray.serving import predict, start_server, stop_server
+    from ner_funtool_ray.stages.tag import NerTagger
+
+    w, history = train_bilstm_crf(
+        "/root/testdata/sf0.001",
+        epochs=1,
+        batch_size=64,
+        n_workers=2,
+        eval_each_epoch=False,
+    )
+    d = str(tmp_path / "trained")
+    export_bundle(d, model="bilstm", weights=w)
+    loaded = load_bundle(d)
+    np.testing.assert_array_equal(loaded.model.w["proj_w"], w["proj_w"])
+
+    server = start_server(name="lifecycle-test-server", bundle=d)
+    got = predict(server, [SENTS[0]])
+    stop_server("lifecycle-test-server")
+
+    direct = NerTagger()
+    direct.model.w = w
+    direct.model = type(direct.model)(w)
+    import pyarrow as _pa
+
+    out = direct(_pa.table({"sentence": [SENTS[0]]}))
+    want = []
+    from ner_funtool_ray.functions.spans import decode_bmes
+
+    for typ, surf, s, e in decode_bmes(
+        SENTS[0], out["pred_tags"][0].as_py()
+    ):
+        want.append({"type": typ, "surface": surf, "start": s, "end": e})
+    assert got[0]["entities"] == want
