@@ -1610,6 +1610,15 @@ def _q_user_funnel_counts(sf_dir: str):
     return user_funnel_counts(sf_dir)
 
 
+def _q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (nation, year): per-(nation,year) revenue + nation
+    subtotals + grand total, integer cents; rollup levels derived from
+    the bounded base aggregate, never a fact re-scan per level."""
+    from ner_funtool_ray.pipelines.relational import revenue_rollup
+
+    return revenue_rollup(sf_dir)
+
+
 def _q_event_user_skew(sf_dir: str):
     """Key-skew profile (top-20 heaviest user_ids, share + cume share) —
     the diagnostic behind the hot-key mitigations."""
@@ -2458,6 +2467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_triangle_counts": _q_entity_triangle_counts,
         "user_funnel_counts": _q_user_funnel_counts,
         "event_user_skew": _q_event_user_skew,
+        "revenue_rollup": _q_revenue_rollup,
         "doc_bigram_commonality": _q_doc_bigram_commonality,
         "doc_repetition": _q_doc_repetition,
         "events_gapfill": _q_events_gapfill,
@@ -2674,6 +2684,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_triangle_counts": _graph.make_triangles_sql(_TRIPLES_SQL),
         "user_funnel_counts": _rel.USER_FUNNEL_COUNTS_SQL,
         "event_user_skew": _ana.EVENT_USER_SKEW_SQL,
+        "revenue_rollup": _rel.REVENUE_ROLLUP_SQL,
         "doc_bigram_commonality": _ana.DOC_BIGRAM_COMMONALITY_SQL,
         "doc_repetition": _ana.DOC_REPETITION_SQL,
         "events_gapfill": _rel.EVENTS_GAPFILL_SQL,

@@ -2324,3 +2324,191 @@ LEFT JOIN events b
  AND b.ts <= a.ts + INTERVAL 10 MINUTE
 GROUP BY a.event_id
 """
+
+
+def revenue_rollup(
+    sf_dir: str,
+    broadcast_limit: int = 5_000_000,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP (nation, year) over order revenue — the
+    subtotal/grand-total warehouse shape: one row per (nation, year),
+    one per-nation subtotal row (yr = 0 sentinel) and one grand-total
+    row (n_name = 'ALL', yr = 0); integer cents throughout so every
+    level is bit-exact vs DuckDB's ``GROUP BY ROLLUP``.
+
+    Plan: the (nation, year) BASE aggregate uses the same size-guarded
+    join as :func:`revenue_by_nation` (broadcast customer dict under
+    ``broadcast_limit``, else the bucketed kind-tagged shuffle join);
+    the rollup levels are then derived FROM the base, which is bounded
+    by |nations| × |years| (hundreds of rows at any corpus scale), so
+    the driver-side subtotal expansion is safe by construction — the
+    fact table is never re-scanned per level."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nkey2name = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    n_customers = parquet_num_rows(f"{sf_dir}/customer.parquet")
+    orders_cols = ["o_custkey", "o_totalprice", "o_orderdate"]
+
+    if n_customers <= broadcast_limit:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        cust2nation = {
+            c: nkey2name[n]
+            for c, n in zip(
+                cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()
+            )
+        }
+        lookup_ref = ray.put(cust2nation)
+
+        def join(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(lookup_ref)
+            names = [lookup.get(c) for c in batch["o_custkey"].to_pylist()]
+            df = pd.DataFrame(
+                {
+                    "n_name": names,
+                    "yr": pc.year(batch["o_orderdate"])
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False),
+                    "rev_c": _cents(batch["o_totalprice"]).to_numpy(),
+                }
+            )
+            agg = (
+                df.groupby(["n_name", "yr"], sort=False)["rev_c"]
+                .sum()
+                .reset_index()
+            )
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        base = (
+            read_parquet_auto(f"{sf_dir}/orders.parquet", columns=orders_cols)
+            .map_batches(join, batch_format="pyarrow")
+            .groupby(["n_name", "yr"])
+            .aggregate(Sum("rev_c", alias_name="rev_c"))
+        )
+    else:
+        name_ref = ray.put(nkey2name)
+
+        def order_partials(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "custkey": batch["o_custkey"].to_numpy(),
+                    "yr": pc.year(batch["o_orderdate"])
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False),
+                    "rev_c": _cents(batch["o_totalprice"]).to_numpy(),
+                }
+            )
+            agg = (
+                df.groupby(["custkey", "yr"], sort=False)["rev_c"]
+                .sum()
+                .reset_index()
+            )
+            agg["nationkey"] = np.int64(-1)
+            agg["kind"] = np.int8(0)
+            agg["bucket"] = (agg["custkey"] % n_buckets).astype(np.int64)
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        def cust_rows(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "custkey": batch["c_custkey"].to_numpy(),
+                    "yr": np.zeros(batch.num_rows, dtype=np.int64),
+                    "rev_c": np.zeros(batch.num_rows, dtype=np.int64),
+                    "nationkey": batch["c_nationkey"].to_numpy().astype(np.int64),
+                    "kind": np.full(batch.num_rows, 1, dtype=np.int8),
+                }
+            )
+            df["bucket"] = (df["custkey"] % n_buckets).astype(np.int64)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        orders_side = read_parquet_auto(
+            f"{sf_dir}/orders.parquet", columns=orders_cols
+        ).map_batches(order_partials, batch_format="pyarrow")
+        cust_side = read_parquet_auto(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).map_batches(cust_rows, batch_format="pyarrow")
+
+        def bucket_join(group: pd.DataFrame) -> pa.Table:
+            dim = group[group["kind"] == 1]
+            fact = group[group["kind"] == 0]
+            if fact.empty:
+                return pa.table(
+                    {
+                        "n_name": pa.array([], type=pa.string()),
+                        "yr": pa.array([], type=pa.int64()),
+                        "rev_c": pa.array([], type=pa.int64()),
+                    }
+                )
+            nk = fact["custkey"].map(
+                pd.Series(
+                    dim["nationkey"].to_numpy(), index=dim["custkey"].to_numpy()
+                )
+            )
+            names = nk.map(ray.get(name_ref))
+            agg = (
+                pd.DataFrame(
+                    {
+                        "n_name": names,
+                        "yr": fact["yr"].to_numpy(),
+                        "rev_c": fact["rev_c"].to_numpy(),
+                    }
+                )
+                .groupby(["n_name", "yr"], sort=False)["rev_c"]
+                .sum()
+                .reset_index()
+            )
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        base = (
+            orders_side.union(cust_side)
+            .groupby("bucket")
+            .map_groups(bucket_join, batch_format="pandas")
+            .groupby(["n_name", "yr"])
+            .aggregate(Sum("rev_c", alias_name="rev_c"))
+        )
+
+    # rollup levels from the bounded base (|nations| × |years| rows)
+    bdf = base.to_pandas()
+    nation_sub = (
+        bdf.groupby("n_name", sort=False)["rev_c"].sum().reset_index()
+    )
+    nation_sub["yr"] = np.int64(0)
+    grand = pd.DataFrame(
+        {"n_name": ["ALL"], "yr": np.int64(0), "rev_c": [bdf["rev_c"].sum()]}
+    )
+    out = pd.concat(
+        [bdf[["n_name", "yr", "rev_c"]], nation_sub[["n_name", "yr", "rev_c"]],
+         grand],
+        ignore_index=True,
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_name": pa.array(out["n_name"], type=pa.string()),
+                "yr": pa.array(out["yr"].to_numpy(np.int64)),
+                "rev_cents": pa.array(out["rev_c"].to_numpy(np.int64)),
+            }
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT COALESCE(n_name, 'ALL') AS n_name,
+       CAST(COALESCE(yr, 0) AS BIGINT) AS yr,
+       CAST(sum(cents) AS BIGINT) AS rev_cents
+FROM (
+  SELECT n.n_name,
+         year(o.o_orderdate) AS yr,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+) GROUP BY ROLLUP (n_name, yr)
+"""

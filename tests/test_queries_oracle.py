@@ -101,6 +101,19 @@ def test_revenue_by_nation_shuffle_join_fallback_matches_oracle():
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
 
 
+def test_revenue_rollup_fallback_matches_oracle():
+    # broadcast_limit=0 forces the bucketed kind-tagged shuffle join for
+    # the (nation, year) base; the rollup levels must still be bit-exact
+    from ner_funtool_ray.pipelines.relational import revenue_rollup
+
+    got = _normalize(
+        revenue_rollup(SF_DIR, broadcast_limit=0).to_pandas()
+    )
+    con = _duck(SF_DIR)
+    expect = _normalize(con.sql(ORACLES["revenue_rollup"]).df())
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
 def test_customers_without_big_orders_fallback_matches_oracle():
     # broadcast_limit=0 forces the fully distributed bucketed anti-join;
     # it must equal the broadcast np.isin path / the SQL twin exactly
