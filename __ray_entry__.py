@@ -1619,6 +1619,13 @@ def _q_revenue_rollup(sf_dir: str):
     return revenue_rollup(sf_dir)
 
 
+def _q_revenue_cube(sf_dir: str):
+    """GROUP BY CUBE (nation, year): ROLLUP + per-year subtotals."""
+    from ner_funtool_ray.pipelines.relational import revenue_cube
+
+    return revenue_cube(sf_dir)
+
+
 def _q_event_user_skew(sf_dir: str):
     """Key-skew profile (top-20 heaviest user_ids, share + cume share) —
     the diagnostic behind the hot-key mitigations."""
@@ -2468,6 +2475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel_counts": _q_user_funnel_counts,
         "event_user_skew": _q_event_user_skew,
         "revenue_rollup": _q_revenue_rollup,
+        "revenue_cube": _q_revenue_cube,
         "doc_bigram_commonality": _q_doc_bigram_commonality,
         "doc_repetition": _q_doc_repetition,
         "events_gapfill": _q_events_gapfill,
@@ -2685,6 +2693,7 @@ def oracle_sql() -> dict[str, str]:
         "user_funnel_counts": _rel.USER_FUNNEL_COUNTS_SQL,
         "event_user_skew": _ana.EVENT_USER_SKEW_SQL,
         "revenue_rollup": _rel.REVENUE_ROLLUP_SQL,
+        "revenue_cube": _rel.REVENUE_CUBE_SQL,
         "doc_bigram_commonality": _ana.DOC_BIGRAM_COMMONALITY_SQL,
         "doc_repetition": _ana.DOC_REPETITION_SQL,
         "events_gapfill": _rel.EVENTS_GAPFILL_SQL,

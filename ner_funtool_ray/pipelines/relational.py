@@ -2326,24 +2326,16 @@ GROUP BY a.event_id
 """
 
 
-def revenue_rollup(
+def _nation_year_revenue_base(
     sf_dir: str,
     broadcast_limit: int = 5_000_000,
     n_buckets: int = 32,
 ) -> "ray.data.Dataset":
-    """GROUP BY ROLLUP (nation, year) over order revenue — the
-    subtotal/grand-total warehouse shape: one row per (nation, year),
-    one per-nation subtotal row (yr = 0 sentinel) and one grand-total
-    row (n_name = 'ALL', yr = 0); integer cents throughout so every
-    level is bit-exact vs DuckDB's ``GROUP BY ROLLUP``.
-
-    Plan: the (nation, year) BASE aggregate uses the same size-guarded
-    join as :func:`revenue_by_nation` (broadcast customer dict under
-    ``broadcast_limit``, else the bucketed kind-tagged shuffle join);
-    the rollup levels are then derived FROM the base, which is bounded
-    by |nations| × |years| (hundreds of rows at any corpus scale), so
-    the driver-side subtotal expansion is safe by construction — the
-    fact table is never re-scanned per level."""
+    """(n_name, yr, rev_c) base aggregate shared by :func:`revenue_rollup`
+    and :func:`revenue_cube`: the same size-guarded join as
+    :func:`revenue_by_nation` (broadcast customer dict under
+    ``broadcast_limit``, else the bucketed kind-tagged shuffle join),
+    keyed by (nation, order year), integer cents."""
     import pyarrow.parquet as pq
 
     nat = pq.read_table(
@@ -2474,20 +2466,11 @@ def revenue_rollup(
             .aggregate(Sum("rev_c", alias_name="rev_c"))
         )
 
-    # rollup levels from the bounded base (|nations| × |years| rows)
-    bdf = base.to_pandas()
-    nation_sub = (
-        bdf.groupby("n_name", sort=False)["rev_c"].sum().reset_index()
-    )
-    nation_sub["yr"] = np.int64(0)
-    grand = pd.DataFrame(
-        {"n_name": ["ALL"], "yr": np.int64(0), "rev_c": [bdf["rev_c"].sum()]}
-    )
-    out = pd.concat(
-        [bdf[["n_name", "yr", "rev_c"]], nation_sub[["n_name", "yr", "rev_c"]],
-         grand],
-        ignore_index=True,
-    )
+    return base
+
+
+def _levels_to_dataset(frames: "list[pd.DataFrame]") -> "ray.data.Dataset":
+    out = pd.concat(frames, ignore_index=True)
     return ray.data.from_arrow(
         pa.table(
             {
@@ -2496,6 +2479,64 @@ def revenue_rollup(
                 "rev_cents": pa.array(out["rev_c"].to_numpy(np.int64)),
             }
         )
+    )
+
+
+def revenue_rollup(
+    sf_dir: str,
+    broadcast_limit: int = 5_000_000,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP (nation, year) over order revenue — the
+    subtotal/grand-total warehouse shape: one row per (nation, year),
+    one per-nation subtotal row (yr = 0 sentinel) and one grand-total
+    row (n_name = 'ALL', yr = 0); integer cents throughout so every
+    level is bit-exact vs DuckDB's ``GROUP BY ROLLUP``.
+
+    The rollup levels are derived FROM the base aggregate, which is
+    bounded by |nations| × |years| (hundreds of rows at any corpus
+    scale), so the driver-side subtotal expansion is safe by
+    construction — the fact table is never re-scanned per level."""
+    bdf = _nation_year_revenue_base(
+        sf_dir, broadcast_limit, n_buckets
+    ).to_pandas()
+    nation_sub = (
+        bdf.groupby("n_name", sort=False)["rev_c"].sum().reset_index()
+    )
+    nation_sub["yr"] = np.int64(0)
+    grand = pd.DataFrame(
+        {"n_name": ["ALL"], "yr": np.int64(0), "rev_c": [bdf["rev_c"].sum()]}
+    )
+    return _levels_to_dataset(
+        [bdf[["n_name", "yr", "rev_c"]],
+         nation_sub[["n_name", "yr", "rev_c"]], grand]
+    )
+
+
+def revenue_cube(
+    sf_dir: str,
+    broadcast_limit: int = 5_000_000,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """GROUP BY CUBE (nation, year): ROLLUP's levels plus the per-YEAR
+    subtotal rows (n_name = 'ALL', yr = <year>) — all four grouping
+    sets, same sentinels, same bounded-base derivation."""
+    bdf = _nation_year_revenue_base(
+        sf_dir, broadcast_limit, n_buckets
+    ).to_pandas()
+    nation_sub = (
+        bdf.groupby("n_name", sort=False)["rev_c"].sum().reset_index()
+    )
+    nation_sub["yr"] = np.int64(0)
+    year_sub = bdf.groupby("yr", sort=False)["rev_c"].sum().reset_index()
+    year_sub["n_name"] = "ALL"
+    grand = pd.DataFrame(
+        {"n_name": ["ALL"], "yr": np.int64(0), "rev_c": [bdf["rev_c"].sum()]}
+    )
+    return _levels_to_dataset(
+        [bdf[["n_name", "yr", "rev_c"]],
+         nation_sub[["n_name", "yr", "rev_c"]],
+         year_sub[["n_name", "yr", "rev_c"]], grand]
     )
 
 
@@ -2511,4 +2552,19 @@ FROM (
   JOIN customer c ON c.c_custkey = o.o_custkey
   JOIN nation n ON n.n_nationkey = c.c_nationkey
 ) GROUP BY ROLLUP (n_name, yr)
+"""
+
+
+REVENUE_CUBE_SQL = """
+SELECT COALESCE(n_name, 'ALL') AS n_name,
+       CAST(COALESCE(yr, 0) AS BIGINT) AS yr,
+       CAST(sum(cents) AS BIGINT) AS rev_cents
+FROM (
+  SELECT n.n_name,
+         year(o.o_orderdate) AS yr,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+) GROUP BY CUBE (n_name, yr)
 """
