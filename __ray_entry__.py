@@ -1619,6 +1619,14 @@ def _q_revenue_rollup(sf_dir: str):
     return revenue_rollup(sf_dir)
 
 
+def _q_user_event_pivot(sf_dir: str):
+    """PIVOT crosstab: per-user event-type count columns via per-batch
+    crosstab partials + one groupby sum."""
+    from ner_funtool_ray.pipelines.analytic import user_event_pivot
+
+    return user_event_pivot(sf_dir)
+
+
 def _q_revenue_cube(sf_dir: str):
     """GROUP BY CUBE (nation, year): ROLLUP + per-year subtotals."""
     from ner_funtool_ray.pipelines.relational import revenue_cube
@@ -2476,6 +2484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_user_skew": _q_event_user_skew,
         "revenue_rollup": _q_revenue_rollup,
         "revenue_cube": _q_revenue_cube,
+        "user_event_pivot": _q_user_event_pivot,
         "doc_bigram_commonality": _q_doc_bigram_commonality,
         "doc_repetition": _q_doc_repetition,
         "events_gapfill": _q_events_gapfill,
@@ -2694,6 +2703,7 @@ def oracle_sql() -> dict[str, str]:
         "event_user_skew": _ana.EVENT_USER_SKEW_SQL,
         "revenue_rollup": _rel.REVENUE_ROLLUP_SQL,
         "revenue_cube": _rel.REVENUE_CUBE_SQL,
+        "user_event_pivot": _ana.USER_EVENT_PIVOT_SQL,
         "doc_bigram_commonality": _ana.DOC_BIGRAM_COMMONALITY_SQL,
         "doc_repetition": _ana.DOC_REPETITION_SQL,
         "events_gapfill": _rel.EVENTS_GAPFILL_SQL,

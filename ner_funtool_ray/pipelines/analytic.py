@@ -1877,3 +1877,56 @@ FROM r, t
 WHERE r.rnk <= 20
 ORDER BY r.rnk
 """
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """PIVOT/crosstab: one row per user, one int64 count column per event
+    type (the fixed-vocabulary wide layout feature stores want).  Ray
+    plan: per-batch crosstab partials (a (users × 5) dense count table
+    per batch — the combiner, so the shuffle carries one row per user
+    per batch, never raw events) → one groupby(user_id) sum.  The column
+    vocabulary is FIXED (schema can't depend on data at plan time);
+    unseen types stay all-zero columns, matching the SQL FILTER twin."""
+    ev = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        users, inv = np.unique(uid, return_inverse=True)
+        cols = {"user_id": pa.array(users, type=pa.int64())}
+        for t in _EVENT_TYPES:
+            sel = inv[et == t]
+            if len(sel):
+                cnt = np.bincount(sel, minlength=len(users)).astype(np.int64)
+            else:
+                cnt = np.zeros(len(users), dtype=np.int64)
+            cols[f"n_{t}"] = pa.array(cnt)
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES]
+        )
+    )
+    return agg
+
+
+USER_EVENT_PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id
+"""
