@@ -1846,6 +1846,12 @@ def _q_ensemble_report(sf_dir: str):
     return ensemble_mentions(sf_dir)
 
 
+def _q_event_anomaly_days(sf_dir: str):
+    from ner_funtool_ray.pipelines.mining import event_anomaly_days
+
+    return event_anomaly_days(sf_dir)
+
+
 def _q_events_dow_hour_heatmap(sf_dir: str):
     from ner_funtool_ray.pipelines.mining import events_dow_hour_heatmap
 
@@ -1982,6 +1988,12 @@ def _q_entity_ppr(sf_dir: str):
     from ner_funtool_ray.pipelines.graph import entity_ppr
 
     return entity_ppr(sf_dir)
+
+
+def _q_entity_source_hits(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_source_hits
+
+    return entity_source_hits(sf_dir)
 
 
 def _q_bigram_collocations(sf_dir: str):
@@ -2502,6 +2514,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngram_coverage": _q_doc_dup_ngram_coverage,
         "doc_dup_span_scrub": _q_doc_dup_span_scrub,
         "tfrecord_roundtrip": _q_tfrecord_roundtrip,
+        "entity_source_hits": _q_entity_source_hits,
+        "event_anomaly_days": _q_event_anomaly_days,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -2642,6 +2656,8 @@ def oracle_sql() -> dict[str, str]:
             _TRIPLES_SQL
         ),
         "entity_ppr": _graph.make_ppr_sql(_TRIPLES_SQL),
+        "entity_source_hits": _graph.make_hits_sql(_TRIPLES_SQL),
+        "event_anomaly_days": _min.EVENT_ANOMALY_DAYS_SQL,
         "basket_pair_confidence": _min.BASKET_PAIR_CONFIDENCE_SQL,
         "source_lang_diversity": _textops.SOURCE_LANG_DIVERSITY_SQL,
         "source_dedup_report": _textops.SOURCE_DEDUP_REPORT_SQL,

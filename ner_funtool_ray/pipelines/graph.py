@@ -1759,3 +1759,121 @@ __all__ += [
     "entity_kcore",
     "make_kcore_sql",
 ]
+
+
+def entity_source_hits(
+    sf_dir: str, iters: int = 3, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """HITS hub scores over the bipartite entity→doc ``appears_in``
+    layer — the Kleinberg mutual-reinforcement rule specialized to KG
+    curation: an entity is a strong HUB when it appears in strongly
+    "authoritative" docs, and a doc is authoritative when strong hub
+    entities appear in it (the salience signal an entity-centric corpus
+    ranker uses, complementary to ``entity_pagerank``'s co-occurrence
+    centrality).
+
+    Update rule (int64 fixed point, SCALE = 10⁹, sum-normalization so
+    every step is exactly reproducible integer arithmetic — the classic
+    L2 norm would put an irrational sqrt between engines):
+
+    - ``h0(e) = SCALE // n`` (n = #entities) — caps every later total at
+      SCALE so ``raw·SCALE`` never overflows int64;
+    - ``a_raw(d) = Σ_{e∈d} h(e)``; ``a(d) = a_raw(d)·SCALE // Σa_raw``;
+    - ``h_raw(e) = Σ_{d∋e} a(d)``; ``h(e) = h_raw(e)·SCALE // Σh_raw``.
+
+    Output ``(entity_id, hub_fp)``.  The aggregated bipartite layer is
+    gazetteer-bounded on the entity side but corpus-sized on the doc
+    side, so above ``driver_cap`` the identical rule runs distributed in
+    ``stages/graphops.hits_ds`` (entity/doc-bucketed joins + bounded
+    group sums + one scalar normalizer per half-step; parity-tested via
+    ``driver_cap=0``).  Identical unrolled iterations in the twin
+    (``make_hits_sql``) keep it hash-exact on either path."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir).materialize()
+    if triples.count() > driver_cap:
+        import pyarrow.compute as pc
+
+        from ner_funtool_ray.stages.graphops import hits_ds
+
+        membership = triples.map_batches(
+            lambda t: (
+                lambda f: pa.table(
+                    {
+                        "entity": f["subj"].cast(pa.string()),
+                        "doc": f["obj"].cast(pa.string()),
+                    }
+                )
+            )(t.filter(pc.equal(t["pred"], "appears_in"))),
+            batch_format="pyarrow",
+        )
+        return hits_ds(membership, iters=iters)
+    df = triples.to_pandas()
+    ap = df[df["pred"] == "appears_in"][["subj", "obj"]].drop_duplicates()
+    ents = np.sort(ap["subj"].unique())
+    docs = np.sort(ap["obj"].unique())
+    n = len(ents)
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "entity_id": pa.array([], type=pa.string()),
+                    "hub_fp": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    ei = ap["subj"].map({e: i for i, e in enumerate(ents)}).to_numpy(np.int64)
+    di = ap["obj"].map({d: i for i, d in enumerate(docs)}).to_numpy(np.int64)
+    h = np.full(n, SCALE // np.int64(n), dtype=np.int64)
+    for _ in range(iters):
+        ar = np.zeros(len(docs), dtype=np.int64)
+        np.add.at(ar, di, h[ei])
+        a = (ar * SCALE) // np.int64(ar.sum())
+        hr = np.zeros(n, dtype=np.int64)
+        np.add.at(hr, ei, a[di])
+        h = (hr * SCALE) // np.int64(hr.sum())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(ents, type=pa.string()),
+                "hub_fp": pa.array(h),
+            }
+        )
+    )
+
+
+def make_hits_sql(triples_sql: str, iters: int = 3) -> str:
+    """Twin of ``entity_source_hits``: the sum-normalized HITS
+    iterations unrolled (same int64 floor divisions)."""
+    parts = [
+        f"WITH t AS ({triples_sql}),\n"
+        "b AS (SELECT DISTINCT subj AS e, obj AS d FROM t\n"
+        "      WHERE pred = 'appears_in'),\n"
+        "ne AS (SELECT CAST(count(DISTINCT e) AS BIGINT) AS n FROM b),\n"
+        "h0 AS (SELECT DISTINCT e,\n"
+        "       CAST(1000000000 // (SELECT n FROM ne) AS BIGINT) AS h\n"
+        "       FROM b)"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+ar{i} AS (SELECT d, CAST(sum(h) AS BIGINT) AS ar
+         FROM b JOIN h{i - 1} USING (e) GROUP BY d),
+a{i} AS (SELECT d,
+         (ar * 1000000000) // (SELECT CAST(sum(ar) AS BIGINT) FROM ar{i})
+           AS a
+         FROM ar{i}),
+hr{i} AS (SELECT e, CAST(sum(a) AS BIGINT) AS hr
+         FROM b JOIN a{i} USING (d) GROUP BY e),
+h{i} AS (SELECT e,
+         CAST((hr * 1000000000)
+              // (SELECT CAST(sum(hr) AS BIGINT) FROM hr{i}) AS BIGINT) AS h
+         FROM hr{i})"""
+        )
+    parts.append(
+        f"\nSELECT e AS entity_id, h AS hub_fp FROM h{iters}"
+    )
+    return "".join(parts)
+
+
+__all__ += ["entity_source_hits", "make_hits_sql"]

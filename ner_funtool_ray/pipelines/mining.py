@@ -942,3 +942,102 @@ FROM events GROUP BY 1, 2
 
 
 __all__ += ["events_dow_hour_heatmap", "EVENTS_DOW_HOUR_HEATMAP_SQL"]
+
+
+def event_anomaly_days(
+    sf_dir: str, window_days: int = 7, k: int = 3
+) -> "ray.data.Dataset":
+    """Burst / anomaly ranking over the daily event stream →
+    ``(event_type, day, n, prev_n, ratio_ppm)``: each type's ``k`` MOST
+    anomalous dense-calendar days, ranked by the integer ratio of the
+    day's count to its trailing ``window_days``-day average — the
+    triage view behind every ingestion-volume monitor (a fixed ×2
+    threshold goes silent as daily volume grows and relative noise
+    shrinks; the top-k ranking stays informative at any scale).
+
+    Pure-integer score (no float average):
+    ``ratio_ppm = n · window_days · 10⁶ // prev_n`` with ``prev_n`` the
+    count over the ``window_days`` days STRICTLY BEFORE the day; only
+    days with a full, non-silent window rank (``day ≥ min_day +
+    window_days``, ``prev_n > 0``); ties break on earlier day.
+
+    Daily (type, day) partials ride one bounded exchange
+    (``dense_daily_type_counts``); the window score is a vectorized
+    cumsum difference over the calendar × type-vocabulary grid."""
+    piv = dense_daily_type_counts(sf_dir)
+    grid = piv.index.to_numpy(np.int64)
+    idx = np.arange(len(grid))
+    out: dict[str, list] = {
+        "event_type": [], "day": [], "n": [], "prev_n": [], "ratio_ppm": []
+    }
+    w = np.int64(window_days)
+    for ty in sorted(piv.columns):
+        daily = piv[ty].to_numpy(np.int64)
+        cum = np.concatenate([[np.int64(0)], np.cumsum(daily)])
+        prev = cum[idx] - cum[np.maximum(0, idx - window_days)]
+        ok = (idx >= window_days) & (prev > 0)
+        ratio = np.zeros(len(grid), dtype=np.int64)
+        ratio[ok] = (daily[ok] * w * np.int64(1_000_000)) // prev[ok]
+        cand = np.flatnonzero(ok)
+        # top-k by (ratio DESC, day ASC): lexsort on (-ratio, day)
+        order = cand[np.lexsort((grid[cand], -ratio[cand]))][:k]
+        out["event_type"].extend([ty] * len(order))
+        out["day"].extend(grid[order].tolist())
+        out["n"].extend(daily[order].tolist())
+        out["prev_n"].extend(prev[order].tolist())
+        out["ratio_ppm"].extend(ratio[order].tolist())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(out["event_type"], type=pa.string()),
+                "day": pa.array(np.array(out["day"], dtype=np.int64)),
+                "n": pa.array(np.array(out["n"], dtype=np.int64)),
+                "prev_n": pa.array(np.array(out["prev_n"], dtype=np.int64)),
+                "ratio_ppm": pa.array(
+                    np.array(out["ratio_ppm"], dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+EVENT_ANOMALY_DAYS_SQL = f"""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+days AS (
+  SELECT unnest(range((SELECT min(day) FROM c),
+                      (SELECT max(day) FROM c) + 1)) AS day
+),
+types AS (SELECT DISTINCT event_type FROM c),
+grid AS (
+  SELECT t.event_type, d.day, coalesce(c.c, 0) AS c
+  FROM days d CROSS JOIN types t
+  LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+),
+w AS (
+  SELECT event_type, day, c,
+         coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY day
+                               RANGE BETWEEN 7 PRECEDING
+                                         AND 1 PRECEDING), 0) AS prev
+  FROM grid
+),
+r AS (
+  SELECT event_type, day, c, prev,
+         (c * 7 * 1000000) // prev AS ratio_ppm,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY (c * 7 * 1000000) // prev DESC, day
+         ) AS rn
+  FROM w
+  WHERE day >= (SELECT min(day) FROM c) + 7 AND prev > 0
+)
+SELECT event_type, CAST(day AS BIGINT) AS day, CAST(c AS BIGINT) AS n,
+       CAST(prev AS BIGINT) AS prev_n, CAST(ratio_ppm AS BIGINT) AS ratio_ppm
+FROM r WHERE rn <= 3
+"""
+
+
+__all__ += ["event_anomaly_days", "EVENT_ANOMALY_DAYS_SQL"]

@@ -66,6 +66,7 @@ __all__ = [
     "cooccur_conditional_ds",
     "negative_samples_ds",
     "shared_member_pairs_ds",
+    "hits_ds",
     "global_min_string",
 ]
 
@@ -907,6 +908,103 @@ def shared_member_pairs_ds(
                 t["shared"].cast(pa.int64()),
                 pa.scalar(min_shared, type=pa.int64()),
             )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def hits_ds(
+    membership: "ray.data.Dataset",
+    iters: int = 3,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed HITS over a bipartite membership layer — hubs are the
+    ``entity`` side, authorities the ``doc`` side.  The distributed twin
+    of ``pipelines/graph.entity_source_hits``'s driver core (same int64
+    fixed-point rule, parity-tested via ``driver_cap=0``).
+
+    Per iteration: (1) hub scores meet their edges in an entity-bucketed
+    ``attach_col`` join and a doc-bucketed group sum produces raw
+    authorities; (2) one scalar ``sum()`` yields the normalizer and a
+    streaming ``map_batches`` rescales to fixed point (sum-normalization
+    — ``(raw·SCALE)//total`` — instead of the classic L2 norm, so every
+    step stays in exactly-reproducible integer arithmetic); (3) the
+    mirrored join + group sum + rescale rewrites hubs.  Every shuffle is
+    a bounded-bucket exchange; each side's scores move once per join.
+    Overflow-safe by construction: ``h0 = SCALE // n`` makes each side's
+    total ≤ SCALE = 10⁹ forever, so ``raw·SCALE ≤ 10¹⁸ < 2⁶³``.
+
+    ``membership`` has columns ``(entity, doc)`` (distinct pairs); output
+    ``(entity_id, hub_fp)``.
+    """
+    edges = bucketed_group_sum(
+        membership, keys=["entity", "doc"], count_col="__c",
+        n_buckets=n_buckets,
+    ).drop_columns(["__c"]).materialize()
+    ents = bucketed_group_sum(
+        edges, keys=["entity"], count_col="__c", n_buckets=n_buckets
+    ).drop_columns(["__c"]).materialize()
+    n = ents.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "entity_id": pa.array([], type=pa.string()),
+                    "hub_fp": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    h0 = np.int64(SCALE // np.int64(n))
+
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity": t["entity"].cast(pa.string()),
+                "h": pa.array(np.full(t.num_rows, h0, dtype=np.int64)),
+            }
+        )
+
+    h = ents.map_batches(_init, batch_format="pyarrow").materialize()
+
+    def _rescale(key: str, raw: str, out: str, total: int):
+        tot = np.int64(total)
+
+        def fn(t: pa.Table) -> pa.Table:
+            vals = np.asarray(t[raw]).astype(np.int64)
+            return pa.table(
+                {
+                    key: t[key].cast(pa.string()),
+                    out: pa.array((vals * SCALE) // tot),
+                }
+            )
+
+        return fn
+
+    for _ in range(iters):
+        eh = attach_col(edges, "entity", h, "entity", "h", "__h",
+                        n_buckets=n_buckets)
+        a_raw = bucketed_group_sum(
+            eh, keys=["doc"], sum_cols={"__ar": "__h"}, count_col=None,
+            n_buckets=n_buckets,
+        ).materialize()
+        a_tot = int(a_raw.sum("__ar"))
+        a = a_raw.map_batches(
+            _rescale("doc", "__ar", "a", a_tot), batch_format="pyarrow"
+        )
+        ea = attach_col(edges, "doc", a, "doc", "a", "__a",
+                        n_buckets=n_buckets)
+        h_raw = bucketed_group_sum(
+            ea, keys=["entity"], sum_cols={"__hr": "__a"}, count_col=None,
+            n_buckets=n_buckets,
+        ).materialize()
+        h_tot = int(h_raw.sum("__hr"))
+        h = h_raw.map_batches(
+            _rescale("entity", "__hr", "h", h_tot), batch_format="pyarrow"
+        ).materialize()
+
+    return h.map_batches(
+        lambda t: pa.table(
+            {"entity_id": t["entity"].cast(pa.string()), "hub_fp": t["h"]}
         ),
         batch_format="pyarrow",
     )

@@ -352,3 +352,58 @@ def test_scale_shared_member_pairs():
         "max(shared)": 2,
         "count()": n_pairs,
     }
+
+
+def test_hits_distributed_parity():
+    import ner_funtool_ray.pipelines.graph as G
+
+    driver = _norm(
+        G.entity_source_hits(SF, iters=2).to_pandas(), ["entity_id"]
+    )
+    dist = _norm(
+        G.entity_source_hits(SF, iters=2, driver_cap=0).to_pandas(),
+        ["entity_id"],
+    )
+    pd.testing.assert_frame_equal(driver, dist)
+    assert len(driver) > 0 and (driver["hub_fp"] > 0).all()
+
+
+def test_scale_hits():
+    """hits_ds on a >2M-row membership layer: every component is the
+    same 2-entity × 2-doc block, so sum-normalization fixes every hub at
+    exactly SCALE // n_entities from the first iteration on."""
+    from ner_funtool_ray.stages.graphops import SCALE, hits_ds
+
+    n_pairs = 600_000  # 4 membership rows each → 2.4M > 2M
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["id"])
+        ent, doc = [], []
+        for suffix in ("a", "b"):
+            for off in (0, 1):
+                ent.append([f"e{i}{suffix}" for i in ids])
+                doc.append([f"d{2 * i + off:08d}" for i in ids])
+        return pa.table(
+            {
+                "entity": pa.array([x for part in ent for x in part]),
+                "doc": pa.array([x for part in doc for x in part]),
+            }
+        )
+
+    membership = ray.data.range(n_pairs).map_batches(
+        gen, batch_format="pyarrow"
+    )
+    assert membership.count() == 4 * n_pairs and 4 * n_pairs > 2_000_000
+    out = hits_ds(membership, iters=2)
+    n_ents = 2 * n_pairs
+    expected = int(SCALE) // n_ents
+    stats = out.aggregate(
+        ray.data.aggregate.Min("hub_fp"),
+        ray.data.aggregate.Max("hub_fp"),
+        ray.data.aggregate.Count(),
+    )
+    assert stats == {
+        "min(hub_fp)": expected,
+        "max(hub_fp)": expected,
+        "count()": n_ents,
+    }

@@ -140,3 +140,43 @@ def test_cohort_retention_offsets_nonnegative(ray_session):
     base = df[df["week_offset"] == 0].set_index("cohort_week")["n_users"]
     for _, r in df.iterrows():
         assert r["n_users"] <= base[r["cohort_week"]]
+
+
+def test_event_anomaly_days_ranking_properties():
+    import pyarrow.parquet as pq
+
+    from ner_funtool_ray.pipelines.mining import event_anomaly_days
+
+    df = event_anomaly_days(SF_DIR).to_pandas()
+    # exactly k=3 rows per type present in the stream, scores consistent
+    assert (df.groupby("event_type").size() == 3).all()
+    assert (df["prev_n"] > 0).all()
+    assert (
+        df["ratio_ppm"] == (df["n"] * 7 * 1_000_000) // df["prev_n"]
+    ).all()
+    # each row's n really is that day's count and prev_n the prior week's
+    ev = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "ts"]
+    ).to_pandas()
+    day = ev["ts"].values.astype("datetime64[us]").astype(
+        np.int64
+    ) // 86_400_000_000
+    ev = ev.assign(day=day)
+    for r in df.itertuples():
+        mask = ev["event_type"] == r.event_type
+        assert r.n == ((ev["day"] == r.day) & mask).sum()
+        assert r.prev_n == (
+            (ev["day"] >= r.day - 7) & (ev["day"] < r.day) & mask
+        ).sum()
+        # no unranked full-window day of this type beats the kept top-3
+        typed = ev[mask]
+        days = np.arange(typed["day"].min() + 7, typed["day"].max() + 1)
+        kept = set(df[df["event_type"] == r.event_type]["day"])
+        worst = df[df["event_type"] == r.event_type]["ratio_ppm"].min()
+        for d in days:
+            if d in kept:
+                continue
+            n_d = (typed["day"] == d).sum()
+            p_d = ((typed["day"] >= d - 7) & (typed["day"] < d)).sum()
+            if p_d > 0:
+                assert (n_d * 7 * 1_000_000) // p_d <= worst
