@@ -1816,6 +1816,18 @@ def _q_idle_rich_customers(sf_dir: str):
     return idle_rich_customers(sf_dir)
 
 
+def _q_part_supplier_variety(sf_dir: str):
+    from ner_funtool_ray.pipelines.decision import part_supplier_variety
+
+    return part_supplier_variety(sf_dir)
+
+
+def _q_dominant_suppliers(sf_dir: str):
+    from ner_funtool_ray.pipelines.decision import dominant_suppliers
+
+    return dominant_suppliers(sf_dir)
+
+
 def _q_ngram_containment(sf_dir: str):
     from ner_funtool_ray.sources.io import read_parquet_auto
     from ner_funtool_ray.stages.dedup import ngram_jaccard_pairs
@@ -2426,6 +2438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": _q_disjunctive_revenue,
         "waiting_suppliers": _q_waiting_suppliers,
         "idle_rich_customers": _q_idle_rich_customers,
+        "part_supplier_variety": _q_part_supplier_variety,
+        "dominant_suppliers": _q_dominant_suppliers,
         "entity_components": _q_entity_components,
         "order_price_mad_by_priority": _q_order_price_mad,
         "doc_chunks": _q_doc_chunks,
@@ -2635,6 +2649,8 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_revenue": _dec.DISJUNCTIVE_REVENUE_SQL,
         "waiting_suppliers": _dec.WAITING_SUPPLIERS_SQL,
         "idle_rich_customers": _dec.IDLE_RICH_CUSTOMERS_SQL,
+        "part_supplier_variety": _dec.PART_SUPPLIER_VARIETY_SQL,
+        "dominant_suppliers": _dec.DOMINANT_SUPPLIERS_SQL,
         "entity_components": _graph.make_components_sql(_TRIPLES_SQL),
         "order_price_mad_by_priority": _sta.ORDER_PRICE_MAD_SQL,
         "doc_chunks": _cur.make_doc_chunks_sql(),

@@ -1335,6 +1335,258 @@ GROUP BY n.n_name
 """
 
 
+def part_supplier_variety(
+    sf_dir: str, n_buckets: int = 32
+) -> "ray.data.Dataset":
+    """TPC-H Q16 shape → ``(p_brand, p_size, supplier_cnt)``: how many
+    DISTINCT suppliers shipped parts of each (brand, size), excluding
+    blacklisted suppliers (``s_acctbal < 0`` stands in for Q16's
+    "Customer Complaints" comment predicate — the schema has no
+    s_comment).  The classic NOT-IN anti-join + grouped COUNT DISTINCT
+    over a dimension attribute.
+
+    Plan: the blacklist and the part→(brand,size) attribute map are both
+    driver-bounded sides (supplier- and catalog-bounded — the same bound
+    ``important_parts``/Q17 rely on) broadcast once via ``ray.put``; the
+    fact scan collapses each batch to DISTINCT (brand_id, size, suppkey)
+    triples after the anti-filter and attribute probe, so the shuffle
+    carries attribute-level distinct triples, never raw lines; one
+    bucketed exchange finishes the global distinct, and a second bounded
+    group-sum counts suppliers per (brand, size).  Brand strings ride as
+    dictionary ids through both exchanges (integer bucket hashing) and
+    decode only at the end."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    bal = np.asarray(sup["s_acctbal"])
+    excluded = np.unique(
+        np.asarray(sup["s_suppkey"]).astype(np.int64)[bal < 0]
+    )
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    brands = np.asarray(part["p_brand"].to_pandas())
+    brand_vocab, brand_ids = np.unique(brands, return_inverse=True)
+    pk, attrs = _sorted_lookup(
+        np.asarray(part["p_partkey"]).astype(np.int64),
+        brand_ids.astype(np.int64) * np.int64(1 << 32)
+        + np.asarray(part["p_size"]).astype(np.int64),
+    )
+    refs = ray.put((excluded, pk, attrs))
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def triple_partial(batch: pa.Table) -> pa.Table:
+        excl, pkeys, attr = ray.get(refs)
+        pkey = np.asarray(batch["l_partkey"]).astype(np.int64)
+        skey = np.asarray(batch["l_suppkey"]).astype(np.int64)
+        keep = ~np.isin(skey, excl)
+        found, a = _probe(pkeys, attr, pkey)
+        keep &= found
+        df = pd.DataFrame(
+            {
+                "brand_id": a[keep] >> 32,
+                "p_size": a[keep] & np.int64(0xFFFFFFFF),
+                "suppkey": skey[keep],
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    triples = bucketed_group_sum(
+        ds.map_batches(triple_partial, batch_format="pyarrow"),
+        ["brand_id", "p_size", "suppkey"],
+        count_col="n",
+        n_buckets=n_buckets,
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["brand_id", "p_size"]).to_pandas()
+        g = (
+            df.groupby(["brand_id", "p_size"], sort=False)
+            .size()
+            .reset_index(name="supplier_cnt")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = bucketed_group_sum(
+        triples.map_batches(count_partial, batch_format="pyarrow"),
+        ["brand_id", "p_size"],
+        sum_cols={"supplier_cnt": "supplier_cnt"},
+        count_col=None,
+        n_buckets=n_buckets,
+        driver_cap=2_000_000,  # output is attribute-domain-bounded
+    )
+    vocab_ref = ray.put(brand_vocab)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        bid = np.asarray(batch["brand_id"]).astype(np.int64)
+        return pa.table(
+            {
+                "p_brand": pa.array(vocab[bid], type=pa.string()),
+                "p_size": pa.array(
+                    np.asarray(batch["p_size"]).astype(np.int64)
+                ),
+                "supplier_cnt": pa.array(
+                    np.asarray(batch["supplier_cnt"]).astype(np.int64)
+                ),
+            }
+        )
+
+    return counts.map_batches(decode, batch_format="pyarrow")
+
+
+PART_SUPPLIER_VARIETY_SQL = """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+def dominant_suppliers(
+    sf_dir: str, num: int = 3, den: int = 2, n_buckets: int = 32
+) -> "ray.data.Dataset":
+    """TPC-H Q20 shape → ``(s_suppkey, s_name, n_parts)``: suppliers that
+    shipped MORE than ``num/den`` (default 1.5×) of a part's AVERAGE
+    per-supplier quantity, with how many parts each dominates — the
+    correlated-aggregate threshold semi-join (Q20's "availqty > 0.5 ×
+    sum(l_quantity)" test re-anchored to shipped share, since the schema
+    has no partsupp table).  The threshold is RELATIVE to the part's
+    supplier count (like ``important_parts``): an absolute share cut goes
+    vacuous as the supplier pool grows — measured 0 rows at sf0.01 with
+    the fixed >50% test.
+
+    Decorrelated into aggregate-only passes: per-(part, supplier)
+    quantity sums ride ONE bucketed exchange (output bounded by the
+    part×supplier co-occurrence set, far below line count); a second
+    partkey-bucketed pass computes each part's total and supplier count
+    INSIDE the bucket (every pair of a part lands in the same bucket
+    because the bucket id hashes only partkey) and flags dominant pairs
+    with the cross-multiplied integer test ``pair·n_supp·den > tot·num``
+    — no division on either engine (DuckDB cross-multiplies in HUGEINT);
+    per-supplier domination counts finish in one bounded group-sum, and
+    names attach from the broadcast supplier dict (supplier-bounded, as
+    in ``waiting_suppliers``)."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    s2name = dict(
+        zip(sup["s_suppkey"].to_pylist(), sup["s_name"].to_pylist())
+    )
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_partkey": np.asarray(batch["l_partkey"]).astype(np.int64),
+                "l_suppkey": np.asarray(batch["l_suppkey"]).astype(np.int64),
+                "qc": np.asarray(_cents(batch["l_quantity"])),
+            }
+        )
+        g = (
+            df.groupby(["l_partkey", "l_suppkey"], sort=False)["qc"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = bucketed_group_sum(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"],
+        sum_cols={"qc": "qc"},
+        count_col=None,
+        n_buckets=n_buckets,
+    )
+
+    def by_part(batch: pa.Table) -> pa.Table:
+        t = batch.select(["l_partkey", "l_suppkey", "qc"])
+        return t.append_column(
+            "bucket",
+            pa.array(
+                np.asarray(t["l_partkey"]).astype(np.int64)
+                % np.int64(n_buckets)
+            ),
+        )
+
+    def dominate(group: pd.DataFrame) -> pd.DataFrame:
+        per_part = group.groupby("l_partkey")["qc"]
+        tot = per_part.transform("sum")
+        n_supp = per_part.transform("size")
+        dom = group.loc[
+            group["qc"] * n_supp * den > tot * num, "l_suppkey"
+        ]
+        out = dom.value_counts().rename_axis("l_suppkey").reset_index(
+            name="n_parts"
+        )
+        out["l_suppkey"] = out["l_suppkey"].astype(np.int64)
+        out["n_parts"] = out["n_parts"].astype(np.int64)
+        return out
+
+    dom = (
+        pairs.map_batches(by_part, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dominate, batch_format="pandas")
+    )
+    per_supp = bucketed_group_sum(
+        dom,
+        ["l_suppkey"],
+        sum_cols={"n_parts": "n_parts"},
+        count_col=None,
+        n_buckets=n_buckets,
+        driver_cap=2_000_000,  # output is supplier-bounded
+    )
+    name_ref = ray.put(s2name)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        names = ray.get(name_ref)
+        sk = np.asarray(batch["l_suppkey"]).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sk),
+                "s_name": pa.array(
+                    [names[int(k)] for k in sk], type=pa.string()
+                ),
+                "n_parts": pa.array(
+                    np.asarray(batch["n_parts"]).astype(np.int64)
+                ),
+            }
+        )
+
+    return per_supp.map_batches(attach, batch_format="pyarrow")
+
+
+DOMINANT_SUPPLIERS_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(round(l_quantity*100) AS BIGINT)) AS qc
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+t AS (SELECT l_partkey, CAST(sum(qc) AS HUGEINT) AS tot,
+             CAST(count(*) AS HUGEINT) AS n_supp
+      FROM ps GROUP BY l_partkey),
+d AS (SELECT ps.l_suppkey, count(*)::BIGINT AS n_parts
+      FROM ps JOIN t USING (l_partkey)
+      WHERE CAST(ps.qc AS HUGEINT) * t.n_supp * 2 > t.tot * 3
+      GROUP BY ps.l_suppkey)
+SELECT s.s_suppkey, s.s_name, d.n_parts
+FROM d JOIN supplier s ON s.s_suppkey = d.l_suppkey
+"""
+
+
 __all__ = [
     "local_supplier_volume",
     "LOCAL_SUPPLIER_VOLUME_SQL",
@@ -1350,4 +1602,8 @@ __all__ = [
     "WAITING_SUPPLIERS_SQL",
     "idle_rich_customers",
     "IDLE_RICH_CUSTOMERS_SQL",
+    "part_supplier_variety",
+    "PART_SUPPLIER_VARIETY_SQL",
+    "dominant_suppliers",
+    "DOMINANT_SUPPLIERS_SQL",
 ]
