@@ -110,11 +110,14 @@ SELECT repo, path, surface, {_TYPE_CASE} AS entity_type,
 FROM m GROUP BY repo, path, surface
 """
 
-_TRIPLES_SQL = f"""
+def _triples_sql(doc_where: str = "") -> str:
+    """Triple-extraction SQL over ``documents`` with an optional row
+    filter — the incremental twin reuses it for both corpus halves."""
+    return f"""
 WITH m AS (
   SELECT doc_id, 'repos/' || source AS repo,
          unnest(regexp_extract_all(text, '{_GAZ_PATTERN}', 1)) AS surface
-  FROM documents
+  FROM documents{doc_where}
 ),
 c AS (
   SELECT doc_id, repo, 'ent:' || {_ALIAS_CASE} AS entity_id FROM m
@@ -133,6 +136,16 @@ cooc AS (
   GROUP BY a.entity_id, b.entity_id
 )
 SELECT * FROM appears UNION ALL SELECT * FROM cooc
+"""
+
+
+_TRIPLES_SQL = _triples_sql()
+
+_KG_INCREMENTAL_SQL = f"""
+WITH newt AS ({_triples_sql(" WHERE doc_id % 2 = 1")}),
+     baset AS ({_triples_sql(" WHERE doc_id % 2 = 0")})
+SELECT newt.subj, newt.pred, newt.obj, newt.weight
+FROM newt ANTI JOIN baset USING (subj, pred, obj)
 """
 
 _DOC_STATS_SQL = """
@@ -1354,6 +1367,12 @@ def _q_triples_linked(sf_dir: str):
     return kg_triples_linked(corpus_from_documents(sf_dir))
 
 
+def _q_kg_incremental_triples(sf_dir: str):
+    from ner_funtool_ray.pipelines.kg import kg_incremental_triples
+
+    return kg_incremental_triples(sf_dir)
+
+
 def _q_pricing_summary(sf_dir: str):
     from ner_funtool_ray.pipelines.relational import pricing_summary
 
@@ -2347,6 +2366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hyperplane-LSH oracle sections above).
         "kg_linked_mentions": _q_linked_mentions,
         "kg_triples_linked": _q_triples_linked,
+        "kg_incremental_triples": _q_kg_incremental_triples,
         "neardup_embedding_lsh": _q_neardup_embedding_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
         # dedup/similarity family — ALL oracle-checked: the MinHash/SimHash
@@ -2759,6 +2779,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_linked_mentions": _LINKED_MENTIONS_SQL,
         "kg_triples_linked": _TRIPLES_LINKED_SQL,
+        "kg_incremental_triples": _KG_INCREMENTAL_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "neardup_embedding_lsh": _NEARDUP_LSH_SQL,
     }

@@ -63,7 +63,9 @@ def _derive_batch(batch: pa.Table) -> pa.Table:
 
 
 def corpus_from_documents(
-    sf_dir: str, rows_per_block: int | None = None
+    sf_dir: str,
+    rows_per_block: int | None = None,
+    doc_parity: int | None = None,
 ) -> "ray.data.Dataset":
     """``documents.parquet`` → the (repo, path, commit, lang, content) table.
 
@@ -74,7 +76,13 @@ def corpus_from_documents(
     Expensive fused consumers (the model actor pools) pass a small value
     so the block count, which gates an actor pool's task parallelism,
     exceeds the pool size; cheap aggregates keep the default coarse
-    split where per-block scheduling overhead dominates."""
+    split where per-block scheduling overhead dominates.
+
+    ``doc_parity`` keeps only docs with ``doc_id % 2 == doc_parity`` —
+    the deterministic corpus split the incremental-maintenance queries
+    use as their "existing vs newly-arrived" halves (SQL twin: a WHERE
+    clause).  The filter runs inside the read's map stage, before any
+    derived column is built."""
     kwargs = {}
     if rows_per_block is not None:
         kwargs["rows_per_block"] = rows_per_block
@@ -87,7 +95,17 @@ def corpus_from_documents(
         columns=["doc_id", "text", "lang", "source"],
         **kwargs,
     )
-    return ds.map_batches(_derive_batch, batch_format="pyarrow")
+    if doc_parity is None:
+        return ds.map_batches(_derive_batch, batch_format="pyarrow")
+    parity = int(doc_parity)
+
+    def filter_and_derive(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.bit_wise_and(pc.cast(batch["doc_id"], pa.int64()), 1), parity
+        )
+        return _derive_batch(batch.filter(keep))
+
+    return ds.map_batches(filter_and_derive, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
