@@ -117,6 +117,7 @@ def run_bench() -> dict:
         "waiting_suppliers",      # TPC-H Q21: per-order verdict semi-join
         "curated_documents",      # fused 4-signal curation verdict (apply side)
         "semantic_dedup",         # SemDeDup: cluster + in-cluster cosine prune
+        "kg_incremental_triples",  # incremental maintenance: delta anti-join
     ]
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
