@@ -1373,6 +1373,12 @@ def _q_kg_incremental_triples(sf_dir: str):
     return kg_incremental_triples(sf_dir)
 
 
+def _q_kg_pattern_bindings(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import kg_pattern_bindings
+
+    return kg_pattern_bindings(sf_dir)
+
+
 def _q_pricing_summary(sf_dir: str):
     from ner_funtool_ray.pipelines.relational import pricing_summary
 
@@ -2367,6 +2373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linked_mentions": _q_linked_mentions,
         "kg_triples_linked": _q_triples_linked,
         "kg_incremental_triples": _q_kg_incremental_triples,
+        "kg_pattern_bindings": _q_kg_pattern_bindings,
         "neardup_embedding_lsh": _q_neardup_embedding_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
         # dedup/similarity family — ALL oracle-checked: the MinHash/SimHash
@@ -2780,6 +2787,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_linked_mentions": _LINKED_MENTIONS_SQL,
         "kg_triples_linked": _TRIPLES_LINKED_SQL,
         "kg_incremental_triples": _KG_INCREMENTAL_SQL,
+        "kg_pattern_bindings": _graph.make_pattern_bindings_sql(_TRIPLES_SQL),
         "ann_lsh_topk": _ANN_LSH_SQL,
         "neardup_embedding_lsh": _NEARDUP_LSH_SQL,
     }

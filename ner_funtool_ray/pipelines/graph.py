@@ -1877,3 +1877,158 @@ h{i} AS (SELECT e,
 
 
 __all__ += ["entity_source_hits", "make_hits_sql"]
+
+
+# --- basic-graph-pattern matching ------------------------------------------
+
+
+def kg_pattern_bindings(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
+    """SPARQL-style basic-graph-pattern match over the KG → bindings
+    ``(a, b, repo, support)`` for the triangle pattern::
+
+        (a) -[cooccurs_with]- (b)
+        (a) -[appears_in]-> (repo)
+        (b) -[appears_in]-> (repo)
+
+    i.e. every co-occurring entity pair together with each repository
+    BOTH appear in; ``support`` = min of the two appearance weights (the
+    pattern's weakest-edge confidence, the usual BGP scoring rule).
+    ``a < b`` by the triple table's canonical pair order, so bindings are
+    emitted once per undirected pair.
+
+    Unlike the sketch-sized graph metrics this produces BINDINGS —
+    output is pattern-match-sized, so there is no driver path at all:
+    two content-hash bucketed inner joins (pattern edge at a time, the
+    standard BGP join plan), each a union → ``groupby(bucket)`` →
+    vectorized pandas merge.  Join keys co-locate by crc32 (the
+    cross-process-deterministic string path of ``bucketed_group_sum``);
+    nothing is broadcast and nothing is materialized on the driver."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    # three consumers (co side + two ap sides) — pin the aggregated triple
+    # table (entity-vocabulary-bounded) once instead of re-running the
+    # corpus scan per branch; blocks stay in the object store, not on the
+    # driver
+    triples = kg_from_sf_dir(sf_dir).materialize()
+
+    def _crc_bucket(keys: list[str]) -> np.ndarray:
+        return np.fromiter(
+            (zlib.crc32(k.encode("utf-8")) % n_buckets for k in keys),
+            dtype=np.int64,
+            count=len(keys),
+        )
+
+    # pattern edge 1: co(a,b) ⋈ ap(e,repo,w) ON a = e
+    def co_side(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["pred"], "cooccurs_with"))
+        a = f["subj"].to_pylist()
+        return pa.table(
+            {
+                "a": pa.array(a, type=pa.string()),
+                "b": f["obj"].cast(pa.string()),
+                "repo": pa.nulls(len(a), type=pa.string()),
+                "w": pa.nulls(len(a), type=pa.int64()),
+                "side": pa.array(np.zeros(len(a), dtype=np.int8)),
+                "bucket": pa.array(_crc_bucket(a)),
+            }
+        )
+
+    def ap_side_join1(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["pred"], "appears_in"))
+        e = f["subj"].to_pylist()
+        return pa.table(
+            {
+                "a": pa.array(e, type=pa.string()),
+                "b": pa.nulls(len(e), type=pa.string()),
+                "repo": f["obj"].cast(pa.string()),
+                "w": f["weight"].cast(pa.int64()),
+                "side": pa.array(np.ones(len(e), dtype=np.int8)),
+                "bucket": pa.array(_crc_bucket(e)),
+            }
+        )
+
+    def join1(group: pd.DataFrame) -> pd.DataFrame:
+        co = group.loc[group["side"] == 0, ["a", "b"]]
+        ap = group.loc[group["side"] == 1, ["a", "repo", "w"]]
+        out = co.merge(ap, on="a", how="inner")
+        out["w"] = out["w"].astype(np.int64)
+        return out[["a", "b", "repo", "w"]]
+
+    bound1 = (
+        triples.map_batches(co_side, batch_format="pyarrow")
+        .union(triples.map_batches(ap_side_join1, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join1, batch_format="pandas")
+    )
+
+    # pattern edge 2: ⋈ ap(e,repo,w2) ON (b = e AND repo = repo)
+    def left_side_join2(t: pa.Table) -> pa.Table:
+        b = t["b"].to_pylist()
+        repo = t["repo"].to_pylist()
+        keys = [f"{x}\x00{r}" for x, r in zip(b, repo)]
+        return pa.table(
+            {
+                "a": t["a"].cast(pa.string()),
+                "b": t["b"].cast(pa.string()),
+                "repo": t["repo"].cast(pa.string()),
+                "w": t["w"].cast(pa.int64()),
+                "side": pa.array(np.zeros(len(b), dtype=np.int8)),
+                "bucket": pa.array(_crc_bucket(keys)),
+            }
+        )
+
+    def ap_side_join2(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["pred"], "appears_in"))
+        e = f["subj"].to_pylist()
+        repo = f["obj"].to_pylist()
+        keys = [f"{x}\x00{r}" for x, r in zip(e, repo)]
+        return pa.table(
+            {
+                "a": pa.nulls(len(e), type=pa.string()),
+                "b": pa.array(e, type=pa.string()),
+                "repo": pa.array(repo, type=pa.string()),
+                "w": f["weight"].cast(pa.int64()),
+                "side": pa.array(np.ones(len(e), dtype=np.int8)),
+                "bucket": pa.array(_crc_bucket(keys)),
+            }
+        )
+
+    def join2(group: pd.DataFrame) -> pd.DataFrame:
+        left = group.loc[group["side"] == 0, ["a", "b", "repo", "w"]]
+        ap = group.loc[group["side"] == 1, ["b", "repo", "w"]].rename(
+            columns={"w": "w2"}
+        )
+        out = left.merge(ap, on=["b", "repo"], how="inner")
+        out["support"] = np.minimum(
+            out["w"].astype(np.int64), out["w2"].astype(np.int64)
+        )
+        return out[["a", "b", "repo", "support"]]
+
+    return (
+        bound1.map_batches(left_side_join2, batch_format="pyarrow")
+        .union(triples.map_batches(ap_side_join2, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(join2, batch_format="pandas")
+    )
+
+
+def make_pattern_bindings_sql(triples_sql: str) -> str:
+    """DuckDB twin: the same triangle BGP as three CTE self-joins."""
+    return f"""
+WITH t AS ({triples_sql}),
+co AS (SELECT subj AS a, obj AS b FROM t WHERE pred = 'cooccurs_with'),
+ap AS (SELECT subj AS e, obj AS repo, weight FROM t
+       WHERE pred = 'appears_in')
+SELECT co.a, co.b, ap1.repo,
+       least(ap1.weight, ap2.weight)::BIGINT AS support
+FROM co
+JOIN ap ap1 ON ap1.e = co.a
+JOIN ap ap2 ON ap2.e = co.b AND ap2.repo = ap1.repo
+"""
+
+
+__all__ += ["kg_pattern_bindings", "make_pattern_bindings_sql"]
