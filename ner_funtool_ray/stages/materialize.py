@@ -364,3 +364,105 @@ def write_triples(
     add_subject_bucket(triples, n_buckets).write_parquet(
         out_dir, partition_cols=["subj_bucket"]
     )
+
+
+# --- RDF interchange export ---------------------------------------------------
+
+
+class _NtFilenameProvider:
+    """``.nt``-suffixed shard names for the N-Triples sink."""
+
+    def get_filename_for_block(self, block, write_uuid, task_index, block_index):
+        return f"{write_uuid}_{task_index:06}_{block_index:06}.nt"
+
+
+def _nt_term(value: str, base: str) -> str:
+    """Percent-encode a graph identifier into an IRI term.  N-Triples
+    forbids space, <>, quotes, braces, pipes, carets, backticks and
+    backslashes inside IRIREF; urllib's quote handles all of them plus
+    control chars, and keeps the readable ``:/._-`` subset."""
+    from urllib.parse import quote
+
+    return f"<{base}{quote(value, safe=':/._-~')}>"
+
+
+def write_ntriples(
+    triples: "ray.data.Dataset", out_dir: str, base: str = "urn:graft:"
+) -> None:
+    """RDF N-Triples interchange export: ``(subj, pred, obj)`` → one
+    ``<s> <p> <o> .`` line per triple, one ``.nt`` shard per block (the
+    sink never funnels rows through the driver).  N-Triples is strictly
+    ternary, so the ``weight`` column is not representable and is
+    dropped here — :func:`write_triples`' partitioned parquet remains
+    the lossless store; this is the interchange view a downstream triple
+    store ingests.  Lines are written verbatim (no CSV quoting: a
+    one-column table with ``quoting_style='none'`` and a delimiter that
+    cannot appear in an escaped IRI)."""
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        lines = [
+            f"{_nt_term(s, base)} {_nt_term(p, base)} {_nt_term(o, base)} ."
+            for s, p, o in zip(
+                batch["subj"].to_pylist(),
+                batch["pred"].to_pylist(),
+                batch["obj"].to_pylist(),
+            )
+        ]
+        return pa.table({"line": pa.array(lines, type=pa.string())})
+
+    def _nt_opts() -> dict:
+        # built lazily on the writing worker (WriteOptions is unpicklable)
+        import pyarrow.csv as pacsv
+
+        return {
+            "write_options": pacsv.WriteOptions(
+                include_header=False, quoting_style="none", delimiter="\x1f"
+            )
+        }
+
+    triples.map_batches(fmt, batch_format="pyarrow").write_csv(
+        out_dir,
+        arrow_csv_args_fn=_nt_opts,
+        filename_provider=_NtFilenameProvider(),
+    )
+
+
+def read_ntriples(
+    in_dir: str, base: str = "urn:graft:"
+) -> "ray.data.Dataset":
+    """Roundtrip reader for :func:`write_ntriples` shards → ``(subj,
+    pred, obj)``.  Reads the ``.nt`` files as one-column text (same
+    no-quoting CSV trick) and percent-decodes the three IRI terms in a
+    vectorized batch pass."""
+    import pyarrow.csv as pacsv
+
+    import ray.data
+
+    ds = ray.data.read_csv(
+        in_dir,
+        file_extensions=["nt"],
+        read_options=pacsv.ReadOptions(
+            column_names=["line"], autogenerate_column_names=False
+        ),
+        parse_options=pacsv.ParseOptions(delimiter="\x1f", quote_char=False),
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        from urllib.parse import unquote
+
+        subj, pred, obj = [], [], []
+        n = len(base)
+        for line in batch["line"].to_pylist():
+            s, p, o = line.rstrip(" .").split(" ")
+            subj.append(unquote(s[1 + n : -1]))
+            pred.append(unquote(p[1 + n : -1]))
+            obj.append(unquote(o[1 + n : -1]))
+        return pa.table(
+            {
+                "subj": pa.array(subj, type=pa.string()),
+                "pred": pa.array(pred, type=pa.string()),
+                "obj": pa.array(obj, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")
