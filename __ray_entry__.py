@@ -1979,6 +1979,12 @@ def _q_bpe_top_pairs(sf_dir: str):
     return bpe_top_pairs(sf_dir)
 
 
+def _q_bpe_learn_merges(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import bpe_learn_merges
+
+    return bpe_learn_merges(sf_dir)
+
+
 def _q_event_debounce(sf_dir: str):
     from ner_funtool_ray.pipelines.sequence import event_debounce
 
@@ -2495,6 +2501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples": _q_kg_negative_samples,
         "incremental_dedup_new": _q_incremental_dedup_new,
         "bpe_top_pairs": _q_bpe_top_pairs,
+        "bpe_learn_merges": _q_bpe_learn_merges,
         "orders_above_p99": _q_orders_above_p99,
         "entity_neighbor_jaccard": _q_entity_neighbor_jaccard,
         "label_centroid_distances": _q_label_centroid_distances,
@@ -2709,6 +2716,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": _graph.make_negative_samples_sql(_TRIPLES_SQL),
         "incremental_dedup_new": _cur.INCREMENTAL_DEDUP_NEW_SQL,
         "bpe_top_pairs": _cur.BPE_TOP_PAIRS_SQL,
+        "bpe_learn_merges": _cur.make_bpe_merges_sql(),
         "orders_above_p99": _sta.ORDERS_ABOVE_P99_SQL,
         "entity_neighbor_jaccard": _graph.make_neighbor_jaccard_sql(
             _TRIPLES_SQL

@@ -1615,3 +1615,159 @@ FROM m
 
 
 __all__ += ["curated_documents", "make_curated_sql"]
+
+
+# --- iterative BPE merge-table trainer ----------------------------------------
+
+_BPE_SEP = "\x01"
+
+
+def bpe_learn_merges(sf_dir: str, k: int = 8) -> "ray.data.Dataset":
+    """Tokenizer induction, the full iterative loop → the first ``k`` BPE
+    merges ``(rank, left_tok, right_tok, cnt)``.  ``bpe_top_pairs`` is
+    round 1 of this; here each round counts adjacent-symbol pairs over
+    the CURRENT segmentations (per-position counts, Sennrich's
+    statistic), picks the max (ties: lexicographic on the pair), and
+    applies the merge greedily left-to-right (non-overlapping) to every
+    word — exactly what ``str.replace`` and DuckDB ``replace`` both do,
+    which is what makes the unrolled SQL twin hash-exact.
+
+    Scale plan: the corpus is touched ONCE (the ``vocab_count``
+    exchange); every round then runs over the VOCABULARY dataset —
+    segmentations as \\x01-joined strings, re-pinned per round (k
+    vocab-bounded materializations, never corpus-sized).  Pair counts
+    ride a bounded-bucket group sum (pair domain ≤ current-symbol-set²);
+    only the single winning pair crosses to the driver each round."""
+    from ner_funtool_ray.pipelines.textops import vocab_count
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    def to_segs(t: pa.Table) -> pa.Table:
+        words = t["word"].to_pylist()
+        return pa.table(
+            {
+                "seg": pa.array(
+                    ["".join(_BPE_SEP + c for c in w) for w in words],
+                    type=pa.string(),
+                ),
+                "cnt": t["cnt"].cast(pa.int64()),
+            }
+        )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        acc: Counter = Counter()
+        for s, c in zip(t["seg"].to_pylist(), t["cnt"].to_pylist()):
+            toks = s.split(_BPE_SEP)[1:]
+            ci = int(c)
+            for a, b in zip(toks, toks[1:]):
+                acc[(a, b)] += ci
+        return pa.table(
+            {
+                "l": pa.array([p[0] for p in acc], type=pa.string()),
+                "r": pa.array([p[1] for p in acc], type=pa.string()),
+                "c": pa.array(
+                    np.fromiter(acc.values(), dtype=np.int64, count=len(acc))
+                ),
+            }
+        )
+
+    segs = (
+        vocab_count(sf_dir, min_count=1)
+        .map_batches(to_segs, batch_format="pyarrow")
+        .materialize()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
+        counts = bucketed_group_sum(
+            segs.map_batches(pair_partial, batch_format="pyarrow"),
+            keys=["l", "r"],
+            sum_cols={"c": "c"},
+            count_col=None,
+        )
+        top = (
+            counts.sort(["c", "l", "r"], descending=[True, False, False])
+            .limit(1)
+            .to_pandas()
+        )
+        if top.empty:
+            break
+        lt, rt, c = str(top["l"][0]), str(top["r"][0]), int(top["c"][0])
+        merges.append((rank, lt, rt, c))
+        pat, rep = _BPE_SEP + lt + _BPE_SEP + rt, _BPE_SEP + lt + rt
+
+        def apply(t: pa.Table, pat: str = pat, rep: str = rep) -> pa.Table:
+            return pa.table(
+                {
+                    "seg": pa.array(
+                        [
+                            s.replace(pat, rep)
+                            for s in t["seg"].to_pylist()
+                        ],
+                        type=pa.string(),
+                    ),
+                    "cnt": t["cnt"],
+                }
+            )
+
+        segs = segs.map_batches(apply, batch_format="pyarrow").materialize()
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(
+                    [m[0] for m in merges], type=pa.int64()
+                ),
+                "left_tok": pa.array(
+                    [m[1] for m in merges], type=pa.string()
+                ),
+                "right_tok": pa.array(
+                    [m[2] for m in merges], type=pa.string()
+                ),
+                "cnt": pa.array([m[3] for m in merges], type=pa.int64()),
+            }
+        )
+    )
+
+
+def make_bpe_merges_sql(k: int = 8) -> str:
+    """Unrolled-CTE twin of :func:`bpe_learn_merges`: round ``i`` picks its
+    winner from the round-``i`` segmentations and rewrites them for round
+    ``i+1`` via the same greedy non-overlapping ``replace``.  ``chr(2)``
+    coalesce keeps exhausted rounds inert (no pair left → no row)."""
+    parts = [
+        r"""WITH w1 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', chr(1) || '\1', 'g') AS seg, cnt
+  FROM (SELECT word, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(regexp_extract_all(text, '\w+')) AS word
+              FROM documents)
+        GROUP BY word)
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+p{i} AS MATERIALIZED (SELECT toks[j] AS l, toks[j+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+       FROM (SELECT string_split(seg, chr(1))[2:] AS toks, cnt FROM w{i}),
+            unnest(generate_series(1, len(toks) - 1)) AS u(j)
+       GROUP BY l, r),
+m{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1)"""
+        )
+        if i < k:
+            parts.append(
+                f""",
+w{i + 1} AS MATERIALIZED (SELECT replace(seg,
+         coalesce((SELECT chr(1) || l || chr(1) || r FROM m{i}), chr(2)),
+         coalesce((SELECT chr(1) || l || r FROM m{i}), chr(2))) AS seg, cnt
+       FROM w{i})"""
+            )
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i}::BIGINT AS rank, l AS left_tok, r AS right_tok, c AS cnt"
+        f" FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+__all__ += ["bpe_learn_merges", "make_bpe_merges_sql"]
