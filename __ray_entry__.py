@@ -54,11 +54,16 @@ _TYPE_CASE = (
     + " ".join(f"WHEN '{t}' THEN '{ty}'" for t, ty in GAZETTEER.items())
     + " END"
 )
-_ALIAS_CASE = (
-    "CASE surface "
-    + " ".join(f"WHEN '{a}' THEN '{c}'" for a, c in ALIASES.items())
-    + " ELSE surface END"
-)
+def _alias_case(col: str) -> str:
+    """Alias-table rewrite CASE over an arbitrary column expression."""
+    return (
+        f"CASE {col} "
+        + " ".join(f"WHEN '{a}' THEN '{c}'" for a, c in ALIASES.items())
+        + f" ELSE {col} END"
+    )
+
+
+_ALIAS_CASE = _alias_case("surface")
 _ROW_KEY = "repo || chr(0) || path || chr(0) || \"commit\""
 _ROW_ID_SQL = (
     f"(CASE WHEN md5_number_lower({_ROW_KEY}) >= 9223372036854775808::UBIGINT "
@@ -146,6 +151,67 @@ WITH newt AS ({_triples_sql(" WHERE doc_id % 2 = 1")}),
      baset AS ({_triples_sql(" WHERE doc_id % 2 = 0")})
 SELECT newt.subj, newt.pred, newt.obj, newt.weight
 FROM newt ANTI JOIN baset USING (subj, pred, obj)
+"""
+
+# Entity typing as rdf:type-style triples (pipelines/openrel.py).
+_KG_TYPED_SQL = f"""
+WITH m AS (
+  SELECT unnest(regexp_extract_all(text, '{_GAZ_PATTERN}', 1)) AS surface
+  FROM documents
+)
+SELECT 'ent:' || {_ALIAS_CASE} AS subj, 'has_type' AS pred,
+       {_TYPE_CASE} AS obj, count(*)::BIGINT AS weight
+FROM m GROUP BY 1, 3
+"""
+
+# Co-occurrence edge provenance: supporting-doc count + min exemplar.
+_KG_PROVENANCE_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{_GAZ_PATTERN}', 1)) AS surface
+  FROM documents
+),
+c AS (SELECT DISTINCT doc_id, 'ent:' || {_ALIAS_CASE} AS entity_id FROM m)
+SELECT a.entity_id AS subj, b.entity_id AS obj,
+       count(*)::BIGINT AS n_docs, min(a.doc_id)::BIGINT AS first_doc
+FROM c a JOIN c b USING (doc_id)
+WHERE a.entity_id < b.entity_id
+GROUP BY 1, 2
+"""
+
+# Open relation extraction: adjacent-mention pairs per sentence with the
+# normalized inter-mention token run as the textual predicate.  The gap
+# between match i and i+1 is split-part i+1 — regexp_split_to_array and
+# regexp_extract_all align positionally because they use one pattern
+# (pipelines/openrel.py:OpenRelationExtractor derives the same alignment
+# from re.split's interleaved capture output).
+_KG_OPEN_RELATIONS_SQL = f"""
+WITH frags AS (
+  SELECT unnest(
+    regexp_split_to_array(text, '{SENTENCE_SPLIT_SQL_REGEX}')) AS frag
+  FROM documents
+),
+sents AS (SELECT trim(frag) AS sentence FROM frags WHERE trim(frag) <> ''),
+e AS (
+  SELECT regexp_extract_all(sentence, '{_GAZ_PATTERN}', 1) AS ms,
+         regexp_split_to_array(sentence, '{_GAZ_PATTERN}') AS gaps
+  FROM sents
+),
+x AS (
+  SELECT ms[i] AS s1, gaps[i+1] AS gap, ms[i+1] AS s2
+  FROM e, unnest(generate_series(1, len(ms)-1)) AS t(i)
+),
+r AS (
+  SELECT s1, s2,
+         list_transform(regexp_extract_all(gap, '\\w+'), y -> lower(y)) AS toks
+  FROM x
+)
+SELECT 'ent:' || {_alias_case("s1")} AS subj,
+       'rel:' || array_to_string(toks, '_') AS pred,
+       'ent:' || {_alias_case("s2")} AS obj,
+       count(*)::BIGINT AS weight
+FROM r WHERE len(toks) BETWEEN 1 AND 3
+GROUP BY 1, 2, 3
 """
 
 _DOC_STATS_SQL = """
@@ -1373,6 +1439,24 @@ def _q_kg_incremental_triples(sf_dir: str):
     return kg_incremental_triples(sf_dir)
 
 
+def _q_kg_typed_triples(sf_dir: str):
+    from ner_funtool_ray.pipelines.openrel import kg_typed_triples
+
+    return kg_typed_triples(sf_dir)
+
+
+def _q_kg_open_relations(sf_dir: str):
+    from ner_funtool_ray.pipelines.openrel import kg_open_relations
+
+    return kg_open_relations(sf_dir)
+
+
+def _q_kg_triple_provenance(sf_dir: str):
+    from ner_funtool_ray.pipelines.openrel import kg_triple_provenance
+
+    return kg_triple_provenance(sf_dir)
+
+
 def _q_kg_pattern_bindings(sf_dir: str):
     from ner_funtool_ray.pipelines.graph import kg_pattern_bindings
 
@@ -2379,6 +2463,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linked_mentions": _q_linked_mentions,
         "kg_triples_linked": _q_triples_linked,
         "kg_incremental_triples": _q_kg_incremental_triples,
+        "kg_typed_triples": _q_kg_typed_triples,
+        "kg_open_relations": _q_kg_open_relations,
+        "kg_triple_provenance": _q_kg_triple_provenance,
         "kg_pattern_bindings": _q_kg_pattern_bindings,
         "neardup_embedding_lsh": _q_neardup_embedding_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -2795,6 +2882,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_linked_mentions": _LINKED_MENTIONS_SQL,
         "kg_triples_linked": _TRIPLES_LINKED_SQL,
         "kg_incremental_triples": _KG_INCREMENTAL_SQL,
+        "kg_typed_triples": _KG_TYPED_SQL,
+        "kg_open_relations": _KG_OPEN_RELATIONS_SQL,
+        "kg_triple_provenance": _KG_PROVENANCE_SQL,
         "kg_pattern_bindings": _graph.make_pattern_bindings_sql(_TRIPLES_SQL),
         "ann_lsh_topk": _ANN_LSH_SQL,
         "neardup_embedding_lsh": _NEARDUP_LSH_SQL,

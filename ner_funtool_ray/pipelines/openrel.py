@@ -1,0 +1,281 @@
+"""Open relation extraction, entity typing and triple provenance.
+
+Three KG-construction surfaces the fixed-predicate flagship
+(``pipelines/kg.py``: appears_in / cooccurs_with) does not cover:
+
+- :func:`kg_open_relations` — TEXTUAL predicates: for every pair of
+  ADJACENT gazetteer mentions inside one sentence, the normalized token
+  run between them becomes the relation (``rel:owned_by`` style), so the
+  graph carries what the corpus *says* connects two entities, not just
+  that they co-occur.  The reference's span decoders motivate the shape
+  (`ner_utils.py:103-146` emits (entity, type, position) — predicates
+  come from the inter-span text, which only a corpus-level engine can
+  aggregate).
+- :func:`kg_typed_triples` — entity typing as first-class triples
+  (``(ent:x, has_type, OPERATION)``), the rdf:type edge every KG needs;
+  weight = corpus-wide mention count, so downstream type inference can
+  resolve conflicts by evidence mass.
+- :func:`kg_triple_provenance` — per co-occurrence edge, the evidence
+  trail: how many documents support it and the smallest supporting
+  ``doc_id`` (a stable exemplar pointer back into the corpus).
+
+Scale design: every op is map_batches partial extraction → one bounded
+bucketed merge (``stages/groupagg.bucketed_group_sum`` or the same
+crc32-bucket + per-bucket vectorized pandas pattern).  Pair expansion for
+provenance happens per doc-bucket group (only one bucket's docs are ever
+co-resident), mirroring ``stages/materialize.cooccurs_triples``.  Nothing
+broadcasts or materializes corpus-sized state.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ner_funtool_ray.config import ALIASES, GAZETTEER
+from ner_funtool_ray.corpus import corpus_from_documents
+from ner_funtool_ray.functions.text import _WORD_RE
+from ner_funtool_ray.pipelines.kg import mentions_dataset
+from ner_funtool_ray.sources.io import read_parquet_auto
+from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+from ner_funtool_ray.stages.ingest import ingest
+from ner_funtool_ray.stages.sentence import split_to_sentences
+
+# triple partials are entity-vocabulary-bounded, far below corpus size —
+# same rationale as materialize.appears_in_triples' cap
+_TRIPLE_DRIVER_CAP = 2_000_000
+
+
+def _gaz_pattern(gazetteer: dict[str, str]) -> "re.Pattern[str]":
+    terms = sorted(gazetteer.keys(), key=len, reverse=True)
+    return re.compile(r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b")
+
+
+# ---------------------------------------------------------------------------
+# kg_typed_triples
+# ---------------------------------------------------------------------------
+
+
+def kg_typed_triples(sf_dir: str) -> "ray.data.Dataset":
+    """(subj='ent:'+canonical, pred='has_type', obj=entity_type, weight).
+
+    weight = total mentions of that (entity, type) across the corpus.  A
+    canonical entity can carry several types when aliases merge surfaces
+    of different gazetteer types — one row per (entity, type), so the
+    consumer sees the full evidence distribution."""
+    mentions = mentions_dataset(corpus_from_documents(sf_dir))
+
+    def typed(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "subj": batch["entity_id"],
+                "pred": pa.array(np.full(n, "has_type", dtype=object)),
+                "obj": batch["entity_type"],
+            }
+        )
+
+    out = bucketed_group_sum(
+        mentions.map_batches(typed, batch_format="pyarrow"),
+        ["subj", "pred", "obj"],
+        count_col="weight",
+        driver_cap=_TRIPLE_DRIVER_CAP,
+    )
+    return out.select_columns(["subj", "pred", "obj", "weight"])
+
+
+# ---------------------------------------------------------------------------
+# kg_open_relations
+# ---------------------------------------------------------------------------
+
+
+class OpenRelationExtractor:
+    """map_batches callable: sentence rows → (subj, pred, obj) rows.
+
+    For each ADJACENT mention pair in a sentence, the predicate is the
+    lowercased ``\\w+`` token run of the text between them, joined with
+    ``_`` and capped at ``max_gap_tokens`` (longer gaps are noise, not
+    relations — the row is dropped, matching the SQL twin's BETWEEN).
+    ``re.split`` with the capturing gazetteer alternation yields
+    ``[pre, m1, gap1, m2, gap2, …, post]``, so mention i and i+1 bracket
+    ``parts[2i+2]`` exactly — same alignment the oracle derives from
+    ``regexp_extract_all`` + ``regexp_split_to_array`` positionally."""
+
+    def __init__(
+        self,
+        gazetteer: dict[str, str] | None = None,
+        aliases: dict[str, str] | None = None,
+        max_gap_tokens: int = 3,
+    ):
+        self.pattern = _gaz_pattern(gazetteer or GAZETTEER)
+        self.aliases = dict(ALIASES) if aliases is None else dict(aliases)
+        self.max_gap_tokens = max_gap_tokens
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subjs: list[str] = []
+        preds: list[str] = []
+        objs: list[str] = []
+        al = self.aliases
+        cap = self.max_gap_tokens
+        for sent in batch["sentence"].to_pylist():
+            parts = self.pattern.split(sent or "")
+            n = (len(parts) - 1) // 2  # number of mentions
+            for i in range(n - 1):
+                toks = [t.lower() for t in _WORD_RE.findall(parts[2 * i + 2])]
+                if not 1 <= len(toks) <= cap:
+                    continue
+                s = parts[2 * i + 1]
+                o = parts[2 * i + 3]
+                subjs.append("ent:" + al.get(s, s))
+                preds.append("rel:" + "_".join(toks))
+                objs.append("ent:" + al.get(o, o))
+        return pa.table(
+            {
+                "subj": pa.array(subjs, type=pa.string()),
+                "pred": pa.array(preds, type=pa.string()),
+                "obj": pa.array(objs, type=pa.string()),
+            }
+        )
+
+
+def kg_open_relations(
+    sf_dir: str, max_gap_tokens: int = 3
+) -> "ray.data.Dataset":
+    """Corpus → weighted textual-predicate triples.
+
+    weight = number of (sentence, adjacent-pair) occurrences of the exact
+    (subj, pred, obj) across the corpus."""
+    sents = split_to_sentences(ingest(corpus_from_documents(sf_dir)))
+    rels = sents.map_batches(
+        OpenRelationExtractor(max_gap_tokens=max_gap_tokens),
+        batch_format="pyarrow",
+    )
+    out = bucketed_group_sum(
+        rels,
+        ["subj", "pred", "obj"],
+        count_col="weight",
+        driver_cap=_TRIPLE_DRIVER_CAP,
+    )
+    return out.select_columns(["subj", "pred", "obj", "weight"])
+
+
+# ---------------------------------------------------------------------------
+# kg_triple_provenance
+# ---------------------------------------------------------------------------
+
+
+def _doc_entities_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → distinct (doc_id, entity_id) with doc bucket."""
+    pattern = _gaz_pattern(GAZETTEER)
+    ids: list[int] = []
+    ents: list[str] = []
+    for doc_id, text in zip(
+        batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+    ):
+        for m in pattern.finditer(text or ""):
+            s = m.group(1)
+            ids.append(doc_id)
+            ents.append("ent:" + ALIASES.get(s, s))
+    df = pd.DataFrame(
+        {"doc_id": np.asarray(ids, dtype=np.int64), "entity_id": ents}
+    ).drop_duplicates()
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+            "entity_id": pa.array(df["entity_id"], type=pa.string()),
+        }
+    )
+
+
+_PROV_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("obj", pa.string()),
+        ("n_docs", pa.int64()),
+        ("first_doc", pa.int64()),
+        ("kbucket", pa.int64()),
+    ]
+)
+
+
+def kg_triple_provenance(
+    sf_dir: str, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Per cooccurs_with edge: (subj, obj, n_docs, first_doc).
+
+    ``n_docs`` = supporting-document count (the cooccurs weight);
+    ``first_doc`` = min supporting doc_id — a stable exemplar pointer.
+
+    Plan: distinct (doc_id, entity) per batch → co-locate docs by
+    ``doc_id % n_buckets`` (bounded group count, one doc's mentions never
+    split) → per-bucket vectorized pair expansion + partial
+    (count, min) → one more bounded bucket merge keyed by crc32(subj,obj)
+    summing counts and min-ing exemplars.  Both shuffles move
+    entity-vocabulary-bounded partials only."""
+    docs = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        t = _doc_entities_batch(batch)
+        bucket = pa.array(
+            (t["doc_id"].to_numpy() % n_buckets).astype(np.int64)
+        )
+        return t.append_column("bucket", bucket)
+
+    def expand_pairs(group: pd.DataFrame) -> pa.Table:
+        import zlib
+
+        d = group[["doc_id", "entity_id"]].drop_duplicates()
+        m = d.merge(d, on="doc_id", suffixes=("_a", "_b"))
+        m = m[m["entity_id_a"] < m["entity_id_b"]]
+        agg = (
+            m.groupby(["entity_id_a", "entity_id_b"], sort=False)["doc_id"]
+            .agg(n_docs="size", first_doc="min")
+            .reset_index()
+        )
+        kb = np.fromiter(
+            (
+                zlib.crc32(f"{a}\x00{b}".encode("utf-8")) % n_buckets
+                for a, b in zip(agg["entity_id_a"], agg["entity_id_b"])
+            ),
+            dtype=np.int64,
+            count=len(agg),
+        )
+        return pa.table(
+            {
+                "subj": pa.array(agg["entity_id_a"], type=pa.string()),
+                "obj": pa.array(agg["entity_id_b"], type=pa.string()),
+                "n_docs": pa.array(agg["n_docs"].to_numpy(dtype=np.int64)),
+                "first_doc": pa.array(
+                    agg["first_doc"].to_numpy(dtype=np.int64)
+                ),
+                "kbucket": pa.array(kb),
+            },
+            schema=_PROV_PARTIAL_SCHEMA,
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.groupby(["subj", "obj"], sort=False)
+            .agg(n_docs=("n_docs", "sum"), first_doc=("first_doc", "min"))
+            .reset_index()
+        )
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["first_doc"] = out["first_doc"].astype(np.int64)
+        return out
+
+    partials = (
+        docs.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(expand_pairs, batch_format="pandas")
+    )
+    return (
+        partials.groupby("kbucket")
+        .map_groups(merge, batch_format="pandas")
+    )
