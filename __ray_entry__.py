@@ -1439,6 +1439,12 @@ def _q_kg_incremental_triples(sf_dir: str):
     return kg_incremental_triples(sf_dir)
 
 
+def _q_kg_transe_report(sf_dir: str):
+    from ner_funtool_ray.pipelines.kgembed import kg_transe_report
+
+    return kg_transe_report(sf_dir).to_pandas()
+
+
 def _q_kg_typed_triples(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_typed_triples
 
@@ -2680,6 +2686,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministically — no image column in the testdata; rows-only)
         "mm_image_features": _q_mm_image_features,
         "mm_image_neardup": _q_mm_image_neardup,
+        # TransE embeddings trained on the engine's own triple output —
+        # iterative SGD, not SQL-expressible; Ray-vs-serial bit-exact
+        # parity tested (tests/test_kgembed.py)
+        "kg_transe_report": _q_kg_transe_report,
     }
 
 

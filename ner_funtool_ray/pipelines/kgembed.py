@@ -1,0 +1,333 @@
+"""TransE knowledge-graph embeddings, data-parallel over the triple table.
+
+Trains translation embeddings (h + r ≈ t, Bordes et al. 2013, public) on
+the engine's own triple output (``pipelines/kg.py``), the standard "learn
+from the KG you just built" step of a KG-construction pipeline: margin
+ranking loss with corrupted-entity negatives, minibatch SGD, per-step
+entity renormalization to the unit sphere.
+
+Scale/determinism design (mirrors ``pipelines/training.py``):
+
+- triples stay a sharded Dataset — only the entity/relation VOCAB (bounded
+  by the entity universe, not corpus size) and the |E|×d / |R|×d matrices
+  ever reach the driver;
+- gradient workers are zero-CPU actors stepping shard batches against the
+  broadcast parameter ref (``ray.put`` once per step, not per batch row);
+- negatives are CONTENT-derived (crc32 of the triple key + epoch), so the
+  corrupted entity for a triple is identical no matter which worker or
+  process holds it — this is what makes Ray-vs-serial parity exact;
+- per-step gradient averaging runs in worker-index order (deterministic
+  float summation), exactly like the NER training loop.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _neg_indices(
+    subs: list[str], preds: list[str], objs: list[str],
+    n_entities: int, epoch: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Content-derived corruption: (corrupt_head?, negative entity id).
+
+    crc32 over the triple key + epoch — identical across processes and
+    shard placements, so serial and distributed runs corrupt identically."""
+    corrupt_head = np.empty(len(subs), dtype=bool)
+    neg = np.empty(len(subs), dtype=np.int64)
+    for i, (s, p, o) in enumerate(zip(subs, preds, objs)):
+        h = zlib.crc32(f"{s}\x00{p}\x00{o}\x00{epoch}".encode("utf-8"))
+        corrupt_head[i] = bool(h & 1)
+        neg[i] = (h >> 1) % n_entities
+    return corrupt_head, neg
+
+
+def transe_batch_grads(
+    E: np.ndarray, R: np.ndarray,
+    hi: np.ndarray, ri: np.ndarray, ti: np.ndarray,
+    corrupt_head: np.ndarray, neg: np.ndarray,
+    margin: float,
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Margin-ranking gradients for one minibatch (vectorized, L2² score).
+
+    Returns dense (gradE, gradR, mean_loss); gradients are the MEAN over
+    batch examples so shard-weighted averaging composes exactly."""
+    n = len(hi)
+    # negatives never equal the true replaced entity (shift-by-1 escape)
+    true_ent = np.where(corrupt_head, hi, ti)
+    neg = np.where(neg == true_ent, (neg + 1) % len(E), neg)
+    nh = np.where(corrupt_head, neg, hi)
+    nt = np.where(corrupt_head, ti, neg)
+
+    d_pos_vec = E[hi] + R[ri] - E[ti]
+    d_neg_vec = E[nh] + R[ri] - E[nt]
+    d_pos = np.sum(d_pos_vec * d_pos_vec, axis=1)
+    d_neg = np.sum(d_neg_vec * d_neg_vec, axis=1)
+    viol = margin + d_pos - d_neg
+    active = viol > 0
+    loss = float(np.sum(np.maximum(viol, 0.0))) / n
+
+    gradE = np.zeros_like(E)
+    gradR = np.zeros_like(R)
+    if active.any():
+        gp = 2.0 * d_pos_vec[active] / n
+        gn = 2.0 * d_neg_vec[active] / n
+        np.add.at(gradE, hi[active], gp)
+        np.add.at(gradR, ri[active], gp)
+        np.add.at(gradE, ti[active], -gp)
+        np.add.at(gradE, nh[active], -gn)
+        np.add.at(gradR, ri[active], -gn)
+        np.add.at(gradE, nt[active], gn)
+    return gradE, gradR, loss
+
+
+@ray.remote(num_cpus=0)
+class _TransEWorker:
+    """Zero-CPU gradient worker (see GradWorker's num_cpus=0 rationale in
+    pipelines/training.py — strict phase alternation, no reservations)."""
+
+    def load(
+        self, shard: "ray.data.Dataset", ent2id: dict, rel2id: dict,
+        batch_size: int, margin: float,
+    ) -> int:
+        self._rows = []
+        for b in shard.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            self._rows.append(
+                (
+                    b["subj"].to_pylist(),
+                    b["pred"].to_pylist(),
+                    b["obj"].to_pylist(),
+                )
+            )
+        self._ent2id = ent2id
+        self._rel2id = rel2id
+        self._batch_size = batch_size
+        self._margin = margin
+        return sum(len(r[0]) for r in self._rows)
+
+    def start_epoch(self, epoch: int) -> int:
+        subs = [s for r in self._rows for s in r[0]]
+        preds = [p for r in self._rows for p in r[1]]
+        objs = [o for r in self._rows for o in r[2]]
+        self._hi = np.asarray([self._ent2id[s] for s in subs], dtype=np.int64)
+        self._ri = np.asarray([self._rel2id[p] for p in preds], dtype=np.int64)
+        self._ti = np.asarray([self._ent2id[o] for o in objs], dtype=np.int64)
+        self._ch, self._neg = _neg_indices(
+            subs, preds, objs, len(self._ent2id), epoch
+        )
+        self._pos = 0
+        return len(subs)
+
+    def step(self, params: dict):
+        if self._pos >= len(self._hi):
+            return None
+        lo, hi = self._pos, min(self._pos + self._batch_size, len(self._hi))
+        self._pos = hi
+        gE, gR, loss = transe_batch_grads(
+            params["E"], params["R"],
+            self._hi[lo:hi], self._ri[lo:hi], self._ti[lo:hi],
+            self._ch[lo:hi], self._neg[lo:hi], self._margin,
+        )
+        return gE, gR, loss, hi - lo
+
+
+def _vocab_from_triples(triples: "ray.data.Dataset") -> tuple[dict, dict]:
+    """Entity/relation id maps via distributed distinct → sorted driver
+    merge.  Bounded: the vocab is the entity universe, not corpus rows."""
+    ents = sorted(
+        set(triples.unique("subj")) | set(triples.unique("obj"))
+    )
+    rels = sorted(triples.unique("pred"))
+    return (
+        {e: i for i, e in enumerate(ents)},
+        {r: i for i, r in enumerate(rels)},
+    )
+
+
+def train_transe(
+    triples: "ray.data.Dataset",
+    dim: int = 16,
+    epochs: int = 5,
+    lr: float = 0.05,
+    margin: float = 1.0,
+    batch_size: int = 256,
+    n_workers: int = 2,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray, dict, dict, list[dict]]:
+    """→ (E, R, ent2id, rel2id, history).  history: one row per epoch."""
+    ent2id, rel2id = _vocab_from_triples(triples)
+    rng = np.random.default_rng(seed)
+    bound = 6.0 / np.sqrt(dim)
+    E = rng.uniform(-bound, bound, size=(len(ent2id), dim))
+    R = rng.uniform(-bound, bound, size=(len(rel2id), dim))
+    R /= np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-12)
+
+    # deterministic shard assignment: sort-free content split by crc32 of
+    # the triple key — identical shards regardless of block layout
+    def shard_of(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{s}\x00{p}\x00{o}"
+            for s, p, o in zip(
+                batch["subj"].to_pylist(),
+                batch["pred"].to_pylist(),
+                batch["obj"].to_pylist(),
+            )
+        ]
+        sh = np.fromiter(
+            (zlib.crc32(k.encode("utf-8")) % n_workers for k in keys),
+            dtype=np.int64, count=len(keys),
+        )
+        return batch.append_column("shard", pa.array(sh))
+
+    sharded = triples.map_batches(shard_of, batch_format="pyarrow").materialize()
+    workers = [_TransEWorker.remote() for _ in range(n_workers)]
+    loads = []
+    for i, wk in enumerate(workers):
+        shard = sharded.filter(
+            expr=f"shard == {i}"
+        ).select_columns(["subj", "pred", "obj"]).sort(["subj", "pred", "obj"])
+        loads.append(wk.load.remote(shard, ent2id, rel2id, batch_size, margin))
+    ray.get(loads)
+
+    history: list[dict] = []
+    for epoch in range(epochs):
+        ray.get([wk.start_epoch.remote(epoch) for wk in workers])
+        loss_sum, n_sum = 0.0, 0
+        active = list(range(n_workers))
+        params_ref = ray.put({"E": E, "R": R})
+        while active:
+            res = ray.get([workers[i].step.remote(params_ref) for i in active])
+            live = [(i, r) for i, r in zip(active, res) if r is not None]
+            active = [i for i, _ in live]
+            if not live:
+                break
+            total_n = sum(r[3] for _, r in live)
+            gE = sum(r[0] * r[3] for _, r in live) / total_n
+            gR = sum(r[1] * r[3] for _, r in live) / total_n
+            loss_sum += sum(r[2] * r[3] for _, r in live)
+            n_sum += total_n
+            E = E - lr * gE
+            R = R - lr * gR
+            # per-step entity renormalization (TransE algorithm line 5)
+            E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            params_ref = ray.put({"E": E, "R": R})
+        history.append(
+            {
+                "epoch": epoch,
+                "mean_loss": loss_sum / max(n_sum, 1),
+                "n_examples": n_sum,
+            }
+        )
+    return E, R, ent2id, rel2id, history
+
+
+def train_transe_serial(
+    triples_df, dim=16, epochs=5, lr=0.05, margin=1.0, batch_size=256,
+    seed=42, n_workers=2,
+) -> tuple[np.ndarray, np.ndarray, dict, dict, list[dict]]:
+    """Single-process twin of :func:`train_transe` for parity tests: same
+    init, same content-derived shards/negatives, same worker-index-order
+    averaging — bit-identical results without any Ray actors."""
+    ents = sorted(set(triples_df["subj"]) | set(triples_df["obj"]))
+    rels = sorted(set(triples_df["pred"]))
+    ent2id = {e: i for i, e in enumerate(ents)}
+    rel2id = {r: i for i, r in enumerate(rels)}
+    rng = np.random.default_rng(seed)
+    bound = 6.0 / np.sqrt(dim)
+    E = rng.uniform(-bound, bound, size=(len(ents), dim))
+    R = rng.uniform(-bound, bound, size=(len(rels), dim))
+    R /= np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-12)
+
+    shards: list[list[tuple[str, str, str]]] = [[] for _ in range(n_workers)]
+    for s, p, o in zip(
+        triples_df["subj"], triples_df["pred"], triples_df["obj"]
+    ):
+        shards[zlib.crc32(f"{s}\x00{p}\x00{o}".encode()) % n_workers].append(
+            (s, p, o)
+        )
+    shards = [sorted(sh) for sh in shards]
+
+    history: list[dict] = []
+    for epoch in range(epochs):
+        state = []
+        for sh in shards:
+            subs = [t[0] for t in sh]
+            preds = [t[1] for t in sh]
+            objs = [t[2] for t in sh]
+            hi = np.asarray([ent2id[s] for s in subs], dtype=np.int64)
+            ri = np.asarray([rel2id[p] for p in preds], dtype=np.int64)
+            ti = np.asarray([ent2id[o] for o in objs], dtype=np.int64)
+            ch, neg = _neg_indices(subs, preds, objs, len(ents), epoch)
+            state.append([hi, ri, ti, ch, neg, 0])
+        loss_sum, n_sum = 0.0, 0
+        while True:
+            live = []
+            for st in state:
+                hi, ri, ti, ch, neg, pos = st
+                if pos >= len(hi):
+                    continue
+                lo, hi_end = pos, min(pos + batch_size, len(hi))
+                st[5] = hi_end
+                gE, gR, loss = transe_batch_grads(
+                    E, R, hi[lo:hi_end], ri[lo:hi_end], ti[lo:hi_end],
+                    ch[lo:hi_end], neg[lo:hi_end], margin,
+                )
+                live.append((gE, gR, loss, hi_end - lo))
+            if not live:
+                break
+            total_n = sum(r[3] for r in live)
+            gE = sum(r[0] * r[3] for r in live) / total_n
+            gR = sum(r[1] * r[3] for r in live) / total_n
+            loss_sum += sum(r[2] * r[3] for r in live)
+            n_sum += total_n
+            E = E - lr * gE
+            R = R - lr * gR
+            E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+        history.append(
+            {
+                "epoch": epoch,
+                "mean_loss": loss_sum / max(n_sum, 1),
+                "n_examples": n_sum,
+            }
+        )
+    return E, R, ent2id, rel2id, history
+
+
+def kg_transe_report(
+    sf_dir: str, dim: int = 16, epochs: int = 5, seed: int = 42
+) -> pa.Table:
+    """Query surface: per-epoch training report + final embedding health
+    (mean entity norm must be 1.0 by construction; mean relation norm is
+    free and shrinks toward translation consistency)."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    E, R, ent2id, rel2id, history = train_transe(
+        kg_from_sf_dir(sf_dir), dim=dim, epochs=epochs, seed=seed
+    )
+    return pa.table(
+        {
+            "epoch": pa.array([h["epoch"] for h in history], type=pa.int64()),
+            "mean_loss": pa.array(
+                [h["mean_loss"] for h in history], type=pa.float64()
+            ),
+            "n_examples": pa.array(
+                [h["n_examples"] for h in history], type=pa.int64()
+            ),
+            "n_entities": pa.array(
+                [len(ent2id)] * len(history), type=pa.int64()
+            ),
+            "n_relations": pa.array(
+                [len(rel2id)] * len(history), type=pa.int64()
+            ),
+            "mean_rel_norm": pa.array(
+                [float(np.mean(np.linalg.norm(R, axis=1)))] * len(history),
+                type=pa.float64(),
+            ),
+        }
+    )
