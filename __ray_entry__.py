@@ -214,6 +214,42 @@ FROM r WHERE len(toks) BETWEEN 1 AND 3
 GROUP BY 1, 2, 3
 """
 
+# Schema induction: textual predicate → dominant-type signature counts.
+_KG_PRED_SIGNATURES_SQL = f"""
+WITH typed AS ({_KG_TYPED_SQL}),
+dom AS (
+  SELECT subj, obj AS etype,
+         row_number() OVER (
+           PARTITION BY subj ORDER BY weight DESC, obj ASC) AS rn
+  FROM typed
+),
+dt AS (SELECT subj, etype FROM dom WHERE rn = 1),
+rels AS ({_KG_OPEN_RELATIONS_SQL})
+SELECT r.pred, st.etype AS subj_type, ot.etype AS obj_type,
+       count(*)::BIGINT AS n_triples, sum(r.weight)::BIGINT AS total_weight
+FROM rels r
+JOIN dt st ON r.subj = st.subj
+JOIN dt ot ON r.obj = ot.subj
+GROUP BY 1, 2, 3
+"""
+
+# Per-entity card over the flagship triple table.
+_KG_ENTITY_SUMMARY_SQL = f"""
+WITH t AS ({_TRIPLES_SQL}),
+e AS (
+  SELECT subj AS entity, pred, weight,
+         CASE WHEN pred = 'cooccurs_with' THEN obj END AS neighbor
+  FROM t
+  UNION ALL
+  SELECT obj, pred, weight, subj FROM t WHERE pred = 'cooccurs_with'
+)
+SELECT entity, count(*)::BIGINT AS n_edges,
+       sum(weight)::BIGINT AS total_weight,
+       count(DISTINCT pred)::BIGINT AS n_preds,
+       count(DISTINCT neighbor)::BIGINT AS n_neighbors
+FROM e GROUP BY entity
+"""
+
 _DOC_STATS_SQL = """
 SELECT doc_id,
   length(text)::BIGINT AS n_chars,
@@ -1463,6 +1499,18 @@ def _q_kg_triple_provenance(sf_dir: str):
     return kg_triple_provenance(sf_dir)
 
 
+def _q_kg_predicate_signatures(sf_dir: str):
+    from ner_funtool_ray.pipelines.openrel import kg_predicate_signatures
+
+    return kg_predicate_signatures(sf_dir)
+
+
+def _q_kg_entity_summary(sf_dir: str):
+    from ner_funtool_ray.pipelines.openrel import kg_entity_summary
+
+    return kg_entity_summary(sf_dir)
+
+
 def _q_kg_pattern_bindings(sf_dir: str):
     from ner_funtool_ray.pipelines.graph import kg_pattern_bindings
 
@@ -2472,6 +2520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_typed_triples": _q_kg_typed_triples,
         "kg_open_relations": _q_kg_open_relations,
         "kg_triple_provenance": _q_kg_triple_provenance,
+        "kg_predicate_signatures": _q_kg_predicate_signatures,
+        "kg_entity_summary": _q_kg_entity_summary,
         "kg_pattern_bindings": _q_kg_pattern_bindings,
         "neardup_embedding_lsh": _q_neardup_embedding_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -2895,6 +2945,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_typed_triples": _KG_TYPED_SQL,
         "kg_open_relations": _KG_OPEN_RELATIONS_SQL,
         "kg_triple_provenance": _KG_PROVENANCE_SQL,
+        "kg_predicate_signatures": _KG_PRED_SIGNATURES_SQL,
+        "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,
         "kg_pattern_bindings": _graph.make_pattern_bindings_sql(_TRIPLES_SQL),
         "ann_lsh_topk": _ANN_LSH_SQL,
         "neardup_embedding_lsh": _NEARDUP_LSH_SQL,

@@ -203,6 +203,133 @@ _PROV_PARTIAL_SCHEMA = pa.schema(
 )
 
 
+def kg_predicate_signatures(
+    sf_dir: str, broadcast_limit: int = 5_000_000
+) -> "ray.data.Dataset":
+    """Schema induction: textual predicates → (subj_type, obj_type) usage.
+
+    Joins the open-relation triples against each entity's DOMINANT type
+    (max evidence weight, ties to the lexicographically smallest type) and
+    counts (pred, subj_type, obj_type) signatures — the ontology a
+    downstream consumer would declare for each induced relation.
+
+    The type map is entity-vocabulary-bounded, so the join is the
+    broadcast-small-side plan (dict built once from the typed-triple
+    aggregate, applied inside map_batches); ``broadcast_limit`` guards the
+    assumption loudly instead of silently shipping an oversized dict."""
+    typed = kg_typed_triples(sf_dir).materialize()
+    n_typed = typed.count()
+    if n_typed > broadcast_limit:
+        raise RuntimeError(
+            f"entity-type table has {n_typed} rows > broadcast_limit="
+            f"{broadcast_limit}; the dominant-type map no longer fits a "
+            "broadcast — route through a bucketed join on subj instead"
+        )
+    tdf = typed.to_pandas().sort_values(
+        ["subj", "weight", "obj"], ascending=[True, False, True]
+    )
+    ent_type = dict(
+        zip(
+            tdf.drop_duplicates("subj", keep="first")["subj"],
+            tdf.drop_duplicates("subj", keep="first")["obj"],
+        )
+    )
+
+    rels = kg_open_relations(sf_dir)
+
+    def sign(batch: pa.Table) -> pa.Table:
+        subj_t = [ent_type[s] for s in batch["subj"].to_pylist()]
+        obj_t = [ent_type[o] for o in batch["obj"].to_pylist()]
+        return pa.table(
+            {
+                "pred": batch["pred"],
+                "subj_type": pa.array(subj_t, type=pa.string()),
+                "obj_type": pa.array(obj_t, type=pa.string()),
+                "weight": batch["weight"],
+            }
+        )
+
+    out = bucketed_group_sum(
+        rels.map_batches(sign, batch_format="pyarrow"),
+        ["pred", "subj_type", "obj_type"],
+        sum_cols={"total_weight": "weight"},
+        count_col="n_triples",
+        driver_cap=_TRIPLE_DRIVER_CAP,
+    )
+    return out.select_columns(
+        ["pred", "subj_type", "obj_type", "n_triples", "total_weight"]
+    )
+
+
+def kg_entity_summary(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Per-entity card over the flagship triple table: edge count, total
+    evidence weight, distinct predicates, distinct co-occurrence
+    neighbors.
+
+    Distinct counts need every edge of an entity co-resident, so edges are
+    exploded to per-endpoint rows and bucketed by crc32(entity) — one
+    bounded groupby over the (entity-vocabulary-bounded) triple table; the
+    per-bucket nunique/sums are vectorized pandas."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        subs = batch["subj"].to_pylist()
+        preds = batch["pred"].to_pylist()
+        objs = batch["obj"].to_pylist()
+        ws = batch["weight"].to_pylist()
+        ents: list[str] = []
+        prs: list[str] = []
+        wts: list[int] = []
+        nbr: list[str | None] = []
+        for s, p, o, w in zip(subs, preds, objs, ws):
+            cooc = p == "cooccurs_with"
+            ents.append(s)
+            prs.append(p)
+            wts.append(w)
+            nbr.append(o if cooc else None)
+            if cooc:
+                ents.append(o)
+                prs.append(p)
+                wts.append(w)
+                nbr.append(s)
+        bucket = np.fromiter(
+            (zlib.crc32(e.encode("utf-8")) % n_buckets for e in ents),
+            dtype=np.int64,
+            count=len(ents),
+        )
+        return pa.table(
+            {
+                "entity": pa.array(ents, type=pa.string()),
+                "pred": pa.array(prs, type=pa.string()),
+                "weight": pa.array(np.asarray(wts, dtype=np.int64)),
+                "neighbor": pa.array(nbr, type=pa.string()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def summarize(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("entity", sort=False).agg(
+            n_edges=("pred", "size"),
+            total_weight=("weight", "sum"),
+            n_preds=("pred", "nunique"),
+            n_neighbors=("neighbor", "nunique"),  # nunique drops NaN/None
+        )
+        out = agg.reset_index()
+        for c in ("n_edges", "total_weight", "n_preds", "n_neighbors"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        triples.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(summarize, batch_format="pandas")
+    )
+
+
 def kg_triple_provenance(
     sf_dir: str, n_buckets: int = 64
 ) -> "ray.data.Dataset":

@@ -105,6 +105,29 @@ def test_provenance_first_doc_is_min_support(sf_dir):
     assert min(support) == row["first_doc"]
 
 
+def test_predicate_signatures_guard_fires_on_tiny_limit(sf_dir):
+    from ner_funtool_ray.pipelines.openrel import kg_predicate_signatures
+
+    with pytest.raises(RuntimeError, match="broadcast_limit"):
+        kg_predicate_signatures(sf_dir, broadcast_limit=1)
+
+
+def test_entity_summary_consistency(sf_dir):
+    """Entity cards must be internally consistent with the triple table:
+    Σ n_edges == |appears_in triples| + 2·|cooccurs triples|, and every
+    entity has n_preds ≥ 1."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+    from ner_funtool_ray.pipelines.openrel import kg_entity_summary
+
+    cards = kg_entity_summary(sf_dir).to_pandas()
+    triples = kg_from_sf_dir(sf_dir).to_pandas()
+    n_appears = int((triples["pred"] == "appears_in").sum())
+    n_cooc = int((triples["pred"] == "cooccurs_with").sum())
+    assert int(cards["n_edges"].sum()) == n_appears + 2 * n_cooc
+    assert (cards["n_preds"] >= 1).all()
+    assert (cards["n_neighbors"] <= cards["n_edges"]).all()
+
+
 def test_typed_triples_weights_sum_to_mention_total(sf_dir):
     """Σ weight over has_type triples == total gazetteer mentions in the
     corpus (typing partitions mentions; nothing is dropped or doubled)."""
