@@ -153,6 +153,15 @@ SELECT newt.subj, newt.pred, newt.obj, newt.weight
 FROM newt ANTI JOIN baset USING (subj, pred, obj)
 """
 
+# Upsert companion of the incremental delta: merged graph, weights summed.
+_KG_UPSERT_SQL = f"""
+WITH newt AS ({_triples_sql(" WHERE doc_id % 2 = 1")}),
+     baset AS ({_triples_sql(" WHERE doc_id % 2 = 0")}),
+     u AS (SELECT * FROM newt UNION ALL SELECT * FROM baset)
+SELECT subj, pred, obj, sum(weight)::BIGINT AS weight
+FROM u GROUP BY subj, pred, obj
+"""
+
 # Entity typing as rdf:type-style triples (pipelines/openrel.py).
 _KG_TYPED_SQL = f"""
 WITH m AS (
@@ -1481,6 +1490,12 @@ def _q_kg_transe_report(sf_dir: str):
     return kg_transe_report(sf_dir).to_pandas()
 
 
+def _q_kg_upsert_merged(sf_dir: str):
+    from ner_funtool_ray.pipelines.kg import kg_upsert_merged
+
+    return kg_upsert_merged(sf_dir)
+
+
 def _q_kg_typed_triples(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_typed_triples
 
@@ -2517,6 +2532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linked_mentions": _q_linked_mentions,
         "kg_triples_linked": _q_triples_linked,
         "kg_incremental_triples": _q_kg_incremental_triples,
+        "kg_upsert_merged": _q_kg_upsert_merged,
         "kg_typed_triples": _q_kg_typed_triples,
         "kg_open_relations": _q_kg_open_relations,
         "kg_triple_provenance": _q_kg_triple_provenance,
@@ -2942,6 +2958,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_linked_mentions": _LINKED_MENTIONS_SQL,
         "kg_triples_linked": _TRIPLES_LINKED_SQL,
         "kg_incremental_triples": _KG_INCREMENTAL_SQL,
+        "kg_upsert_merged": _KG_UPSERT_SQL,
         "kg_typed_triples": _KG_TYPED_SQL,
         "kg_open_relations": _KG_OPEN_RELATIONS_SQL,
         "kg_triple_provenance": _KG_PROVENANCE_SQL,

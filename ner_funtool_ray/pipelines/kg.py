@@ -168,3 +168,30 @@ def kg_incremental_triples(
         .groupby("bucket")
         .map_groups(anti, batch_format="pandas")
     )
+
+
+def kg_upsert_merged(
+    sf_dir: str, cfg: PipelineConfig | None = None
+) -> "ray.data.Dataset":
+    """The UPSERT companion of :func:`kg_incremental_triples`: the merged
+    graph after the new document batch lands — base ∪ new with weights
+    SUMMED on key collisions (the "weight merging the delta consumer
+    owns" step, executed end-to-end).
+
+    Plan: union the two triple streams and run one bounded
+    ``bucketed_group_sum`` over the key — the same single shuffle the
+    stored-table upsert would do; nothing driver-side.  Invariant (tested):
+    result == kg_triples over the whole corpus, because triple weights are
+    themselves per-doc-partition sums."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    base = kg_triples(corpus_from_documents(sf_dir, doc_parity=0), cfg)
+    new = kg_triples(corpus_from_documents(sf_dir, doc_parity=1), cfg)
+    out = bucketed_group_sum(
+        base.union(new),
+        ["subj", "pred", "obj"],
+        sum_cols={"weight": "weight"},
+        count_col=None,
+        driver_cap=2_000_000,
+    )
+    return out.select_columns(["subj", "pred", "obj", "weight"])

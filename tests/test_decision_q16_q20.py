@@ -115,6 +115,30 @@ def test_kg_incremental_delta_definition():
     assert key(full) == key(base) | key(new)
 
 
+def test_kg_upsert_merged_equals_full_corpus_graph():
+    """Upsert invariant: merging the two half-corpus graphs with weight
+    sums reproduces the whole-corpus graph exactly — triple weights are
+    per-doc-partition sums, so the upsert is lossless."""
+    from ner_funtool_ray.corpus import corpus_from_documents
+    from ner_funtool_ray.pipelines.kg import kg_triples, kg_upsert_merged
+
+    merged = (
+        kg_upsert_merged(SF)
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    full = (
+        kg_triples(corpus_from_documents(SF))
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(merged, full[merged.columns])
+
+
 def test_corpus_parity_split_partitions_rows():
     from ner_funtool_ray.corpus import corpus_from_documents
 
