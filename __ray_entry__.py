@@ -223,6 +223,34 @@ FROM r WHERE len(toks) BETWEEN 1 AND 3
 GROUP BY 1, 2, 3
 """
 
+# Adjectival attribute extraction: modifier token immediately before a
+# mention (gap i precedes match i in the positional alignment).
+_KG_ENTITY_ATTRS_SQL = f"""
+WITH frags AS (
+  SELECT unnest(
+    regexp_split_to_array(text, '{SENTENCE_SPLIT_SQL_REGEX}')) AS frag
+  FROM documents
+),
+sents AS (SELECT trim(frag) AS sentence FROM frags WHERE trim(frag) <> ''),
+e AS (
+  SELECT regexp_extract_all(sentence, '{_GAZ_PATTERN}', 1) AS ms,
+         regexp_split_to_array(sentence, '{_GAZ_PATTERN}') AS gaps
+  FROM sents
+),
+x AS (
+  SELECT ms[i] AS m, gaps[i] AS pregap
+  FROM e, unnest(generate_series(1, len(ms))) AS t(i)
+),
+t AS (
+  SELECT m, toks[len(toks)] AS attr
+  FROM (SELECT m, regexp_extract_all(lower(pregap), '\\w+') AS toks FROM x)
+  WHERE len(toks) > 0
+)
+SELECT 'ent:' || {_alias_case("m")} AS entity_id, attr, count(*)::BIGINT AS n
+FROM t WHERE attr IN ('fast','slow','small','big')
+GROUP BY 1, 2
+"""
+
 # Schema induction: textual predicate → dominant-type signature counts.
 _KG_PRED_SIGNATURES_SQL = f"""
 WITH typed AS ({_KG_TYPED_SQL}),
@@ -1514,6 +1542,12 @@ def _q_kg_triple_provenance(sf_dir: str):
     return kg_triple_provenance(sf_dir)
 
 
+def _q_kg_entity_attributes(sf_dir: str):
+    from ner_funtool_ray.pipelines.openrel import kg_entity_attributes
+
+    return kg_entity_attributes(sf_dir)
+
+
 def _q_kg_predicate_signatures(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_predicate_signatures
 
@@ -2536,6 +2570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_typed_triples": _q_kg_typed_triples,
         "kg_open_relations": _q_kg_open_relations,
         "kg_triple_provenance": _q_kg_triple_provenance,
+        "kg_entity_attributes": _q_kg_entity_attributes,
         "kg_predicate_signatures": _q_kg_predicate_signatures,
         "kg_entity_summary": _q_kg_entity_summary,
         "kg_pattern_bindings": _q_kg_pattern_bindings,
@@ -2962,6 +2997,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_typed_triples": _KG_TYPED_SQL,
         "kg_open_relations": _KG_OPEN_RELATIONS_SQL,
         "kg_triple_provenance": _KG_PROVENANCE_SQL,
+        "kg_entity_attributes": _KG_ENTITY_ATTRS_SQL,
         "kg_predicate_signatures": _KG_PRED_SIGNATURES_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,
         "kg_pattern_bindings": _graph.make_pattern_bindings_sql(_TRIPLES_SQL),

@@ -165,6 +165,67 @@ def kg_open_relations(
 
 
 # ---------------------------------------------------------------------------
+# kg_entity_attributes
+# ---------------------------------------------------------------------------
+
+# adjective lexicon for attribute extraction — the modifier vocabulary the
+# synthetic corpus carries; a real deployment swaps in a POS-derived list
+ATTR_LEXICON = frozenset({"fast", "slow", "small", "big"})
+
+
+class EntityAttributeExtractor:
+    """map_batches callable: sentence rows → (entity_id, attr) rows.
+
+    Attribute = the LAST token of the text immediately preceding a mention
+    when it belongs to the adjective lexicon ("fast key" → (ent:key, fast))
+    — adjectival-modifier property extraction, the (entity, attribute,
+    value) complement of the relation extractor.  Alignment: mention i's
+    preceding gap is split-part ``parts[2i]`` (SQL twin: ``gaps[i]``)."""
+
+    def __init__(
+        self,
+        gazetteer: dict[str, str] | None = None,
+        aliases: dict[str, str] | None = None,
+        lexicon: frozenset[str] | None = None,
+    ):
+        self.pattern = _gaz_pattern(gazetteer or GAZETTEER)
+        self.aliases = dict(ALIASES) if aliases is None else dict(aliases)
+        self.lexicon = ATTR_LEXICON if lexicon is None else lexicon
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ents: list[str] = []
+        attrs: list[str] = []
+        al = self.aliases
+        lex = self.lexicon
+        for sent in batch["sentence"].to_pylist():
+            parts = self.pattern.split(sent or "")
+            n = (len(parts) - 1) // 2
+            for i in range(n):
+                toks = _WORD_RE.findall(parts[2 * i].lower())
+                if toks and toks[-1] in lex:
+                    m = parts[2 * i + 1]
+                    ents.append("ent:" + al.get(m, m))
+                    attrs.append(toks[-1])
+        return pa.table(
+            {
+                "entity_id": pa.array(ents, type=pa.string()),
+                "attr": pa.array(attrs, type=pa.string()),
+            }
+        )
+
+
+def kg_entity_attributes(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus → (entity_id, attr, n) adjectival property counts."""
+    sents = split_to_sentences(ingest(corpus_from_documents(sf_dir)))
+    pairs = sents.map_batches(EntityAttributeExtractor(), batch_format="pyarrow")
+    out = bucketed_group_sum(
+        pairs, ["entity_id", "attr"], count_col="n",
+        driver_cap=_TRIPLE_DRIVER_CAP,
+    )
+    return out.select_columns(["entity_id", "attr", "n"])
+
+
+# ---------------------------------------------------------------------------
 # kg_triple_provenance
 # ---------------------------------------------------------------------------
 

@@ -105,6 +105,35 @@ def test_provenance_first_doc_is_min_support(sf_dir):
     assert min(support) == row["first_doc"]
 
 
+def test_attribute_extractor_semantics():
+    from ner_funtool_ray.pipelines.openrel import EntityAttributeExtractor
+
+    ex = EntityAttributeExtractor()
+    out = ex(
+        pa.table(
+            {
+                "sentence": pa.array(
+                    [
+                        "the fast key beats a slow scan",  # 2 attrs
+                        "very big data",                    # 1 attr
+                        "the key",                          # 'the' not in lexicon
+                        "fast agg",                         # alias rewrite
+                        "key fast",                         # attr AFTER mention: no
+                    ],
+                    type=pa.string(),
+                )
+            }
+        )
+    )
+    rows = list(zip(out["entity_id"].to_pylist(), out["attr"].to_pylist()))
+    assert rows == [
+        ("ent:key", "fast"),
+        ("ent:scan", "slow"),
+        ("ent:data", "big"),
+        ("ent:aggregate", "fast"),
+    ]
+
+
 def test_predicate_signatures_guard_fires_on_tiny_limit(sf_dir):
     from ner_funtool_ray.pipelines.openrel import kg_predicate_signatures
 
