@@ -299,6 +299,89 @@ def train_transe_serial(
     return E, R, ent2id, rel2id, history
 
 
+def transe_linkpred_eval(
+    triples: "ray.data.Dataset",
+    E: np.ndarray, R: np.ndarray, ent2id: dict, rel2id: dict,
+) -> dict:
+    """Filtered link-prediction eval (tail ranking): MRR + hits@{1,3,10}.
+
+    Distributed scoring: the embedding matrices and the (h, r) → true-tail
+    filter dict (all entity-vocabulary-bounded) broadcast once via
+    ``ray.put``; each batch ranks its triples' true tails against ALL
+    entities vectorized (one matmul-shaped distance per batch) and emits
+    integer partials; one tiny driver sum finishes.  Ranks use the
+    standard filtered protocol: other known-true tails of the same (h, r)
+    are excluded before ranking; ties rank optimistically by strict-less
+    counting (deterministic — no RNG)."""
+    # true-tail filter: bounded by the triple-key vocabulary
+    true_tails: dict[tuple[int, int], set[int]] = {}
+    for b in triples.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for s, p, o in zip(
+            b["subj"].to_pylist(), b["pred"].to_pylist(), b["obj"].to_pylist()
+        ):
+            true_tails.setdefault(
+                (ent2id[s], rel2id[p]), set()
+            ).add(ent2id[o])
+    state_ref = ray.put((E, R, ent2id, rel2id, true_tails))
+
+    def score(batch: pa.Table) -> pa.Table:
+        E_, R_, e2i, r2i, tt = ray.get(state_ref)
+        hi = np.asarray([e2i[s] for s in batch["subj"].to_pylist()])
+        ri = np.asarray([r2i[p] for p in batch["pred"].to_pylist()])
+        ti = np.asarray([e2i[o] for o in batch["obj"].to_pylist()])
+        # distances of EVERY entity as candidate tail: |batch| × |E|
+        q = E_[hi] + R_[ri]
+        d = (
+            np.sum(q * q, axis=1, keepdims=True)
+            - 2.0 * q @ E_.T
+            + np.sum(E_ * E_, axis=1)[None, :]
+        )
+        ranks = np.empty(len(hi), dtype=np.int64)
+        for j in range(len(hi)):
+            row = d[j]
+            mask = np.zeros(len(E_), dtype=bool)
+            others = tt[(int(hi[j]), int(ri[j]))] - {int(ti[j])}
+            if others:
+                mask[list(others)] = True
+            better = np.sum((row < row[ti[j]]) & ~mask)
+            ranks[j] = better + 1
+        return pa.table(
+            {
+                "n": pa.array([len(ranks)], type=pa.int64()),
+                "rr_ppm_sum": pa.array(
+                    [int(np.sum(1_000_000 // ranks))], type=pa.int64()
+                ),
+                "hits1": pa.array([int(np.sum(ranks <= 1))], type=pa.int64()),
+                "hits3": pa.array([int(np.sum(ranks <= 3))], type=pa.int64()),
+                "hits10": pa.array([int(np.sum(ranks <= 10))], type=pa.int64()),
+            }
+        )
+
+    parts = triples.map_batches(score, batch_format="pyarrow").to_pandas()
+    return {
+        "n_triples": int(parts["n"].sum()),
+        "mrr_ppm": int(parts["rr_ppm_sum"].sum() // max(parts["n"].sum(), 1)),
+        "hits1": int(parts["hits1"].sum()),
+        "hits3": int(parts["hits3"].sum()),
+        "hits10": int(parts["hits10"].sum()),
+    }
+
+
+def kg_transe_linkpred(
+    sf_dir: str, dim: int = 16, epochs: int = 5, seed: int = 42
+) -> pa.Table:
+    """Query surface: train TransE on the corpus triples, then the
+    filtered tail-ranking link-prediction report (one row)."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir).materialize()
+    E, R, ent2id, rel2id, _ = train_transe(
+        triples, dim=dim, epochs=epochs, seed=seed
+    )
+    m = transe_linkpred_eval(triples, E, R, ent2id, rel2id)
+    return pa.table({k: pa.array([v], type=pa.int64()) for k, v in m.items()})
+
+
 def kg_transe_report(
     sf_dir: str, dim: int = 16, epochs: int = 5, seed: int = 42
 ) -> pa.Table:

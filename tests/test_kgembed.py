@@ -113,3 +113,19 @@ def test_loss_decreases_on_real_triples():
         "/root/testdata/sf0.001", dim=8, epochs=4
     ).to_pandas()
     pd.testing.assert_frame_equal(rep, rep2)
+
+
+def test_linkpred_report_is_consistent_and_deterministic():
+    from ner_funtool_ray.pipelines.kgembed import kg_transe_linkpred
+
+    rep = kg_transe_linkpred(
+        "/root/testdata/sf0.001", dim=8, epochs=2
+    ).to_pandas()
+    assert len(rep) == 1
+    row = rep.iloc[0]
+    assert row["hits1"] <= row["hits3"] <= row["hits10"] <= row["n_triples"]
+    assert 0 < row["mrr_ppm"] <= 1_000_000
+    rep2 = kg_transe_linkpred(
+        "/root/testdata/sf0.001", dim=8, epochs=2
+    ).to_pandas()
+    pd.testing.assert_frame_equal(rep, rep2)
