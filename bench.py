@@ -67,14 +67,26 @@ def run_bench() -> dict:
     # import) so the first timed query measures the engine, not one-time
     # worker startup
     def _warm(b):
+        import time as _t
+
         import ner_funtool_ray.stages.gazetteer  # noqa: F401
         import ner_funtool_ray.stages.materialize  # noqa: F401
 
+        # hold the slot so every task lands on a DISTINCT worker process —
+        # instant tasks get multiplexed onto a handful of workers and the
+        # rest of the pool still pays cold package import inside the first
+        # timed query (measured 9.2 s cold vs 1.7-2.3 s steady kg_triples)
+        _t.sleep(0.5)
         return b
 
     ray.data.range(1_000, override_num_blocks=NUM_CPUS).map_batches(
         _warm, batch_format="pyarrow"
     ).materialize()
+
+    # one untimed flagship run at the smallest SF: exercises the full code
+    # path (read → fused stages → groupby reduce workers → driver merge)
+    # so the timed queries measure the engine at steady state
+    _consume(Q["kg_triples"]("/root/testdata/sf0.001"))
 
     # warm the DRIVER-side pandas/numpy kernels used by the size-guarded
     # driver merges (first call of merge/groupby/factorize pages in their
@@ -118,6 +130,9 @@ def run_bench() -> dict:
         "curated_documents",      # fused 4-signal curation verdict (apply side)
         "semantic_dedup",         # SemDeDup: cluster + in-cluster cosine prune
         "kg_incremental_triples",  # incremental maintenance: delta anti-join
+        "kg_open_relations",       # textual-predicate extraction per sentence
+        "kg_entity_summary",       # per-entity cards: bucketed distinct aggs
+        "kg_predicate_signatures",  # schema induction: typed join over rels
     ]
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
