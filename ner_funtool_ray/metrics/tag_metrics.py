@@ -25,6 +25,7 @@ import pyarrow as pa
 
 import ray.data
 from ray.data.aggregate import Sum
+from ner_funtool_ray.utils import pa_from_pandas
 
 
 def _partial_tag_counts(batch: pa.Table) -> pa.Table:
@@ -172,7 +173,7 @@ def confusion_matrix(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
             .size()
             .reset_index(name="n")
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     return (
         pairs.map_batches(filt, batch_format="pyarrow")

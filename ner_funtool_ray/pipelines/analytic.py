@@ -31,6 +31,7 @@ import ray.data
 
 from ner_funtool_ray.sources.io import parquet_num_rows, read_parquet_auto
 from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+from ner_funtool_ray.utils import pa_from_pandas
 
 _HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
 
@@ -341,7 +342,7 @@ def large_volume_customers(
 
     n_hot = hot.count()
     if n_hot <= broadcast_limit:
-        ht = pa.Table.from_pandas(hot.to_pandas(), preserve_index=False)
+        ht = pa_from_pandas(hot.to_pandas(), preserve_index=False)
         if ht.num_rows == 0 or n_hot == 0:
             empty = pa.table(
                 {
@@ -502,7 +503,7 @@ def customer_order_window(
         if pf.metadata.num_rows <= driver_cap:
             df = pf.read(columns=cols).to_pandas()
             return ray.data.from_arrow(
-                pa.Table.from_pandas(windows(df), preserve_index=False)
+                pa_from_pandas(windows(df), preserve_index=False)
             )
 
     ds = read_parquet_auto(f"{sf_dir}/orders.parquet", columns=cols)
@@ -555,7 +556,7 @@ def supplier_distinct_parts(sf_dir: str, n_buckets: int = 32) -> "ray.data.Datas
             .reset_index(name="n")
         )
         agg["bucket"] = (agg["l_suppkey"] % n_buckets).astype(np.int64)
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa_from_pandas(agg, preserve_index=False)
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -611,7 +612,7 @@ def doc_keyword_hits(sf_dir: str, pattern: str = _KEYWORD_PATTERN) -> "ray.data.
             )
             .reset_index()
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa_from_pandas(agg, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     out = bucketed_group_sum(
@@ -661,7 +662,7 @@ def stratified_sample_documents(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
             }
         )
         df = df.sort_values(["lang", "u", "doc_id"]).groupby("lang", sort=False).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         out = group.sort_values(["lang", "u", "doc_id"]).groupby("lang", sort=False).head(k)
@@ -705,7 +706,7 @@ def events_pivot(sf_dir: str) -> "ray.data.Dataset":
         )
         ct.columns = out_cols
         ct = ct.astype(np.int64).reset_index()
-        return pa.Table.from_pandas(ct, preserve_index=False)
+        return pa_from_pandas(ct, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     out = bucketed_group_sum(
@@ -813,7 +814,7 @@ def doc_top_terms(
             dtype=np.int64,
             count=len(both),
         )
-        return pa.Table.from_pandas(both, preserve_index=False)
+        return pa_from_pandas(both, preserve_index=False)
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
         dfs = (
@@ -1136,7 +1137,7 @@ def nation_top_customers(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         return df.groupby("c_nationkey", sort=False).head(k)
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             best(batch.to_pandas()), preserve_index=False
         )
 
@@ -1522,7 +1523,7 @@ def doc_bigram_commonality(
             dtype=np.int64,
             count=len(both),
         )
-        return pa.Table.from_pandas(both, preserve_index=False)
+        return pa_from_pandas(both, preserve_index=False)
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
         cb = group[group["kind"] == 1].groupby("bg", sort=False)["cb"].sum()
@@ -1734,7 +1735,7 @@ def bigram_collocations(
         b["kind"] = np.int8(0)
         out = pd.concat([b, u], ignore_index=True)
         out["c"] = out["c"].astype(np.int64)
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             out[["kind", "term", "c"]], preserve_index=False
         )
 

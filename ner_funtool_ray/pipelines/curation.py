@@ -35,6 +35,7 @@ import ray
 import ray.data
 
 from ner_funtool_ray.sources.io import parquet_num_rows, read_parquet_auto
+from ner_funtool_ray.utils import pa_from_pandas
 
 _WORD_RE = re.compile(r"[0-9a-z_]+")
 _STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
@@ -882,7 +883,7 @@ def incremental_dedup_new(
         hist = set(group.loc[group["is_new"] == 0, "fingerprint"])
         new = group[group["is_new"] == 1]
         keep = new["fingerprint"].isin(hist).to_numpy()
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             new.loc[keep, ["doc_id", "fingerprint"]], preserve_index=False
         )
 

@@ -46,6 +46,7 @@ import ray.data
 from ner_funtool_ray.pipelines.relational import _cents
 from ner_funtool_ray.sources.io import parquet_num_rows, read_parquet_auto
 from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+from ner_funtool_ray.utils import pa_from_pandas
 
 _US_PER_DAY = 86_400_000_000
 
@@ -134,7 +135,7 @@ def _annotate_cust_nation(
             }
         )
         df["bucket"] = df["custkey"] % n_buckets
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     def order_side(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -146,7 +147,7 @@ def _annotate_cust_nation(
             }
         )
         df["bucket"] = df["custkey"] % n_buckets
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     def resolve_cust(group: pd.DataFrame) -> pa.Table:
         dim = group[group["kind"] == 1]
@@ -342,7 +343,7 @@ def local_supplier_volume(
             .agg(rev4=("rev4", "sum"), n_lines=("rev4", "size"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g, preserve_index=False)
 
     agg = bucketed_group_sum(
         ds.map_batches(partial, batch_format="pyarrow"),
@@ -491,7 +492,7 @@ def market_share(
             }
         )
         g = df.groupby("yr", sort=False).sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g, preserve_index=False)
 
     parts_ds = ds.map_batches(partial, batch_format="pyarrow").materialize()
     if parts_ds.count() == 0:
@@ -677,7 +678,7 @@ def small_quantity_revenue(
             .agg(sum_qc=("sum_qc", "sum"), n=("sum_qc", "size"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g, preserve_index=False)
 
     moments = bucketed_group_sum(
         ds.map_batches(moment_partial, batch_format="pyarrow"),
@@ -724,7 +725,7 @@ def small_quantity_revenue(
                  n_lines=("total_cents", "size"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g, preserve_index=False)
 
     return bucketed_group_sum(
         ds.map_batches(select_partial, batch_format="pyarrow"),
@@ -943,7 +944,7 @@ def waiting_suppliers(
                 .reset_index()
             )
             g["bucket"] = (g["orderkey"] % n_buckets).astype(np.int64)
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return pa_from_pandas(g, preserve_index=False)
 
         pairs = ds.map_batches(annotate, batch_format="pyarrow")
     else:
@@ -963,7 +964,7 @@ def waiting_suppliers(
                 }
             )
             df["bucket"] = df["orderkey"] % n_buckets
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return pa_from_pandas(df, preserve_index=False)
 
         def li_side(batch: pa.Table) -> pa.Table:
             df = pd.DataFrame(
@@ -988,7 +989,7 @@ def waiting_suppliers(
                 .reset_index()
             )
             g["bucket"] = (g["orderkey"] % n_buckets).astype(np.int64)
-            return pa.Table.from_pandas(
+            return pa_from_pandas(
                 g[["orderkey", "suppkey", "odate", "ship", "kind", "bucket"]],
                 preserve_index=False,
             )
@@ -1020,7 +1021,7 @@ def waiting_suppliers(
                 .reset_index()
             )
             g["bucket"] = (g["orderkey"] % n_buckets).astype(np.int64)
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return pa_from_pandas(g, preserve_index=False)
 
         orders_ds = read_parquet_auto(
             f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
@@ -1050,7 +1051,7 @@ def waiting_suppliers(
             .rename("numwait")
             .reset_index()
         )
-        return pa.Table.from_pandas(cnt, preserve_index=False)
+        return pa_from_pandas(cnt, preserve_index=False)
 
     # size-guarded final plan (the repo-wide driver_cap pattern): the
     # distinct-pair combiner leaves ≤ one row per (order, supplier), so
@@ -1235,7 +1236,7 @@ def idle_rich_customers(
                 )
                 .reset_index()
             )
-            return pa.Table.from_pandas(
+            return pa_from_pandas(
                 g[["n_name", "numcust", "total_cents"]], preserve_index=False
             )
 
@@ -1259,7 +1260,7 @@ def idle_rich_customers(
                 }
             )
             df["bucket"] = df["custkey"] % n_buckets
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return pa_from_pandas(df, preserve_index=False)
 
         def order_key_side(batch: pa.Table) -> pa.Table:
             df = pd.DataFrame(
@@ -1271,7 +1272,7 @@ def idle_rich_customers(
                 }
             )
             df["bucket"] = df["custkey"] % n_buckets
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return pa_from_pandas(df, preserve_index=False)
 
         def anti(group: pd.DataFrame) -> pa.Table:
             ordered = set(group.loc[group["kind"] == 1, "custkey"].tolist())
@@ -1293,7 +1294,7 @@ def idle_rich_customers(
                 )
                 .reset_index()
             )
-            return pa.Table.from_pandas(
+            return pa_from_pandas(
                 g[["n_name", "numcust", "total_cents"]], preserve_index=False
             )
 
@@ -1395,7 +1396,7 @@ def part_supplier_variety(
                 "suppkey": skey[keep],
             }
         ).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     triples = bucketed_group_sum(
         ds.map_batches(triple_partial, batch_format="pyarrow"),
@@ -1411,7 +1412,7 @@ def part_supplier_variety(
             .size()
             .reset_index(name="supplier_cnt")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g, preserve_index=False)
 
     counts = bucketed_group_sum(
         triples.map_batches(count_partial, batch_format="pyarrow"),
@@ -1502,7 +1503,7 @@ def dominant_suppliers(
             .sum()
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g, preserve_index=False)
 
     pairs = bucketed_group_sum(
         ds.map_batches(pair_partial, batch_format="pyarrow"),

@@ -37,6 +37,7 @@ from ner_funtool_ray.pipelines.mining import _ts_us
 from ner_funtool_ray.pipelines.relational import _cents
 from ner_funtool_ray.sources.io import parquet_num_rows, read_parquet_auto
 from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+from ner_funtool_ray.utils import pa_from_pandas
 
 _DAY_US = 86_400_000_000
 
@@ -63,7 +64,7 @@ def customer_order_histogram(sf_dir: str) -> "ray.data.Dataset":
             .rename_axis("c_count")
             .reset_index(name="custdist")
         )
-        return pa.Table.from_pandas(vc, preserve_index=False)
+        return pa_from_pandas(vc, preserve_index=False)
 
     hist = (
         per_cust.map_batches(hist_partial, batch_format="pyarrow")
@@ -212,7 +213,7 @@ def event_anomaly_cells(sf_dir: str) -> "ray.data.Dataset":
                 "day": _ts_us(batch["ts"]) // _DAY_US,
             }
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     cells = bucketed_group_sum(
         ds.map_batches(cell_partial, batch_format="pyarrow"),
@@ -234,7 +235,7 @@ def event_anomaly_cells(sf_dir: str) -> "ray.data.Dataset":
             .agg(n=("one", "sum"), s=("cnt", "sum"), s2=("c2", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g, preserve_index=False)
 
     stats = (
         cells.map_batches(moment_partial, batch_format="pyarrow")
@@ -342,7 +343,7 @@ def cheapest_supplier_per_part(sf_dir: str, n_buckets: int = 64) -> "ray.data.Da
         )
         # bucket by PART so the later argmin needs no second exchange
         g["bucket"] = (g["l_partkey"].to_numpy() % n_buckets).astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g, preserve_index=False)
 
     def bucket_argmin(group: pd.DataFrame) -> pa.Table:
         m = (

@@ -42,6 +42,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
+from ner_funtool_ray.utils import pa_from_pandas
 
 SCALE = np.int64(1_000_000_000)
 BASE = np.int64((15 * 1_000_000_000) // 100)
@@ -107,7 +108,7 @@ def pagerank_ds(
     def tag_edges(batch: pa.Table) -> pa.Table:
         df = batch.select(["src", "dst", "weight"]).to_pandas()
         df["bucket"] = _bucket_str(df["src"], n_buckets)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     edges_b = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
 
@@ -125,7 +126,7 @@ def pagerank_ds(
     def tag_nodes(batch: pa.Table) -> pa.Table:
         df = batch.select(["entity_id"]).to_pandas()
         df["bucket"] = _bucket_str(df["entity_id"], n_buckets)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     nodes_b = nodes.map_batches(tag_nodes, batch_format="pyarrow").materialize()
 
@@ -139,7 +140,7 @@ def pagerank_ds(
     for _ in range(iters):
         # (1) ranks meet their out-edges in the src bucket
         r_tagged = ranks.map_batches(
-            lambda t: pa.Table.from_pandas(
+            lambda t: pa_from_pandas(
                 pd.DataFrame(
                     {
                         "src": np.asarray(t["entity_id"]),
@@ -197,7 +198,7 @@ def pagerank_ds(
 
         # (3) zero-fill join back onto the node set
         inc_tagged = inc.map_batches(
-            lambda t: pa.Table.from_pandas(
+            lambda t: pa_from_pandas(
                 pd.DataFrame(
                     {
                         "entity_id": np.asarray(t["dst"]),
@@ -310,7 +311,7 @@ def entity_pagerank(
 
     def expand(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             pd.DataFrame(
                 {
                     "src": np.concatenate([df["subj"], df["obj"]]),
@@ -678,13 +679,13 @@ def entity_cooccurrence_lift(
             df_ = t.to_pandas()
             df_["bucket"] = _bucket_str(df_[side], n_buckets)
             df_["is_marg"] = np.int8(0)
-            return pa.Table.from_pandas(df_, preserve_index=False)
+            return pa_from_pandas(df_, preserve_index=False)
 
         def tag_marg(t: pa.Table) -> pa.Table:
             df_ = t.to_pandas()
             df_["bucket"] = _bucket_str(df_["entity"], n_buckets)
             df_["is_marg"] = np.int8(1)
-            return pa.Table.from_pandas(df_, preserve_index=False)
+            return pa_from_pandas(df_, preserve_index=False)
 
         out_col = f"m_{side}"
 
@@ -803,7 +804,7 @@ def entity_two_hop_counts(
             }
         )
         out["bucket"] = _bucket_str(out["mid"], n_buckets)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out, preserve_index=False)
 
     def expand_pairs(group: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -841,13 +842,13 @@ def entity_two_hop_counts(
         df_["two_hop"] = np.int64(0)
         df_["is_node"] = np.int8(1)
         df_["bucket"] = _bucket_str(df_["entity"], n_buckets)
-        return pa.Table.from_pandas(df_, preserve_index=False)
+        return pa_from_pandas(df_, preserve_index=False)
 
     def tag_counts(t: pa.Table) -> pa.Table:
         df_ = t.to_pandas()
         df_["is_node"] = np.int8(0)
         df_["bucket"] = _bucket_str(df_["entity"], n_buckets)
-        return pa.Table.from_pandas(df_, preserve_index=False)
+        return pa_from_pandas(df_, preserve_index=False)
 
     def zero_fill(group: pd.DataFrame) -> pd.DataFrame:
         nodes_ = group.loc[group["is_node"] == 1, ["entity"]].drop_duplicates()
@@ -956,7 +957,7 @@ def entity_degree_histogram(
             .rename_axis("degree")
             .reset_index(name="n_entities")
         )
-        return pa.Table.from_pandas(vc, preserve_index=False)
+        return pa_from_pandas(vc, preserve_index=False)
 
     hist = (
         degrees.map_batches(hist_partial, batch_format="pyarrow")

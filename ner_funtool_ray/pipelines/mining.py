@@ -43,6 +43,7 @@ import ray.data
 from ner_funtool_ray.pipelines.relational import _cents
 from ner_funtool_ray.sources.io import read_parquet_auto
 from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+from ner_funtool_ray.utils import pa_from_pandas
 
 _DAY_US = 86_400_000_000
 _WEEK_US = 7 * _DAY_US
@@ -107,7 +108,7 @@ def basket_part_pairs(
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
         df["bucket"] = (df["l_orderkey"].to_numpy() % n_buckets).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     def _expand_sorted(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
@@ -135,7 +136,7 @@ def basket_part_pairs(
             if min_support > 1:
                 out = out[out["n_orders"] >= min_support]
             return ray.data.from_arrow(
-                pa.Table.from_pandas(
+                pa_from_pandas(
                     out.reset_index(drop=True), preserve_index=False
                 )
             )
@@ -193,7 +194,7 @@ def cohort_retention(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
             {"user_id": batch["user_id"].to_numpy(), "week": week}
         ).drop_duplicates()
         df["bucket"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     def cells(group: pd.DataFrame) -> pd.DataFrame:
         df = group.drop(columns=["bucket"]).drop_duplicates()
@@ -358,7 +359,7 @@ def daily_active_users(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
             }
         ).drop_duplicates()
         df["bucket"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     def day_cells(group: pd.DataFrame) -> pd.DataFrame:
         ud = group.drop(columns=["bucket"]).drop_duplicates()
@@ -481,7 +482,7 @@ def orders_pareto(
         df["price_c"].to_numpy(np.int64), df["day"].to_numpy(np.int64)
     )
     return ray.data.from_arrow(
-        pa.Table.from_pandas(df[m].reset_index(drop=True), preserve_index=False)
+        pa_from_pandas(df[m].reset_index(drop=True), preserve_index=False)
     )
 
 
@@ -555,7 +556,7 @@ def monthly_revenue_delta(sf_dir: str) -> "ray.data.Dataset":
             .sum()
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g, preserve_index=False)
 
     parts = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -632,7 +633,7 @@ def weekly_active_users(
             }
         ).drop_duplicates()
         df["bucket"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     def window_cells(group: pd.DataFrame) -> pa.Table:
         ud = group[["user_id", "d"]].drop_duplicates()
@@ -650,7 +651,7 @@ def weekly_active_users(
             .rename("wau")
             .reset_index()
         )
-        return pa.Table.from_pandas(cnt, preserve_index=False)
+        return pa_from_pandas(cnt, preserve_index=False)
 
     parts = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -733,14 +734,14 @@ def basket_pair_confidence(
             .rename("n")
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g, preserve_index=False)
 
     # distinct (order, part) per batch; an order's rows can span batches,
     # so the per-part count must dedupe globally — route through the
     # distinct pair itself (two-level, like supplier_distinct_parts)
     def distinct_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     marg = (
         bucketed_group_sum(
@@ -817,7 +818,7 @@ def dense_daily_type_counts(sf_dir: str) -> "pd.DataFrame":
     )
 
     def cells(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             pd.DataFrame(
                 {
                     "event_type": np.asarray(batch["event_type"]),
@@ -915,7 +916,7 @@ def events_dow_hour_heatmap(sf_dir: str) -> "ray.data.Dataset":
     def cells(batch: pa.Table) -> pa.Table:
         t = _ts_us(batch["ts"])
         days = t // _DAY_US
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             pd.DataFrame(
                 {
                     "dow": (days + 4) % 7,

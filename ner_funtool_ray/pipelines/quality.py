@@ -30,6 +30,7 @@ import ray.data
 
 from ner_funtool_ray.sources.io import parquet_num_rows, read_parquet_auto
 from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+from ner_funtool_ray.utils import pa_from_pandas
 
 FK_EDGES: list[tuple[str, str, str, str]] = [
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -241,7 +242,7 @@ def table_profile(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
             dtype=np.int64,
             count=len(out),
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out, preserve_index=False)
 
     def bucket_stats(group: pd.DataFrame) -> pa.Table:
         d = group[group["kind"] == 0]
@@ -262,7 +263,7 @@ def table_profile(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
         )
         mc["n_distinct"] = np.int64(0)
         out = pd.concat([dc, mc], ignore_index=True)
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             out[["column", "n_rows", "n_null", "n_distinct"]],
             preserve_index=False,
         )

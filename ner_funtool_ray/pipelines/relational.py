@@ -25,6 +25,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ner_funtool_ray.sources.io import parquet_num_rows, read_parquet_auto
+from ner_funtool_ray.utils import pa_from_pandas
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -83,7 +84,7 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
             )
             .reset_index()
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     agg = (
         ds.map_batches(prep, batch_format="pyarrow")
@@ -190,7 +191,7 @@ def revenue_by_nation(
                 .agg(rev_c=("rev_c", "sum"), n_orders=("rev_c", "size"))
                 .reset_index()
             )
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return pa_from_pandas(df, preserve_index=False)
 
         agg = (
             read_parquet_auto(
@@ -221,7 +222,7 @@ def revenue_by_nation(
             agg["nationkey"] = np.int64(-1)
             agg["kind"] = np.int8(0)
             agg["bucket"] = (agg["custkey"] % n_buckets).astype(np.int64)
-            return pa.Table.from_pandas(agg, preserve_index=False)
+            return pa_from_pandas(agg, preserve_index=False)
 
         def cust_rows(batch: pa.Table) -> pa.Table:
             df = pd.DataFrame(
@@ -234,7 +235,7 @@ def revenue_by_nation(
                 }
             )
             df["bucket"] = (df["custkey"] % n_buckets).astype(np.int64)
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return pa_from_pandas(df, preserve_index=False)
 
         orders_side = read_parquet_auto(
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
@@ -270,7 +271,7 @@ def revenue_by_nation(
                 .sum()
                 .reset_index()
             )
-            return pa.Table.from_pandas(agg, preserve_index=False)
+            return pa_from_pandas(agg, preserve_index=False)
 
         agg = (
             orders_side.union(cust_side)
@@ -510,7 +511,7 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
             .agg(value_c=("value_c", "sum"), n=("value_c", "size"))
             .reset_index()
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     agg = (
         ds.map_batches(prep, batch_format="pyarrow")
@@ -717,11 +718,11 @@ def top_order_per_customer(sf_dir: str, n_buckets: int = 32) -> "ray.data.Datase
     def partial(batch: pa.Table) -> pa.Table:
         df = best(batch.to_pandas())
         df["bucket"] = (df["o_custkey"] % n_buckets).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     def merge(group: pd.DataFrame) -> pa.Table:
         out = best(group.drop(columns=["bucket"]))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out, preserve_index=False)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -915,7 +916,7 @@ def profit_by_nation_year(sf_dir: str) -> "ray.data.Dataset":
         amount4 = ep * (100 - dc)
         yr = np.asarray(pc.year(hit["l_shipdate"])).astype(np.int64)
         nations = pd.Series(hit["l_suppkey"].to_numpy()).map(s2n)
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             pd.DataFrame({"n_name": nations, "yr": yr, "profit4": amount4}),
             preserve_index=False,
         )
@@ -1197,7 +1198,7 @@ def doc_length_quantiles(
                 row[f"p{int(q * 100)}"] = (1.0 - frac) * lo_v + frac * hi_v
             out_rows.append(row)
         df = pd.DataFrame(out_rows)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     # the histogram is tiny (distinct lengths × langs); one group per lang
     # would also be fine — a single merge task keeps it deterministic
@@ -1331,7 +1332,7 @@ def events_sliding(
             .agg(value_c=("value_c", "sum"), n=("value_c", "size"))
             .reset_index()
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     agg = (
         ds.map_batches(prep, batch_format="pyarrow")
@@ -1636,7 +1637,7 @@ def user_last_event(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
     def partial(batch: pa.Table) -> pa.Table:
         df = best(batch.to_pandas())
         df["bucket"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         out = best(group.drop(columns=["bucket"]))
@@ -1762,7 +1763,7 @@ def nation_pair_volume(
                 .agg(rev4=("rev4", "sum"), n=("rev4", "size"))
                 .reset_index()
             )
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return pa_from_pandas(g, preserve_index=False)
 
         agg = bucketed_group_sum(
             read_parquet_auto(
@@ -1784,7 +1785,7 @@ def nation_pair_volume(
         df["kind"] = np.int8(0)
         df["cust_nk"] = np.int64(-1)
         df["bucket"] = df["l_orderkey"].to_numpy() % np.int64(n_buckets)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     def order_rows(batch: pa.Table) -> pa.Table:
         ok = np.asarray(batch["o_orderkey"]).astype(np.int64)
@@ -1793,7 +1794,7 @@ def nation_pair_volume(
             .map(cust2nk)
             .to_numpy(np.int64)
         )
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             pd.DataFrame(
                 {
                     "l_orderkey": ok,
@@ -1914,7 +1915,7 @@ def top_returned_customers(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
             .agg(rev4=("rev4", "sum"), n=("rev4", "size"))
             .reset_index()
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     per_cust = bucketed_group_sum(
         read_parquet_auto(
@@ -1932,7 +1933,7 @@ def top_returned_customers(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
         df = df.sort_values(
             ["rev4", "c_custkey"], ascending=[False, True], kind="mergesort"
         ).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     cand = (
         per_cust.map_batches(local_topk, batch_format="pyarrow")
@@ -2117,7 +2118,7 @@ def top_supplier_revenue(sf_dir: str) -> "ray.data.Dataset":
             {"suppkey": hit["l_suppkey"].to_numpy(), "rev4": ep * (100 - dc)}
         )
         agg = df.groupby("suppkey", sort=False)["rev4"].sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa_from_pandas(agg, preserve_index=False)
 
     from ner_funtool_ray.stages.groupagg import bucketed_group_sum
 
@@ -2376,7 +2377,7 @@ def _nation_year_revenue_base(
                 .sum()
                 .reset_index()
             )
-            return pa.Table.from_pandas(agg, preserve_index=False)
+            return pa_from_pandas(agg, preserve_index=False)
 
         base = (
             read_parquet_auto(f"{sf_dir}/orders.parquet", columns=orders_cols)
@@ -2405,7 +2406,7 @@ def _nation_year_revenue_base(
             agg["nationkey"] = np.int64(-1)
             agg["kind"] = np.int8(0)
             agg["bucket"] = (agg["custkey"] % n_buckets).astype(np.int64)
-            return pa.Table.from_pandas(agg, preserve_index=False)
+            return pa_from_pandas(agg, preserve_index=False)
 
         def cust_rows(batch: pa.Table) -> pa.Table:
             df = pd.DataFrame(
@@ -2418,7 +2419,7 @@ def _nation_year_revenue_base(
                 }
             )
             df["bucket"] = (df["custkey"] % n_buckets).astype(np.int64)
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return pa_from_pandas(df, preserve_index=False)
 
         orders_side = read_parquet_auto(
             f"{sf_dir}/orders.parquet", columns=orders_cols
@@ -2456,7 +2457,7 @@ def _nation_year_revenue_base(
                 .sum()
                 .reset_index()
             )
-            return pa.Table.from_pandas(agg, preserve_index=False)
+            return pa_from_pandas(agg, preserve_index=False)
 
         base = (
             orders_side.union(cust_side)

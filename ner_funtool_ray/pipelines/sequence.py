@@ -18,6 +18,7 @@ import ray.data
 
 from ner_funtool_ray.sources.io import read_parquet_auto
 from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+from ner_funtool_ray.utils import pa_from_pandas
 
 
 def event_transitions(
@@ -263,7 +264,7 @@ def event_debounce(
             }
         )
         df["bucket"] = df["user_id"] % n_buckets
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     def debounce(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(
@@ -284,7 +285,7 @@ def event_debounce(
             .agg(n_events=("kept", "size"), n_kept=("kept", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa_from_pandas(agg, preserve_index=False)
 
     from ner_funtool_ray.stages.groupagg import bucketed_group_sum
 
@@ -338,7 +339,7 @@ def rate_limit_violators(
     ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def cells(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             pd.DataFrame(
                 {
                     "user_id": np.asarray(batch["user_id"]).astype(np.int64),
@@ -401,7 +402,7 @@ def gap_median_by_type(
             }
         )
         df["bucket"] = df["user_id"] % n_buckets
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     def gaps(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(

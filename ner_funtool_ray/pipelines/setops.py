@@ -29,6 +29,7 @@ import ray
 import ray.data
 
 from ner_funtool_ray.sources.io import parquet_num_rows, read_parquet_auto
+from ner_funtool_ray.utils import pa_from_pandas
 
 __all__ = [
     "customers_retained",
@@ -71,7 +72,7 @@ def _customer_year_flags(
         )
         agg = df.groupby("o_custkey", sort=False).max().reset_index()
         agg["bucket"] = agg["o_custkey"].to_numpy() % np.int64(n_buckets)
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa_from_pandas(agg, preserve_index=False)
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         return (

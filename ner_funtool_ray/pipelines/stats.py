@@ -30,6 +30,7 @@ import ray.data
 
 from ner_funtool_ray.sources.io import parquet_num_rows, read_parquet_auto
 from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+from ner_funtool_ray.utils import pa_from_pandas
 
 __all__ = [
     "qty_discount_stats",
@@ -222,7 +223,7 @@ def nation_mode_priority(
                 .rename("cnt")
                 .reset_index()
             )
-            return pa.Table.from_pandas(bucket_by_nation(agg), preserve_index=False)
+            return pa_from_pandas(bucket_by_nation(agg), preserve_index=False)
 
         parts = orders.map_batches(partial, batch_format="pyarrow")
         return parts.groupby("bucket").map_groups(pick_mode, batch_format="pandas")
@@ -245,7 +246,7 @@ def nation_mode_priority(
         agg["kind"] = np.int64(0)
         agg["c_nationkey"] = np.int64(-1)
         agg["bucket"] = agg["o_custkey"].to_numpy() % np.int64(n_buckets)
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa_from_pandas(agg, preserve_index=False)
 
     def cust_partial(batch: pa.Table) -> pa.Table:
         ck = np.asarray(batch["c_custkey"]).astype(np.int64)
@@ -259,7 +260,7 @@ def nation_mode_priority(
                 "bucket": ck % np.int64(n_buckets),
             }
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     o = orders.map_batches(order_partial, batch_format="pyarrow")
     c = read_parquet_auto(
@@ -353,7 +354,7 @@ def user_value_moving_sum(
         if pf.metadata.num_rows <= driver_cap:
             df = pf.read(columns=cols).to_pandas()
             return ray.data.from_arrow(
-                pa.Table.from_pandas(windows(df), preserve_index=False)
+                pa_from_pandas(windows(df), preserve_index=False)
             )
 
     ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=cols)
@@ -422,7 +423,7 @@ def order_price_median_by_priority(
                 "bin": cents >> coarse_shift,
             }
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     hist1 = bucketed_group_sum(
         ds.map_batches(coarse, batch_format="pyarrow"),
@@ -447,7 +448,7 @@ def order_price_median_by_priority(
         tbin = np.array([targets[p][0] for p in u], dtype=np.int64)[inv]
         keep = (cents >> coarse_shift) == tbin
         df = pd.DataFrame({"pr": pr[keep], "cents": cents[keep]})
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     hist2 = bucketed_group_sum(
         ds.map_batches(fine, batch_format="pyarrow"),
@@ -563,7 +564,7 @@ def order_price_quantile_by_priority(
                 "bin": cents >> coarse_shift,
             }
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     hist1 = bucketed_group_sum(
         ds.map_batches(coarse, batch_format="pyarrow"),
@@ -589,7 +590,7 @@ def order_price_quantile_by_priority(
         tbin = np.array([targets[p][0] for p in u], dtype=np.int64)[inv]
         keep = (cents >> coarse_shift) == tbin
         df = pd.DataFrame({"pr": pr[keep], "cents": cents[keep]})
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     hist2 = bucketed_group_sum(
         ds.map_batches(fine, batch_format="pyarrow"),
@@ -646,7 +647,7 @@ def _grouped_median_value(
 
     def coarse(batch: pa.Table) -> pa.Table:
         v = value_of(batch)
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             pd.DataFrame(
                 {"g": np.asarray(batch[key_col]), "bin": v >> coarse_shift}
             ),
@@ -675,7 +676,7 @@ def _grouped_median_value(
         u, inv = np.unique(g, return_inverse=True)
         tbin = np.array([targets[p][0] for p in u], dtype=np.int64)[inv]
         keep = (v >> coarse_shift) == tbin
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             pd.DataFrame({"g": g[keep], "v": v[keep]}), preserve_index=False
         )
 
@@ -790,7 +791,7 @@ def _grouped_weighted_median(
 
     def coarse(batch: pa.Table) -> pa.Table:
         v = value_of(batch)
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             pd.DataFrame(
                 {
                     "g": np.asarray(batch[key_col]),
@@ -824,7 +825,7 @@ def _grouped_weighted_median(
         u, inv = np.unique(g, return_inverse=True)
         tbin = np.array([targets[p][0] for p in u], dtype=np.int64)[inv]
         keep = (v >> coarse_shift) == tbin
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             pd.DataFrame(
                 {"g": g[keep], "v": v[keep], "w": weight_of(batch)[keep]}
             ),
@@ -879,7 +880,7 @@ def lineitem_weighted_median_price(
     )
 
     def tot_partial(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             pd.DataFrame(
                 {"g": np.asarray(batch["l_returnflag"]), "w": qc_of(batch)}
             )
@@ -983,7 +984,7 @@ def part_price_qty_slope(sf_dir: str) -> "ray.data.Dataset":
             )
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g, preserve_index=False)
 
     agg = bucketed_group_sum(
         ds.map_batches(moments, batch_format="pyarrow"),
@@ -1087,7 +1088,7 @@ def orders_above_p99(
             .sum()
             .reset_index()
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     counts = (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -25,6 +25,7 @@ from ner_funtool_ray.stages.ingest import ingest
 from ner_funtool_ray.stages.materialize import all_triples
 from ner_funtool_ray.stages.sentence import split_to_sentences
 from ner_funtool_ray.stages.tag import tag_sentences
+from ner_funtool_ray.utils import pa_from_pandas
 
 MAX_SEQ_LEN = 128
 
@@ -317,7 +318,7 @@ def ensemble_mentions(sf_dir: str, n_buckets: int = 16) -> "ray.data.Dataset":
                 df["row_id"].to_numpy().astype(np.uint64)
                 % np.uint64(n_buckets)
             ).astype(np.int64)
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return pa_from_pandas(df, preserve_index=False)
 
         return f
 
@@ -356,7 +357,7 @@ def ensemble_mentions(sf_dir: str, n_buckets: int = 16) -> "ray.data.Dataset":
             .astype(np.int64)
             .reset_index()
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out, preserve_index=False)
 
     from ner_funtool_ray.stages.groupagg import bucketed_group_sum
 

@@ -17,6 +17,7 @@ from ray.data.aggregate import Count, Min, Sum
 
 from ner_funtool_ray.sources.io import read_parquet_auto
 
+from ner_funtool_ray.utils import pa_from_pandas
 from ner_funtool_ray.functions.text import (
     detect_language,
     fingerprint,
@@ -76,7 +77,7 @@ def dedup_exact(sf_dir: str) -> "ray.data.Dataset":
         agg = df.groupby("fingerprint", sort=False).agg(
             doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
         )
-        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+        return pa_from_pandas(agg.reset_index(), preserve_index=False)
 
     partial = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
@@ -134,7 +135,7 @@ def dedup_normalized_best(
         agg["bucket"] = [
             int(k[:8], 16) % n_buckets for k in agg["key"]
         ]
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa_from_pandas(agg, preserve_index=False)
 
     def finish(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(
@@ -381,7 +382,7 @@ def lang_confusion(sf_dir: str) -> "ray.data.Dataset":
         df = pd.DataFrame(
             {"lang_actual": batch["lang"].to_pylist(), "lang_pred": preds}
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     return bucketed_group_sum(
         _read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
@@ -416,7 +417,7 @@ def doc_stats_long(sf_dir: str) -> "ray.data.Dataset":
             value_name="value",
         )
         out["value"] = out["value"].astype(np.float64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out, preserve_index=False)
 
     return doc_stats(sf_dir).map_batches(melt, batch_format="pyarrow")
 
@@ -496,7 +497,7 @@ def top_terms_per_lang(
             ).head(k)
             sub = sub.assign(rank=np.arange(1, len(sub) + 1, dtype=np.int64))
             out.append(sub[["lang", "word", "cnt", "rank"]])
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             pd.concat(out, ignore_index=True), preserve_index=False
         )
 
@@ -624,7 +625,7 @@ def source_dedup_report(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
             dtype=np.int64,
             count=len(out),
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out, preserve_index=False)
 
     def bucket_stats(group: pd.DataFrame) -> pa.Table:
         d = group[group["kind"] == 0]
@@ -645,7 +646,7 @@ def source_dedup_report(sf_dir: str, n_buckets: int = 32) -> "ray.data.Dataset":
         )
         mc["n_distinct"] = np.int64(0)
         out = pd.concat([dc, mc], ignore_index=True)
-        return pa.Table.from_pandas(
+        return pa_from_pandas(
             out[["source", "n_docs", "n_distinct"]], preserve_index=False
         )
 

@@ -87,6 +87,33 @@ def read_parquet_auto(
             )
     except Exception:
         n_blocks = None  # metadata unavailable → Ray default
+    if "schema" not in kwargs:
+        # pandas-written parquet stamps a b'pandas' blob into the file
+        # schema; a schema carrying metadata is UNHASHABLE, which defeats
+        # Ray Data's set()-based schema dedup on every downstream block
+        # merge (and logs "Failed to hash the schemas" per reduce task).
+        # Passing an explicit metadata-free schema strips it at the read.
+        try:
+            sch = _first_file_schema(paths).remove_metadata()
+            if columns is not None:
+                import pyarrow as pa
+
+                sch = pa.schema([sch.field(c) for c in columns])
+            kwargs["schema"] = sch
+        except Exception:
+            pass  # unreadable/missing field → let Ray infer as before
     return ray.data.read_parquet(
         paths, columns=columns, override_num_blocks=n_blocks, **kwargs
     )
+
+
+def _first_file_schema(paths: list[str]):
+    for p in paths:
+        if os.path.isdir(p):
+            for f in sorted(
+                glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+            ):
+                return pq.read_schema(f)
+        else:
+            return pq.read_schema(p)
+    raise FileNotFoundError(str(paths))

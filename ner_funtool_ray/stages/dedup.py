@@ -43,6 +43,7 @@ import pyarrow as pa
 
 import ray.data
 
+from ner_funtool_ray.utils import pa_from_pandas
 from ner_funtool_ray.functions.hashing import (
     MinHasher,
     char_ngrams,
@@ -413,7 +414,7 @@ def _dedupe_pairs_ds(
             .agg(how)
             .reset_index()
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa_from_pandas(agg, preserve_index=False)
 
     return (
         pairs.map_batches(add_bucket, batch_format="pyarrow")
@@ -761,7 +762,7 @@ def ngram_jaccard_pairs(
             .rename("inter")
             .reset_index()
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     def add_pbucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -1043,7 +1044,7 @@ def tfngram_cosine_pairs(
             .sum()
             .reset_index()
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     def add_pbucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -1169,7 +1170,7 @@ def ngram_jaccard_pairs_prefix(
         df = pd.DataFrame(
             {"a": np.concatenate(a_l), "b": np.concatenate(b_l)}
         ).drop_duplicates()  # in-bucket combiner before the pair shuffle
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     def add_pbucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(

@@ -48,6 +48,7 @@ import ray
 import ray.data
 
 from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+from ner_funtool_ray.utils import pa_from_pandas
 
 SCALE = np.int64(1_000_000_000)
 INF = np.int64(999_999_999)
@@ -180,7 +181,7 @@ def attach_col(
         )
         if how != "inner" and fill is not None:
             merged[out_col] = merged[out_col].fillna(fill)
-        tbl = pa.Table.from_pandas(merged, preserve_index=False)
+        tbl = pa_from_pandas(merged, preserve_index=False)
         out = {n: tbl[n].cast(left_types[n]) for n in left_names}
         out[out_col] = tbl[out_col].cast(val_type)
         return pa.table(out)

@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
+from ner_funtool_ray.utils import pa_from_pandas
 
 
 def _bucket_of(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
@@ -89,12 +90,12 @@ def bucketed_group_sum(
         # default — a silent engine/oracle divergence if a key is ever null
         agg = df.groupby(keys, sort=False, dropna=False).agg(**spec).reset_index()
         agg["bucket"] = _bucket_of(agg, keys, n_buckets)
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa_from_pandas(agg, preserve_index=False)
 
     def merge(group: pd.DataFrame) -> pa.Table:
         cols = list(sum_cols) + ([count_col] if count_col else [])
         agg = group.groupby(keys, sort=False, dropna=False)[cols].sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa_from_pandas(agg, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     if driver_cap is not None:
@@ -121,6 +122,6 @@ def bucketed_group_sum(
                 .reset_index()
             )
             return ray.data.from_arrow(
-                pa.Table.from_pandas(agg, preserve_index=False)
+                pa_from_pandas(agg, preserve_index=False)
             )
     return parts.groupby("bucket").map_groups(merge, batch_format="pandas")

@@ -33,6 +33,7 @@ import ray.data
 
 from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
 from ner_funtool_ray.sources.io import read_parquet_auto
+from ner_funtool_ray.utils import pa_from_pandas
 
 __all__ = ["events_user_hll", "hll_rho", "EVENTS_USER_HLL_SQL"]
 
@@ -95,7 +96,7 @@ def events_user_hll(sf_dir: str, p: int = 4) -> "ray.data.Dataset":
             .reset_index()
         )
         # 5 event types: a plain string groupby key is fine (bounded)
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa_from_pandas(agg, preserve_index=False)
 
     def finalize(group: pd.DataFrame) -> pd.DataFrame:
         regs = (

@@ -23,6 +23,7 @@ import pyarrow as pa
 import ray.data
 
 from ner_funtool_ray.stages.ingest import stable_id64
+from ner_funtool_ray.utils import pa_from_pandas
 
 
 def _partial_appears(batch: pa.Table) -> pa.Table:
@@ -107,7 +108,7 @@ def cooccurs_triples(
             batch.select(["row_id", "entity_id"]).to_pandas().drop_duplicates()
         )
         df["bucket"] = (df["row_id"] % n_buckets).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     from ner_funtool_ray.stages.groupagg import bucketed_group_sum
 
@@ -313,7 +314,7 @@ def all_triples(
     def with_doc_bucket(batch: pa.Table) -> pa.Table:
         df = batch.select(["row_id", "entity_id"]).to_pandas()
         df["bucket"] = (df["row_id"] % n_buckets).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df, preserve_index=False)
 
     appears = summary.map_batches(appears_partial, batch_format="pyarrow")
     cooccur = (

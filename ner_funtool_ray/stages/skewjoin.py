@@ -27,6 +27,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
+from ner_funtool_ray.utils import pa_from_pandas
 
 
 def skew_split_join(
@@ -123,7 +124,7 @@ def skew_split_join(
         # columns object-dtype, and date/decimal payloads round-trip pandas
         # with a different inferred type — either diverges from the cold
         # path's schema and breaks the final hot.union(cold)
-        tbl = pa.Table.from_pandas(
+        tbl = pa_from_pandas(
             joined[[*fact_cols, *payload_cols]], preserve_index=False
         )
         return pa.table(
@@ -179,7 +180,7 @@ def skew_split_join(
         merged = factp.merge(
             dimp, left_on=fact_key, right_on=dim_key, how="inner"
         )[[*fact_cols, *payload_cols]]
-        tbl = pa.Table.from_pandas(merged, preserve_index=False)
+        tbl = pa_from_pandas(merged, preserve_index=False)
         return pa.table(
             {c: tbl[c].cast(out_types[c]) for c in [*fact_cols, *payload_cols]}
         )

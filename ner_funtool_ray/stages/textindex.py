@@ -28,6 +28,7 @@ import ray.data
 
 from ner_funtool_ray.sources.io import read_parquet_auto
 from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+from ner_funtool_ray.utils import pa_from_pandas
 
 try:
     import polars as pl
@@ -88,7 +89,7 @@ def build_text_index(sf_dir: str, out_dir: str, n_shards: int = 32) -> str:
     def emit(batch: pa.Table) -> pa.Table:
         t = _postings(batch)
         t["shard"] = _term_shard(t["term"].tolist(), n_shards)
-        return pa.Table.from_pandas(t, preserve_index=False)
+        return pa_from_pandas(t, preserve_index=False)
 
     ds.map_batches(emit, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["shard"]

@@ -2,7 +2,21 @@
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray
+
+
+def pa_from_pandas(df, **kwargs) -> "pa.Table":
+    """``pa.Table.from_pandas`` minus the ``b'pandas'`` schema metadata.
+
+    ``from_pandas`` stamps every table with a pandas-metadata blob, and a
+    pyarrow schema carrying metadata is UNHASHABLE — Ray Data's
+    ``unify_schemas`` then misses its cheap ``set(schemas)`` dedup early
+    exit on every block merge and logs "Failed to hash the schemas" per
+    reduce task.  All keyword arguments pass through unchanged
+    (``preserve_index`` semantics included); only the metadata differs.
+    """
+    return pa.Table.from_pandas(df, **kwargs).replace_schema_metadata(None)
 
 
 def default_concurrency(cap: int | None = None) -> tuple[int, int]:
