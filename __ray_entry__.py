@@ -2148,6 +2148,24 @@ def _q_entity_kcore(sf_dir: str):
     return entity_kcore(sf_dir)
 
 
+def _q_entity_katz(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_katz
+
+    return entity_katz(sf_dir)
+
+
+def _q_entity_shortest_path(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_shortest_path
+
+    return entity_shortest_path(sf_dir)
+
+
+def _q_entity_lpa_communities(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_lpa_communities
+
+    return entity_lpa_communities(sf_dir)
+
+
 def _q_orders_above_p99(sf_dir: str):
     from ner_funtool_ray.pipelines.stats import orders_above_p99
 
@@ -2715,6 +2733,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_resource_allocation": _q_entity_resource_allocation,
         "entity_clustering_coefficient": _q_entity_clustering_coefficient,
         "entity_kcore": _q_entity_kcore,
+        "entity_katz": _q_entity_katz,
+        "entity_shortest_path": _q_entity_shortest_path,
+        "entity_lpa_communities": _q_entity_lpa_communities,
         "minhash_dedup_corpus": _q_minhash_dedup_corpus,
         "benchmark_contamination": _q_benchmark_contamination,
         "quality_filter": _q_quality_filter,
@@ -2943,6 +2964,9 @@ def oracle_sql() -> dict[str, str]:
             _graph.make_clustering_coefficient_sql(_TRIPLES_SQL)
         ),
         "entity_kcore": _graph.make_kcore_sql(_TRIPLES_SQL),
+        "entity_katz": _graph.make_katz_sql(_TRIPLES_SQL),
+        "entity_shortest_path": _graph.make_sssp_sql(_TRIPLES_SQL),
+        "entity_lpa_communities": _graph.make_lpa_sql(_TRIPLES_SQL),
         "source_shared_entity_pairs": _graph.make_shared_entity_sql(
             _TRIPLES_SQL
         ),

@@ -2033,3 +2033,347 @@ JOIN ap ap2 ON ap2.e = co.b AND ap2.repo = ap1.repo
 
 
 __all__ += ["kg_pattern_bindings", "make_pattern_bindings_sql"]
+
+
+# ---------------------------------------------------------------------------
+# Katz-style attenuated-walk centrality (fixed-point int64)
+# ---------------------------------------------------------------------------
+
+KATZ_ALPHA_NUM = 20  # α = 20/100 on the out-weight-normalized adjacency
+
+
+def _katz_numpy(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray, n_nodes: int, iters: int
+) -> np.ndarray:
+    """Fixed-point Katz core: k0 = SCALE; k'(v) = SCALE +
+    (α_num · Σ_in (w·k(u)) // outw(u)) // 100.
+
+    Unlike PageRank's ``BASE + 85%·inc`` rule there is no teleport
+    redistribution — every node re-seeds the full SCALE each iteration
+    and walks attenuate by α per hop, the Katz series k = Σ_j α^j P^T^j·1
+    over the column-stochastic walk matrix P.  Normalizing by out-weight
+    keeps total mass bounded (Σ k ≤ n·SCALE/(1-α)), so int64 holds for
+    any graph below ~3·10^8 nodes at this SCALE (document+lower SCALE
+    beyond that)."""
+    outw = np.zeros(n_nodes, dtype=np.int64)
+    np.add.at(outw, src, w.astype(np.int64))
+    ow = outw[src]  # > 0 for every edge source by construction
+    k = np.full(n_nodes, SCALE, dtype=np.int64)
+    for _ in range(iters):
+        contrib = (k[src] * w) // ow
+        inc = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(inc, dst, contrib)
+        k = SCALE + (np.int64(KATZ_ALPHA_NUM) * inc) // np.int64(100)
+    return k
+
+
+def entity_katz(
+    sf_dir: str, iters: int = 5, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Katz-style attenuated-walk centrality over the KG co-occurrence
+    graph → ``(entity_id, katz_fp)``.  Complements ``entity_pagerank``:
+    PageRank measures stationary visit probability, Katz counts
+    attenuated walks of every length, so leaf entities attached to hubs
+    score differently under the two.
+
+    Gazetteer-bounded graph → numpy scatter-add driver core is the
+    production path (see ``entity_pagerank``); above ``driver_cap``
+    triples the identical int64 rule runs fully distributed in
+    ``stages/graphops.katz_ds`` (three bucketed shuffles per iteration),
+    parity-tested."""
+    triples, df = _cooc_driver_frame(sf_dir, driver_cap)
+    if df is None:
+        from ner_funtool_ray.stages.graphops import katz_ds
+
+        nodes, cooc = _graph_parts_ds(triples)
+        return katz_ds(
+            nodes, _sym_edges_ds(cooc), iters=iters,
+            scale=int(SCALE), alpha_num=KATZ_ALPHA_NUM,
+        )
+    cooc = df[df["pred"] == "cooccurs_with"]
+    nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
+    idx = {e: i for i, e in enumerate(nodes)}
+    a = cooc["subj"].map(idx).to_numpy(dtype=np.int64)
+    b = cooc["obj"].map(idx).to_numpy(dtype=np.int64)
+    w = cooc["weight"].to_numpy(dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    ww = np.concatenate([w, w])
+    k = _katz_numpy(src, dst, ww, len(nodes), iters)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(nodes, type=pa.string()),
+                "katz_fp": pa.array(k),
+            }
+        )
+    )
+
+
+def make_katz_sql(triples_sql: str, iters: int = 5) -> str:
+    """DuckDB twin of ``entity_katz``: the identical fixed-point
+    iterations unrolled as chained CTEs (same construction as
+    ``make_pagerank_sql``, with base SCALE and α=20/100)."""
+    parts = [
+        f"WITH t AS ({triples_sql}),\n"
+        "cooc AS (SELECT subj, obj, weight FROM t WHERE pred = 'cooccurs_with'),\n"
+        "edges AS (SELECT subj AS src, obj AS dst, weight FROM cooc\n"
+        "          UNION ALL SELECT obj AS src, subj AS dst, weight FROM cooc),\n"
+        "nodes AS (SELECT DISTINCT subj AS entity_id FROM t"
+        " WHERE pred = 'appears_in'),\n"
+        "outw AS (SELECT src, CAST(sum(weight) AS BIGINT) AS w"
+        " FROM edges GROUP BY src),\n"
+        "k0 AS (SELECT entity_id, CAST(1000000000 AS BIGINT) AS k FROM nodes)"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+k{i} AS (
+  SELECT n.entity_id,
+         CAST(1000000000 + ({KATZ_ALPHA_NUM} * COALESCE(CAST(
+             SUM((pk.k * e.weight) // o.w) AS BIGINT), 0)) // 100
+           AS BIGINT) AS k
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.entity_id
+  LEFT JOIN outw o ON o.src = e.src
+  LEFT JOIN k{i - 1} pk ON pk.entity_id = e.src
+  GROUP BY n.entity_id
+)"""
+        )
+    parts.append(f"\nSELECT entity_id, k AS katz_fp FROM k{iters}")
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (bounded-round Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+SSSP_LEN_NUM = np.int64(1000)  # edge length = 1 + 1000 // weight
+
+
+def entity_shortest_path(
+    sf_dir: str, rounds: int = 6, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Bounded-round weighted shortest-path distance from a
+    deterministic seed (the lexicographically smallest entity) →
+    ``(entity_id, dist)``, unreached after ``rounds`` = -1.
+
+    Edge length is the int64 ``1 + 1000 // weight`` — frequently
+    co-occurring entities are CLOSER, so the distances rank semantic
+    proximity rather than hop count (``entity_bfs_depth``'s measure).
+    Same bounded-round min-plus family as BFS: new(v) = min(old(v),
+    min over in-edges old(u)+len(u,v)) — Bellman-Ford with ``rounds``
+    relaxation sweeps, bit-reproducible at any round count because the
+    unrolled-CTE twin applies the identical sweeps.
+
+    Gazetteer-bounded graph → numpy scatter-min driver core; above
+    ``driver_cap`` the identical rule runs distributed in
+    ``stages/graphops.sssp_ds`` (parity-tested)."""
+    triples, df = _cooc_driver_frame(sf_dir, driver_cap)
+    if df is None:
+        from ner_funtool_ray.stages.graphops import sssp_ds
+
+        nodes, cooc = _graph_parts_ds(triples)
+
+        def with_len(t: pa.Table) -> pa.Table:
+            w = np.asarray(t["weight"], dtype=np.int64)
+            return t.append_column(
+                "len", pa.array(np.int64(1) + SSSP_LEN_NUM // w)
+            )
+
+        return sssp_ds(
+            nodes,
+            _sym_edges_ds(cooc).map_batches(with_len, batch_format="pyarrow"),
+            rounds=rounds,
+        )
+    cooc = df[df["pred"] == "cooccurs_with"]
+    nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
+    idx = {e: i for i, e in enumerate(nodes)}
+    a = cooc["subj"].map(idx).to_numpy(dtype=np.int64)
+    b = cooc["obj"].map(idx).to_numpy(dtype=np.int64)
+    w = cooc["weight"].to_numpy(dtype=np.int64)
+    ln = np.int64(1) + SSSP_LEN_NUM // w
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    lens = np.concatenate([ln, ln])
+    d = np.full(len(nodes), INF, dtype=np.int64)
+    if len(nodes):
+        d[0] = 0  # nodes sorted -> index 0 IS min(entity_id)
+    for _ in range(rounds):
+        nd = d.copy()
+        np.minimum.at(nd, dst, d[src] + lens)
+        d = np.minimum(d, nd)
+    dist = np.where(d >= INF, np.int64(-1), d)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(nodes, type=pa.string()),
+                "dist": pa.array(dist),
+            }
+        )
+    )
+
+
+def make_sssp_sql(triples_sql: str, rounds: int = 6) -> str:
+    """DuckDB twin of ``entity_shortest_path``: the identical
+    Bellman-Ford sweeps unrolled as chained CTEs.  An unreached source
+    offers INF+len, which LEAST() can never keep (stored labels are
+    already ≤ INF) — the same invariant the numpy core relies on."""
+    parts = [
+        f"WITH t AS ({triples_sql}),\n"
+        "cooc AS (SELECT subj, obj, weight FROM t WHERE pred = 'cooccurs_with'),\n"
+        "edges AS (SELECT subj AS src, obj AS dst,\n"
+        "                 CAST(1 + 1000 // weight AS BIGINT) AS len FROM cooc\n"
+        "          UNION ALL SELECT obj AS src, subj AS dst,\n"
+        "                 CAST(1 + 1000 // weight AS BIGINT) AS len FROM cooc),\n"
+        "nodes AS (SELECT DISTINCT subj AS entity_id FROM t"
+        " WHERE pred = 'appears_in'),\n"
+        "seed AS (SELECT min(entity_id) AS e FROM nodes),\n"
+        "d0 AS (SELECT entity_id, CASE WHEN entity_id = (SELECT e FROM seed)\n"
+        "       THEN CAST(0 AS BIGINT) ELSE CAST(999999999 AS BIGINT) END AS d\n"
+        "       FROM nodes)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT n.entity_id,
+         least(any_value(pd0.d),
+               COALESCE(min(pd.d + e.len), CAST(999999999 AS BIGINT))) AS d
+  FROM nodes n
+  JOIN d{i - 1} pd0 ON pd0.entity_id = n.entity_id
+  LEFT JOIN edges e ON e.dst = n.entity_id
+  LEFT JOIN d{i - 1} pd ON pd.entity_id = e.src
+  GROUP BY n.entity_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT entity_id,
+       CASE WHEN d >= 999999999 THEN CAST(-1 AS BIGINT) ELSE d END AS dist
+FROM d{rounds}"""
+    )
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Weighted label-propagation communities (synchronous, fixed rounds)
+# ---------------------------------------------------------------------------
+
+
+def entity_lpa_communities(
+    sf_dir: str, rounds: int = 4, driver_cap: int = 2_000_000
+) -> "ray.data.Dataset":
+    """Synchronous weighted label-propagation community detection →
+    ``(entity_id, community)``.  Init: every node labels itself.  Per
+    round every node takes the incoming label with the largest weight
+    sum (ties → lexicographically smallest label; no in-edges → keep
+    own).  A FIXED round count with that deterministic tie-break makes
+    the result engine-independent — the classic async/random-order LPA
+    is not reproducible, this variant is.
+
+    Communities differ from ``entity_components``: components ignore
+    weights (any path merges), LPA keeps weakly-bridged groups apart
+    because the bridge's weight loses the per-node majority vote.
+
+    Gazetteer-bounded graph → pandas groupby-argmax driver core; above
+    ``driver_cap`` the identical rule runs distributed in
+    ``stages/graphops.lpa_ds`` (parity-tested)."""
+    triples, df = _cooc_driver_frame(sf_dir, driver_cap)
+    if df is None:
+        from ner_funtool_ray.stages.graphops import lpa_ds
+
+        nodes, cooc = _graph_parts_ds(triples)
+        return lpa_ds(nodes, _sym_edges_ds(cooc), rounds=rounds)
+    cooc = df[df["pred"] == "cooccurs_with"]
+    nodes = np.sort(df.loc[df["pred"] == "appears_in", "subj"].unique())
+    e = pd.DataFrame(
+        {
+            "src": np.concatenate([cooc["subj"], cooc["obj"]]),
+            "dst": np.concatenate([cooc["obj"], cooc["subj"]]),
+            "w": np.concatenate([cooc["weight"], cooc["weight"]]).astype(
+                np.int64
+            ),
+        }
+    )
+    lab = pd.Series(nodes, index=nodes)
+    for _ in range(rounds):
+        sums = (
+            pd.DataFrame(
+                {
+                    "dst": e["dst"],
+                    "lab": e["src"].map(lab).to_numpy(),
+                    "w": e["w"],
+                }
+            )
+            .groupby(["dst", "lab"], sort=False, as_index=False)["w"]
+            .sum()
+        )
+        win = (
+            sums.sort_values(
+                ["dst", "w", "lab"], ascending=[True, False, True]
+            )
+            .drop_duplicates("dst")
+            .set_index("dst")["lab"]
+        )
+        new = pd.Series(nodes, index=nodes).index.map(win)
+        lab = pd.Series(
+            np.where(pd.isna(new), lab.to_numpy(), new), index=nodes
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(nodes, type=pa.string()),
+                "community": pa.array(lab.to_numpy(), type=pa.string()),
+            }
+        )
+    )
+
+
+def make_lpa_sql(triples_sql: str, rounds: int = 4) -> str:
+    """DuckDB twin of ``entity_lpa_communities``: the identical
+    synchronous rounds unrolled as chained CTEs, the per-node argmax as
+    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY sw DESC, lab ASC)."""
+    parts = [
+        f"WITH t AS ({triples_sql}),\n"
+        "cooc AS (SELECT subj, obj, weight FROM t WHERE pred = 'cooccurs_with'),\n"
+        "edges AS (SELECT subj AS src, obj AS dst, weight FROM cooc\n"
+        "          UNION ALL SELECT obj AS src, subj AS dst, weight FROM cooc),\n"
+        "nodes AS (SELECT DISTINCT subj AS entity_id FROM t"
+        " WHERE pred = 'appears_in'),\n"
+        "r0 AS (SELECT entity_id, entity_id AS lab FROM nodes)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT e.dst, pr.lab, CAST(SUM(e.weight) AS BIGINT) AS sw
+  FROM edges e JOIN r{i - 1} pr ON pr.entity_id = e.src
+  GROUP BY e.dst, pr.lab
+),
+p{i} AS (
+  SELECT dst, lab FROM (
+    SELECT dst, lab,
+           ROW_NUMBER() OVER (PARTITION BY dst
+                              ORDER BY sw DESC, lab ASC) AS rn
+    FROM c{i}) WHERE rn = 1
+),
+r{i} AS (
+  SELECT pr.entity_id, COALESCE(p.lab, pr.lab) AS lab
+  FROM r{i - 1} pr LEFT JOIN p{i} p ON p.dst = pr.entity_id
+)"""
+        )
+    parts.append(
+        f"\nSELECT entity_id, lab AS community FROM r{rounds}"
+    )
+    return "".join(parts)
+
+
+__all__ += [
+    "entity_katz",
+    "make_katz_sql",
+    "entity_shortest_path",
+    "make_sssp_sql",
+    "entity_lpa_communities",
+    "make_lpa_sql",
+]

@@ -265,12 +265,15 @@ def _propagate_rounds(
     seed_entity: str | None = None,
 ) -> "ray.data.Dataset":
     """Bounded-round min-propagation shared by BFS (``mode="bfs"``: the
-    candidate a neighbor offers is ``label+1``) and connected components
-    (``mode="cc"``: the candidate is the label itself, min over strings).
+    candidate a neighbor offers is ``label+1``), weighted single-source
+    shortest paths (``mode="sssp"``: the candidate is ``label+len`` with
+    ``len`` an int64 edge-length column on ``edges_sym`` — bounded-round
+    Bellman-Ford) and connected components (``mode="cc"``: the candidate
+    is the label itself, min over strings).
     Exactly the driver cores' per-round rule — new(v) = min(old(v),
     min over in-edges candidate(u)) — so the unrolled-CTE twins match
     bit-for-bit whether or not the propagation has converged."""
-    if mode == "bfs":
+    if mode in ("bfs", "sssp"):
         label_type = pa.int64()
 
         def init(t: pa.Table) -> pa.Table:
@@ -293,8 +296,9 @@ def _propagate_rounds(
             )
 
     labels = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    edge_cols = ["src", "dst"] + (["len"] if mode == "sssp" else [])
     edges_m = edges_sym.map_batches(
-        lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
+        lambda t: t.select(edge_cols), batch_format="pyarrow"
     ).materialize()
 
     for _ in range(rounds):
@@ -310,6 +314,21 @@ def _propagate_rounds(
                         "dst": t["dst"],
                         "cand": pc.add(
                             t["src_lab"].cast(pa.int64()), pa.scalar(1)
+                        ).cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        elif mode == "sssp":
+            # an unreached source offers INF+len; the min-update below
+            # can never store it (every stored label is <= INF already)
+            cand = tagged.map_batches(
+                lambda t: pa.table(
+                    {
+                        "dst": t["dst"],
+                        "cand": pc.add(
+                            t["src_lab"].cast(pa.int64()),
+                            t["len"].cast(pa.int64()),
                         ).cast(pa.int64()),
                     }
                 ),
@@ -385,6 +404,233 @@ def components_ds(
     return labels.map_batches(
         lambda t: pa.table(
             {"entity_id": t["entity_id"], "component": t["lab"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sssp_ds(
+    nodes: "ray.data.Dataset",
+    edges_sym_len: "ray.data.Dataset",
+    rounds: int = 6,
+    n_buckets: int = 64,
+    seed_entity: str | None = None,
+) -> "ray.data.Dataset":
+    """Distributed twin of ``entity_shortest_path``'s numpy core:
+    bounded-round Bellman-Ford from ``seed_entity`` (default: the global
+    lexicographic minimum) over int64 edge lengths (``len`` column on
+    the symmetrized edges), unreached after ``rounds`` = -1."""
+    if seed_entity is None:
+        seed_entity = global_min_string(nodes, "entity_id")
+    labels = _propagate_rounds(
+        nodes, edges_sym_len, None, rounds, "sssp", n_buckets, seed_entity
+    )
+    return labels.map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": t["entity_id"],
+                "dist": pc.if_else(
+                    pc.greater_equal(t["lab"], pa.scalar(int(INF))),
+                    pa.scalar(-1, type=pa.int64()),
+                    t["lab"].cast(pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def katz_ds(
+    nodes: "ray.data.Dataset",
+    edges_sym: "ray.data.Dataset",
+    iters: int = 5,
+    n_buckets: int = 64,
+    scale: int = 1_000_000_000,
+    alpha_num: int = 20,
+) -> "ray.data.Dataset":
+    """Distributed twin of ``entity_katz``'s numpy core: fixed-point
+    attenuated-walk centrality on the out-weight-normalized adjacency,
+    k'(v) = SCALE + (α_num · Σ_in (w·k(u)) // outw(u)) // 100, all int64.
+
+    Per iteration: one src-bucketed lookup join rides ranks to their
+    edges, one bounded-bucket group sum merges per-dst contributions,
+    and one dst-bucketed zero-fill join rewrites every node's score —
+    the same three-shuffle round as ``pagerank_ds``, built from the
+    generic ``attach_col``/``bucketed_group_sum`` primitives."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    scale = np.int64(scale)
+    alpha = np.int64(alpha_num)
+
+    ow = bucketed_group_sum(
+        edges_sym.map_batches(
+            lambda t: pa.table(
+                {"src": t["src"], "w": t["weight"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["src"],
+        sum_cols={"outw": "w"},
+        count_col=None,
+        n_buckets=n_buckets,
+    )
+    edges_ow = attach_col(
+        edges_sym, "src", ow, "src", "outw", "outw",
+        n_buckets=n_buckets, how="inner",
+    ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": t["entity_id"],
+                "k": pa.array(np.full(t.num_rows, scale, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        tagged = attach_col(
+            edges_ow, "src", ranks, "entity_id", "k", "src_k",
+            n_buckets=n_buckets, how="inner",
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            c = (
+                np.asarray(t["src_k"], dtype=np.int64)
+                * np.asarray(t["weight"], dtype=np.int64)
+            ) // np.asarray(t["outw"], dtype=np.int64)
+            return pa.table({"dst": t["dst"], "c": pa.array(c)})
+
+        inc = bucketed_group_sum(
+            tagged.map_batches(contrib, batch_format="pyarrow"),
+            keys=["dst"],
+            sum_cols={"inc": "c"},
+            count_col=None,
+            n_buckets=n_buckets,
+        )
+        joined = attach_col(
+            ranks.drop_columns(["k"]), "entity_id", inc, "dst", "inc", "inc",
+            n_buckets=n_buckets, how="left", fill=0,
+        )
+        ranks = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "entity_id": t["entity_id"],
+                    "k": pa.array(
+                        scale
+                        + (
+                            alpha
+                            * np.asarray(
+                                pc.fill_null(t["inc"], 0), dtype=np.int64
+                            )
+                        )
+                        // np.int64(100)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {"entity_id": t["entity_id"], "katz_fp": t["k"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def lpa_ds(
+    nodes: "ray.data.Dataset",
+    edges_sym: "ray.data.Dataset",
+    rounds: int = 4,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed twin of ``entity_lpa_communities``'s pandas core:
+    synchronous weighted label propagation.  Per round every node takes
+    the label with the largest incoming weight sum (ties → smallest
+    label; no in-edges → keep own), so a FIXED round count is fully
+    deterministic and the unrolled-CTE twin (ROW_NUMBER over
+    ``sw DESC, lab ASC``) matches exactly.
+
+    Per round: labels ride to out-edges (src-bucketed join), a bounded
+    group sum merges (dst, lab) weight partials, a dst-bucketed
+    ``map_groups`` picks each node's argmax, and a zero-fill join
+    rewrites the label column."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    labels = nodes.map_batches(
+        lambda t: pa.table(
+            {"entity_id": t["entity_id"], "lab": t["entity_id"]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    edges_m = edges_sym.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "weight": t["weight"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(rounds):
+        tagged = attach_col(
+            edges_m, "src", labels, "entity_id", "lab", "src_lab",
+            n_buckets=n_buckets, how="inner",
+        )
+        sums = bucketed_group_sum(
+            tagged.map_batches(
+                lambda t: pa.table(
+                    {"dst": t["dst"], "lab": t["src_lab"], "w": t["weight"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            keys=["dst", "lab"],
+            sum_cols={"sw": "w"},
+            count_col=None,
+            n_buckets=n_buckets,
+        )
+
+        # per-dst argmax (sw DESC, lab ASC) inside dst-hash buckets —
+        # a dst never spans buckets, so the local winner IS global
+        def bucket_dst(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "bucket", pa.array(_crc_bucket(t["dst"].to_pylist(), n_buckets))
+            )
+
+        def pick(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(
+                ["dst", "sw", "lab"], ascending=[True, False, True]
+            ).drop_duplicates("dst")
+            return g[["dst", "lab"]].rename(columns={"lab": "win"})
+
+        winners = (
+            sums.map_batches(bucket_dst, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pick, batch_format="pandas")
+        )
+        joined = attach_col(
+            labels, "entity_id", winners, "dst", "win", "win",
+            n_buckets=n_buckets, how="left", fill=None,
+        )
+        labels = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "entity_id": t["entity_id"],
+                    "lab": pc.fill_null(
+                        t["win"].cast(pa.string()), t["lab"]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"entity_id": t["entity_id"], "community": t["lab"]}
         ),
         batch_format="pyarrow",
     )

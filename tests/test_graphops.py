@@ -52,6 +52,9 @@ def _norm(df: pd.DataFrame, by: list[str]) -> pd.DataFrame:
         ("entity_cooccur_conditional", ["subj", "obj"], {}),
         ("kg_negative_samples", ["subj", "obj", "i"], {}),
         ("source_shared_entity_pairs", ["a", "b"], {}),
+        ("entity_katz", ["entity_id"], {"iters": 2}),
+        ("entity_shortest_path", ["entity_id"], {"rounds": 3}),
+        ("entity_lpa_communities", ["entity_id"], {"rounds": 2}),
     ],
 )
 def test_graph_op_distributed_parity(op, sort_by, kwargs):
@@ -407,3 +410,75 @@ def test_scale_hits():
         "max(hub_fp)": expected,
         "count()": n_ents,
     }
+
+
+def test_scale_katz_sssp_lpa(clique_graph):
+    """The three round-based cores added for the Katz/SSSP/LPA ops run on
+    the >2M-edge clique union with analytic expectations: every K4 corner
+    is symmetric, so Katz converges to one shared value (checked against
+    the numpy core on a single K4), SSSP reaches only the seed's clique
+    (uniform weight 1 → edge length 1001), and 2 LPA rounds collapse each
+    clique onto its smallest member."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ner_funtool_ray.pipelines.graph import SCALE, _katz_numpy
+    from ner_funtool_ray.stages.graphops import katz_ds, lpa_ds, sssp_ds
+
+    nodes, _, sym = clique_graph
+    symw = sym.map_batches(
+        lambda t: t.append_column(
+            "weight", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+
+    k = katz_ds(nodes, symw, iters=2)
+    stats = k.aggregate(
+        ray.data.aggregate.Min("katz_fp"),
+        ray.data.aggregate.Max("katz_fp"),
+        ray.data.aggregate.Count(),
+    )
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    src = np.array([a for a, b in pairs] + [b for a, b in pairs])
+    dst = np.array([b for a, b in pairs] + [a for a, b in pairs])
+    expect = _katz_numpy(src, dst, np.ones(12, dtype=np.int64), 4, 2)
+    assert len(set(expect)) == 1  # symmetric corners agree
+    assert stats == {
+        "min(katz_fp)": int(expect[0]),
+        "max(katz_fp)": int(expect[0]),
+        "count()": N_NODES,
+    }
+
+    symlen = sym.map_batches(
+        lambda t: t.append_column(
+            "len", pa.array(np.full(t.num_rows, 1001, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    d = sssp_ds(nodes, symlen, rounds=2)
+    import pyarrow.compute as pc
+
+    reach = d.map_batches(
+        lambda t: pa.table(
+            {
+                "reached": pc.cast(
+                    pc.greater_equal(t["dist"], pa.scalar(0)), pa.int64()
+                ),
+                "dist": t["dist"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    stats = reach.aggregate(
+        ray.data.aggregate.Sum("reached"), ray.data.aggregate.Max("dist")
+    )
+    # seed clique only: seed at 0 + its 3 corners at 1001
+    assert stats == {"sum(reached)": 4, "max(dist)": 1001}
+
+    comm = lpa_ds(nodes, symw, rounds=2)
+    n_comm = comm.map_batches(
+        lambda t: pa.table({"community": t["community"]}),
+        batch_format="pyarrow",
+    ).unique("community")
+    assert len(n_comm) == N_CLIQUES
