@@ -252,6 +252,79 @@ GROUP BY 1, 2
 """
 
 # Schema induction: textual predicate → dominant-type signature counts.
+# Proximity-weighted symmetric entity edges: adjacent-mention pairs
+# contribute max(0, 5 - gap_tokens), canonical a<b, self-pairs dropped
+# (pipelines/openrel.py:ProximityEdgeExtractor, same split alignment).
+_KG_PROXIMITY_SQL = f"""
+WITH frags AS (
+  SELECT unnest(
+    regexp_split_to_array(text, '{SENTENCE_SPLIT_SQL_REGEX}')) AS frag
+  FROM documents
+),
+sents AS (SELECT trim(frag) AS sentence FROM frags WHERE trim(frag) <> ''),
+e AS (
+  SELECT regexp_extract_all(sentence, '{_GAZ_PATTERN}', 1) AS ms,
+         regexp_split_to_array(sentence, '{_GAZ_PATTERN}') AS gaps
+  FROM sents
+),
+x AS (
+  SELECT ms[i] AS s1, gaps[i+1] AS gap, ms[i+1] AS s2
+  FROM e, unnest(generate_series(1, len(ms)-1)) AS t(i)
+),
+p AS (
+  SELECT 'ent:' || {_alias_case("s1")} AS e1,
+         'ent:' || {_alias_case("s2")} AS e2,
+         5 - len(regexp_extract_all(gap, '\\w+')) AS w
+  FROM x
+)
+SELECT least(e1, e2) AS a, greatest(e1, e2) AS b,
+       sum(w)::BIGINT AS strength, count(*)::BIGINT AS n_pairs
+FROM p WHERE e1 <> e2 AND w > 0
+GROUP BY 1, 2
+"""
+
+# Per-doc Gini–Simpson mention diversity in exact integer ppm
+# (pipelines/openrel.py:doc_mention_diversity).
+_DOC_DIVERSITY_SQL = f"""
+WITH {_CORPUS_CTE},
+m AS (
+  SELECT repo, path,
+         unnest(regexp_extract_all(content, '{_GAZ_PATTERN}', 1)) AS surface
+  FROM corpus
+),
+c AS (SELECT repo, path, 'ent:' || {_ALIAS_CASE} AS entity_id FROM m),
+pe AS (
+  SELECT repo, path, entity_id, count(*)::BIGINT AS ne
+  FROM c GROUP BY 1, 2, 3
+),
+pd AS (
+  SELECT repo, path, sum(ne)::BIGINT AS n, sum(ne*ne)::BIGINT AS s2
+  FROM pe GROUP BY 1, 2
+)
+SELECT repo, path, n AS n_mentions,
+       ((1000000 * (n*n - s2)) // (n*n))::BIGINT AS simpson_ppm
+FROM pd
+"""
+
+# Per-entity cross-doc dispersion: exact integer variance numerator
+# (pipelines/openrel.py:entity_dispersion).
+_ENTITY_DISPERSION_SQL = f"""
+WITH {_CORPUS_CTE},
+m AS (
+  SELECT repo, path,
+         unnest(regexp_extract_all(content, '{_GAZ_PATTERN}', 1)) AS surface
+  FROM corpus
+),
+c AS (SELECT repo, path, 'ent:' || {_ALIAS_CASE} AS entity_id FROM m),
+pe AS (
+  SELECT repo, path, entity_id, count(*)::BIGINT AS ne
+  FROM c GROUP BY 1, 2, 3
+)
+SELECT entity_id, count(*)::BIGINT AS n_docs, sum(ne)::BIGINT AS total,
+       (count(*) * sum(ne*ne) - sum(ne) * sum(ne))::BIGINT AS var_num
+FROM pe GROUP BY 1
+"""
+
 _KG_PRED_SIGNATURES_SQL = f"""
 WITH typed AS ({_KG_TYPED_SQL}),
 dom AS (
@@ -1554,6 +1627,24 @@ def _q_kg_entity_attributes(sf_dir: str):
     return kg_entity_attributes(sf_dir)
 
 
+def _q_kg_proximity_edges(sf_dir: str):
+    from ner_funtool_ray.pipelines.openrel import kg_proximity_edges
+
+    return kg_proximity_edges(sf_dir)
+
+
+def _q_doc_mention_diversity(sf_dir: str):
+    from ner_funtool_ray.pipelines.openrel import doc_mention_diversity
+
+    return doc_mention_diversity(sf_dir)
+
+
+def _q_entity_dispersion(sf_dir: str):
+    from ner_funtool_ray.pipelines.openrel import entity_dispersion
+
+    return entity_dispersion(sf_dir)
+
+
 def _q_kg_predicate_signatures(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_predicate_signatures
 
@@ -2595,6 +2686,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_open_relations": _q_kg_open_relations,
         "kg_triple_provenance": _q_kg_triple_provenance,
         "kg_entity_attributes": _q_kg_entity_attributes,
+        "kg_proximity_edges": _q_kg_proximity_edges,
+        "doc_mention_diversity": _q_doc_mention_diversity,
+        "entity_dispersion": _q_entity_dispersion,
         "kg_predicate_signatures": _q_kg_predicate_signatures,
         "kg_entity_summary": _q_kg_entity_summary,
         "kg_pattern_bindings": _q_kg_pattern_bindings,
@@ -3031,6 +3125,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_open_relations": _KG_OPEN_RELATIONS_SQL,
         "kg_triple_provenance": _KG_PROVENANCE_SQL,
         "kg_entity_attributes": _KG_ENTITY_ATTRS_SQL,
+        "kg_proximity_edges": _KG_PROXIMITY_SQL,
+        "doc_mention_diversity": _DOC_DIVERSITY_SQL,
+        "entity_dispersion": _ENTITY_DISPERSION_SQL,
         "kg_predicate_signatures": _KG_PRED_SIGNATURES_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,
         "kg_pattern_bindings": _graph.make_pattern_bindings_sql(_TRIPLES_SQL),

@@ -467,3 +467,195 @@ def kg_triple_provenance(
         partials.groupby("kbucket")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# kg_proximity_edges — distance-weighted co-occurrence
+# ---------------------------------------------------------------------------
+
+PROXIMITY_MAX = 5  # strength contribution = max(0, 5 - gap_tokens)
+
+
+class ProximityEdgeExtractor:
+    """map_batches callable: sentence rows → (a, b, w) partials.
+
+    For every ADJACENT mention pair the contribution is
+    ``PROXIMITY_MAX - gap_tokens`` (tokens strictly between the two
+    mentions), dropped at ≤ 0 — so "key order" (gap 0) contributes 5
+    while mentions five-plus tokens apart contribute nothing.  The pair
+    is emitted canonical (``a < b`` on the alias-normalized entity ids,
+    self-pairs dropped), making the edge symmetric: co-occurrence
+    strength graded by how close the corpus actually places the two
+    entities, where ``cooccurs_with`` only records that they share a
+    document.  Same split alignment as :class:`OpenRelationExtractor`."""
+
+    def __init__(
+        self,
+        gazetteer: dict[str, str] | None = None,
+        aliases: dict[str, str] | None = None,
+        max_prox: int = PROXIMITY_MAX,
+    ):
+        self.pattern = _gaz_pattern(gazetteer or GAZETTEER)
+        self.aliases = dict(ALIASES) if aliases is None else dict(aliases)
+        self.max_prox = max_prox
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a_l: list[str] = []
+        b_l: list[str] = []
+        w_l: list[int] = []
+        al = self.aliases
+        mp = self.max_prox
+        for sent in batch["sentence"].to_pylist():
+            parts = self.pattern.split(sent or "")
+            n = (len(parts) - 1) // 2
+            for i in range(n - 1):
+                w = mp - len(_WORD_RE.findall(parts[2 * i + 2]))
+                if w <= 0:
+                    continue
+                s = parts[2 * i + 1]
+                o = parts[2 * i + 3]
+                e1 = "ent:" + al.get(s, s)
+                e2 = "ent:" + al.get(o, o)
+                if e1 == e2:
+                    continue
+                a_l.append(min(e1, e2))
+                b_l.append(max(e1, e2))
+                w_l.append(w)
+        return pa.table(
+            {
+                "a": pa.array(a_l, type=pa.string()),
+                "b": pa.array(b_l, type=pa.string()),
+                "w": pa.array(np.asarray(w_l, dtype=np.int64)),
+            }
+        )
+
+
+def kg_proximity_edges(
+    sf_dir: str, max_prox: int = PROXIMITY_MAX
+) -> "ray.data.Dataset":
+    """Corpus → ``(a, b, strength, n_pairs)`` proximity-weighted
+    symmetric entity edges (see :class:`ProximityEdgeExtractor`)."""
+    sents = split_to_sentences(ingest(corpus_from_documents(sf_dir)))
+    pairs = sents.map_batches(
+        ProximityEdgeExtractor(max_prox=max_prox), batch_format="pyarrow"
+    )
+    out = bucketed_group_sum(
+        pairs,
+        ["a", "b"],
+        sum_cols={"strength": "w"},
+        count_col="n_pairs",
+        driver_cap=_TRIPLE_DRIVER_CAP,
+    )
+    return out.select_columns(["a", "b", "strength", "n_pairs"])
+
+
+# ---------------------------------------------------------------------------
+# Mention-statistics ops: per-doc diversity, per-entity dispersion
+# ---------------------------------------------------------------------------
+
+
+def _per_doc_entity_counts(sf_dir: str) -> "ray.data.Dataset":
+    """(repo, path, entity_id, ne): canonical-mention counts per doc —
+    the shared partial for diversity and dispersion (the per-key twin of
+    ``kg_mention_counts``' per-surface rows)."""
+    mentions = mentions_dataset(corpus_from_documents(sf_dir))
+    return bucketed_group_sum(
+        mentions.map_batches(
+            lambda t: t.select(["repo", "path", "entity_id"]),
+            batch_format="pyarrow",
+        ),
+        ["repo", "path", "entity_id"],
+        count_col="ne",
+        driver_cap=_TRIPLE_DRIVER_CAP,
+    )
+
+
+def doc_mention_diversity(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document mention-type diversity → ``(repo, path, n_mentions,
+    simpson_ppm)`` with the Gini–Simpson index in EXACT integer ppm:
+    ``(10^6 · (n² - Σ nₑ²)) // n²`` over per-entity counts nₑ.  0 = all
+    mentions are one entity, →10^6 = evenly spread.  Unlike a Shannon
+    entropy this needs no log, so the DuckDB twin is hash-exact.
+
+    Plan: per-(doc, entity) counts → per-doc sums of nₑ and nₑ² (two
+    bounded bucketed group-sums) → final vectorized arithmetic.  Docs
+    with zero mentions are absent (identically in both engines)."""
+    pe = _per_doc_entity_counts(sf_dir)
+
+    def squares(t: pa.Table) -> pa.Table:
+        ne = np.asarray(t["ne"], dtype=np.int64)
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "ne": pa.array(ne),
+                "ne2": pa.array(ne * ne),
+            }
+        )
+
+    pd_sums = bucketed_group_sum(
+        pe.map_batches(squares, batch_format="pyarrow"),
+        ["repo", "path"],
+        sum_cols={"n": "ne", "s2": "ne2"},
+        count_col=None,
+        driver_cap=_TRIPLE_DRIVER_CAP,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"], dtype=np.int64)
+        s2 = np.asarray(t["s2"], dtype=np.int64)
+        ppm = (np.int64(1_000_000) * (n * n - s2)) // (n * n)
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "n_mentions": pa.array(n),
+                "simpson_ppm": pa.array(ppm),
+            }
+        )
+
+    return pd_sums.map_batches(finish, batch_format="pyarrow")
+
+
+def entity_dispersion(sf_dir: str) -> "ray.data.Dataset":
+    """Per-entity spread across documents → ``(entity_id, n_docs, total,
+    var_num)`` where ``var_num = n_docs·Σc² - (Σc)²`` is the exact
+    integer variance numerator of the per-doc mention counts c — 0 when
+    the entity appears equally often in every doc that carries it, large
+    when its mentions cluster in a few.  The integer form avoids float
+    division so the twin hashes exactly (same trick as the Gini op)."""
+    pe = _per_doc_entity_counts(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ne = np.asarray(t["ne"], dtype=np.int64)
+        return pa.table(
+            {
+                "entity_id": t["entity_id"],
+                "one": pa.array(np.ones(len(ne), dtype=np.int64)),
+                "c": pa.array(ne),
+                "c2": pa.array(ne * ne),
+            }
+        )
+
+    sums = bucketed_group_sum(
+        pe.map_batches(partial, batch_format="pyarrow"),
+        ["entity_id"],
+        sum_cols={"n_docs": "one", "total": "c", "s2": "c2"},
+        count_col=None,
+        driver_cap=_TRIPLE_DRIVER_CAP,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = np.asarray(t["n_docs"], dtype=np.int64)
+        s = np.asarray(t["total"], dtype=np.int64)
+        s2 = np.asarray(t["s2"], dtype=np.int64)
+        return pa.table(
+            {
+                "entity_id": t["entity_id"],
+                "n_docs": pa.array(nd),
+                "total": pa.array(s),
+                "var_num": pa.array(nd * s2 - s * s),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
