@@ -104,6 +104,16 @@ def main(argv: list[str] | None = None) -> int:
         ds, args.output,
         lineage={"input": args.input, "pipeline": args.pipeline},
     )
+    # stage counters (counted pipelines report per-stage row flow; the
+    # snapshot lands in the manifest next to the partition fingerprints)
+    from ner_funtool_ray.state.counters import snapshot_stable
+
+    counts = snapshot_stable()
+    if counts:
+        from ner_funtool_ray.state.lineage import save_manifest
+
+        manifest["lineage"]["counters"] = counts
+        save_manifest(args.output, manifest)
     print(json.dumps({
         "pipeline": args.pipeline,
         "output": args.output,

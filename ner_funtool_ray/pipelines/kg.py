@@ -195,3 +195,31 @@ def kg_upsert_merged(
         driver_cap=2_000_000,
     )
     return out.select_columns(["subj", "pred", "obj", "weight"])
+
+
+def kg_from_sf_dir_counted(
+    sf_dir: str,
+    cfg: PipelineConfig | None = None,
+    run: str = "ner_funtool_counters",
+) -> "ray.data.Dataset":
+    """``kg_from_sf_dir`` with per-stage run counters (north rule:
+    lineage + counters).  Each ``count_rows`` insert is a zero-copy
+    pass-through reporting rows/batches to the named counter actor, so
+    results are byte-identical to the uncounted flagship (tested); the
+    CLI's resumable_write snapshot lands the counts in the output
+    manifest, and a RESUMED run shows its skip in the ingest counter."""
+    from ner_funtool_ray.stages.gazetteer import extract_mentions
+    from ner_funtool_ray.state.counters import count_rows
+
+    cfg = cfg or PipelineConfig()
+    docs = count_rows(ingest(corpus_from_documents(sf_dir)), "ingest", run)
+    sents = count_rows(split_to_sentences(docs), "sentences", run)
+    mentions = count_rows(
+        extract_mentions(
+            sents, gazetteer=cfg.gazetteer, batch_size=cfg.mention_batch_size
+        ),
+        "mentions",
+        run,
+    )
+    canon = canonicalize(mentions, aliases=cfg.aliases)
+    return count_rows(all_triples(canon), "triples", run)

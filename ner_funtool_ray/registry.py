@@ -82,7 +82,10 @@ def _register_builtins() -> None:
 
     register_stage("ingest", _ingest_batch, batch_format="pyarrow")
     register_stage("sentence-split", _split_batch, batch_format="pyarrow")
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir_counted
+
     register_pipeline("kg-gazetteer", kg_from_sf_dir)
+    register_pipeline("kg-gazetteer-counted", kg_from_sf_dir_counted)
     register_pipeline("kg-model", model_triples)
     register_pipeline(
         "kg-bert", lambda sf_dir: model_triples(sf_dir, model="bert")
