@@ -343,6 +343,27 @@ JOIN dt ot ON r.obj = ot.subj
 GROUP BY 1, 2, 3
 """
 
+# SHACL-lite: non-dominant relation signatures with the expected shape
+# (pipelines/openrel.py:kg_shape_violations — same dominance ordering).
+_KG_SHAPE_VIOLATIONS_SQL = f"""
+WITH sig AS ({_KG_PRED_SIGNATURES_SQL}),
+dom AS (
+  SELECT pred, subj_type, obj_type,
+         ROW_NUMBER() OVER (PARTITION BY pred
+           ORDER BY n_triples DESC, subj_type ASC, obj_type ASC) AS rn
+  FROM sig
+),
+d1 AS (
+  SELECT pred, subj_type AS expect_subj_type, obj_type AS expect_obj_type
+  FROM dom WHERE rn = 1
+)
+SELECT s.pred, s.subj_type, s.obj_type,
+       d1.expect_subj_type, d1.expect_obj_type, s.n_triples
+FROM sig s JOIN d1 USING (pred)
+WHERE s.subj_type <> d1.expect_subj_type
+   OR s.obj_type <> d1.expect_obj_type
+"""
+
 # Per-entity card over the flagship triple table.
 _KG_ENTITY_SUMMARY_SQL = f"""
 WITH t AS ({_TRIPLES_SQL}),
@@ -1645,6 +1666,12 @@ def _q_entity_dispersion(sf_dir: str):
     return entity_dispersion(sf_dir)
 
 
+def _q_kg_shape_violations(sf_dir: str):
+    from ner_funtool_ray.pipelines.openrel import kg_shape_violations
+
+    return kg_shape_violations(sf_dir)
+
+
 def _q_kg_predicate_signatures(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_predicate_signatures
 
@@ -2689,6 +2716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_proximity_edges": _q_kg_proximity_edges,
         "doc_mention_diversity": _q_doc_mention_diversity,
         "entity_dispersion": _q_entity_dispersion,
+        "kg_shape_violations": _q_kg_shape_violations,
         "kg_predicate_signatures": _q_kg_predicate_signatures,
         "kg_entity_summary": _q_kg_entity_summary,
         "kg_pattern_bindings": _q_kg_pattern_bindings,
@@ -3128,6 +3156,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,
+        "kg_shape_violations": _KG_SHAPE_VIOLATIONS_SQL,
         "kg_predicate_signatures": _KG_PRED_SIGNATURES_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,
         "kg_pattern_bindings": _graph.make_pattern_bindings_sql(_TRIPLES_SQL),

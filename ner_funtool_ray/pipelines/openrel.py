@@ -659,3 +659,76 @@ def entity_dispersion(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# kg_shape_violations — SHACL-lite signature validation
+# ---------------------------------------------------------------------------
+
+
+def kg_shape_violations(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Shape validation of the induced relation schema → one row per
+    NON-dominant ``(pred, subj_type, obj_type)`` signature, carrying the
+    predicate's expected (dominant) signature and the violating triple
+    count — the SHACL-style "this relation usually connects OPERATION to
+    STRUCTURE; these n triples don't" report a KG curator works from.
+
+    Dominant = max ``n_triples``, ties to the lexicographically smallest
+    ``(subj_type, obj_type)`` (identical ordering in the SQL twin's
+    ROW_NUMBER).  The signature table is predicate-vocabulary × type²
+    bounded, but no driver pull is needed anyway: signatures hash-bucket
+    by ``pred`` (a predicate never spans buckets) and each bucket
+    resolves its predicates' dominants and violations in one vectorized
+    pandas group."""
+    import zlib
+
+    sig = kg_predicate_signatures(sf_dir)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = np.fromiter(
+            (
+                zlib.crc32(p.encode("utf-8")) % n_buckets
+                for p in t["pred"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return t.append_column("bucket", pa.array(b))
+
+    def violations(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["pred", "n_triples", "subj_type", "obj_type"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        dom = g.drop_duplicates("pred", keep="first")[
+            ["pred", "subj_type", "obj_type"]
+        ].rename(
+            columns={
+                "subj_type": "expect_subj_type",
+                "obj_type": "expect_obj_type",
+            }
+        )
+        m = g.merge(dom, on="pred")
+        bad = m[
+            (m["subj_type"] != m["expect_subj_type"])
+            | (m["obj_type"] != m["expect_obj_type"])
+        ]
+        out = bad[
+            [
+                "pred",
+                "subj_type",
+                "obj_type",
+                "expect_subj_type",
+                "expect_obj_type",
+                "n_triples",
+            ]
+        ].copy()
+        out["n_triples"] = out["n_triples"].astype(np.int64)
+        return out
+
+    return (
+        sig.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(violations, batch_format="pandas")
+    )

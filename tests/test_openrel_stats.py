@@ -96,3 +96,34 @@ def test_pipeline_surfaces_run(ray_session):
     disp = entity_dispersion(sf).to_pandas()
     assert (disp["var_num"] >= 0).all()
     assert (disp["total"] >= disp["n_docs"]).all()
+
+
+def test_shape_violations_semantics(ray_session):
+    from ner_funtool_ray.pipelines.openrel import (
+        kg_predicate_signatures,
+        kg_shape_violations,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sig = kg_predicate_signatures(sf).to_pandas()
+    bad = kg_shape_violations(sf).to_pandas()
+    # every violation row differs from its expected signature
+    assert (
+        (bad["subj_type"] != bad["expect_subj_type"])
+        | (bad["obj_type"] != bad["expect_obj_type"])
+    ).all()
+    # per predicate: violations = all signature rows except the dominant
+    n_sig = sig.groupby("pred").size()
+    n_bad = bad.groupby("pred").size().reindex(n_sig.index, fill_value=0)
+    assert ((n_sig - n_bad) == 1).all()
+    # the dominant really is the max-evidence row of its predicate
+    dom = bad.drop_duplicates("pred")[
+        ["pred", "expect_subj_type", "expect_obj_type"]
+    ]
+    m = sig.merge(
+        dom,
+        left_on=["pred", "subj_type", "obj_type"],
+        right_on=["pred", "expect_subj_type", "expect_obj_type"],
+    )
+    mx = sig.groupby("pred")["n_triples"].max()
+    assert (m["n_triples"].to_numpy() == mx.loc[m["pred"]].to_numpy()).all()
