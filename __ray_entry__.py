@@ -364,6 +364,37 @@ WHERE s.subj_type <> d1.expect_subj_type
    OR s.obj_type <> d1.expect_obj_type
 """
 
+# Alias-discovery audit: name-similar entity pairs sharing a neighbor
+# (pipelines/openrel.py:kg_merge_candidates; the length-difference
+# predicate is implied by dist<=2, so the SQL equals the unblocked
+# all-pairs answer — same losslessness as the Ray length blocking).
+_KG_MERGE_CANDIDATES_SQL = f"""
+WITH t AS ({_TRIPLES_SQL}),
+ents AS (SELECT DISTINCT substr(subj, 5) AS name FROM t
+         WHERE pred = 'appears_in'),
+cand AS (
+  SELECT a.name AS a, b.name AS b,
+         CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+  FROM ents a JOIN ents b ON a.name < b.name
+  WHERE abs(length(a.name) - length(b.name)) <= 2
+    AND levenshtein(a.name, b.name) <= 2
+),
+nb AS (
+  SELECT substr(subj, 5) AS e, substr(obj, 5) AS m FROM t
+  WHERE pred = 'cooccurs_with'
+  UNION
+  SELECT substr(obj, 5), substr(subj, 5) FROM t
+  WHERE pred = 'cooccurs_with'
+),
+sh AS (
+  SELECT n1.e AS a, n2.e AS b, count(*)::BIGINT AS shared
+  FROM nb n1 JOIN nb n2 ON n1.m = n2.m AND n1.e < n2.e
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b, c.dist, sh.shared
+FROM cand c JOIN sh ON sh.a = c.a AND sh.b = c.b
+"""
+
 # Per-entity card over the flagship triple table.
 _KG_ENTITY_SUMMARY_SQL = f"""
 WITH t AS ({_TRIPLES_SQL}),
@@ -1672,6 +1703,12 @@ def _q_kg_shape_violations(sf_dir: str):
     return kg_shape_violations(sf_dir)
 
 
+def _q_kg_merge_candidates(sf_dir: str):
+    from ner_funtool_ray.pipelines.openrel import kg_merge_candidates
+
+    return kg_merge_candidates(sf_dir)
+
+
 def _q_kg_predicate_signatures(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_predicate_signatures
 
@@ -2717,6 +2754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mention_diversity": _q_doc_mention_diversity,
         "entity_dispersion": _q_entity_dispersion,
         "kg_shape_violations": _q_kg_shape_violations,
+        "kg_merge_candidates": _q_kg_merge_candidates,
         "kg_predicate_signatures": _q_kg_predicate_signatures,
         "kg_entity_summary": _q_kg_entity_summary,
         "kg_pattern_bindings": _q_kg_pattern_bindings,
@@ -3157,6 +3195,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,
         "kg_shape_violations": _KG_SHAPE_VIOLATIONS_SQL,
+        "kg_merge_candidates": _KG_MERGE_CANDIDATES_SQL,
         "kg_predicate_signatures": _KG_PRED_SIGNATURES_SQL,
         "kg_entity_summary": _KG_ENTITY_SUMMARY_SQL,
         "kg_pattern_bindings": _graph.make_pattern_bindings_sql(_TRIPLES_SQL),

@@ -732,3 +732,134 @@ def kg_shape_violations(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
         .groupby("bucket")
         .map_groups(violations, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# kg_merge_candidates — alias-discovery audit
+# ---------------------------------------------------------------------------
+
+
+def kg_merge_candidates(
+    sf_dir: str, max_dist: int = 2, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Entity pairs that look like unmerged aliases → ``(a, b, dist,
+    shared)``: canonical entities within ``max_dist`` Levenshtein edits
+    of each other AND sharing at least one co-occurrence neighbor — the
+    candidate list a curator reviews before adding alias rows (the
+    similarity-based alias discovery the canonicalization stage's static
+    table cannot see).
+
+    Fully distributed, no broadcast: (1) names fan out to length-blocked
+    buckets and pair up under the lossless banded-DP plan of
+    ``stages/editdist`` (each qualifying pair scored in exactly one
+    bucket); (2) shared-neighbor counts come from the
+    ``shared_member_pairs_ds`` bipartite projection with the
+    co-occurrence NEIGHBOR as the shared middle; (3) one composite-key
+    bucketed join marries the two pair lists."""
+    import pyarrow.compute as pc
+
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+    from ner_funtool_ray.stages.editdist import editdistance_name_pairs_df
+    from ner_funtool_ray.stages.graphops import (
+        attach_col,
+        shared_member_pairs_ds,
+    )
+
+    triples = kg_from_sf_dir(sf_dir).materialize()
+
+    names = bucketed_group_sum(
+        triples.map_batches(
+            lambda t: pa.table(
+                {
+                    "name": pc.utf8_slice_codeunits(
+                        t.filter(pc.equal(t["pred"], "appears_in"))["subj"],
+                        4,  # strip 'ent:'
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["name"],
+        count_col="__c",
+        n_buckets=n_buckets,
+    ).drop_columns(["__c"])
+
+    # (1) name-similarity pairs (length-blocked, adjacent-bucket emission)
+    w = max_dist
+
+    def fanout(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t["name"]).to_numpy()
+        home = (lens // w).astype(np.int64)
+        name = t["name"].combine_chunks() if isinstance(
+            t["name"], pa.ChunkedArray
+        ) else t["name"]
+        return pa.table(
+            {
+                "name": pa.concat_arrays([name, name]),
+                "home": pa.array(np.concatenate([home, home])),
+                "lbucket": pa.array(np.concatenate([home, home + 1])),
+            }
+        )
+
+    def score(group: pd.DataFrame) -> pd.DataFrame:
+        return editdistance_name_pairs_df(
+            group["name"].tolist(),
+            group["home"].to_numpy(),
+            int(group["lbucket"].iloc[0]),
+            max_dist,
+        )
+
+    cand = (
+        names.map_batches(fanout, batch_format="pyarrow")
+        .groupby("lbucket")
+        .map_groups(score, batch_format="pandas")
+    )
+
+    # (2) shared co-occurrence neighbors per entity pair
+    def membership(t: pa.Table) -> pa.Table:
+        co = t.filter(pc.equal(t["pred"], "cooccurs_with"))
+        s = pc.utf8_slice_codeunits(co["subj"], 4)
+        o = pc.utf8_slice_codeunits(co["obj"], 4)
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        o = o.combine_chunks() if isinstance(o, pa.ChunkedArray) else o
+        # middle = the shared NEIGHBOR, member = the endpoint entity
+        return pa.table(
+            {
+                "entity": pa.concat_arrays([o, s]),
+                "doc": pa.concat_arrays([s, o]),
+            }
+        )
+
+    shared = shared_member_pairs_ds(
+        triples.map_batches(membership, batch_format="pyarrow"),
+        min_shared=1,
+        n_buckets=n_buckets,
+    )
+
+    # (3) composite-key bucketed join: candidates ⋈ shared counts
+    def keyed(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t["a"].cast(pa.string()), t["b"].cast(pa.string()), "\x00"
+        )
+        return t.append_column("k", k)
+
+    cand_k = cand.map_batches(keyed, batch_format="pyarrow")
+    shared_k = shared.map_batches(
+        lambda t: pa.table(
+            {
+                "k": pc.binary_join_element_wise(
+                    t["a"].cast(pa.string()), t["b"].cast(pa.string()), "\x00"
+                ),
+                "shared": t["shared"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = attach_col(
+        cand_k, "k", shared_k, "k", "shared", "shared",
+        n_buckets=n_buckets, how="inner",
+    )
+    return joined.map_batches(
+        lambda t: t.select(["a", "b", "dist", "shared"]),
+        batch_format="pyarrow",
+    )

@@ -278,3 +278,39 @@ FROM d a JOIN d b
  AND abs(a.len - b.len) <= 20
 WHERE levenshtein(a.text, b.text) <= 20
 """
+
+
+def editdistance_name_pairs_df(
+    names: list[str],
+    homes: np.ndarray,
+    bucket: int,
+    max_dist: int,
+) -> pd.DataFrame:
+    """String-keyed sibling of :func:`editdistance_pairs_df` for short
+    name vocabularies (entity merge candidates): same lossless length
+    blocking and banded DP, output ``(a, b, dist)`` with a < b."""
+    codes, lens = encode_strings(names)
+    order = np.argsort(lens, kind="stable")
+    ai, bi = _window_pairs(lens[order], max_dist)
+    ai, bi = order[ai], order[bi]
+    if len(ai):
+        keep = np.maximum(homes[ai], homes[bi]) == bucket
+        ai, bi = ai[keep], bi[keep]
+    if not len(ai):
+        return pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=object),
+                "b": pd.Series([], dtype=object),
+                "dist": pd.Series([], dtype="int64"),
+            }
+        )
+    dist = banded_levenshtein_pairs(codes, lens, ai, bi, max_dist)
+    hit = dist <= max_dist
+    na = np.asarray(names, dtype=object)
+    xa, xb = na[ai[hit]], na[bi[hit]]
+    swap = xa > xb
+    lo = np.where(swap, xb, xa)
+    hi = np.where(swap, xa, xb)
+    return pd.DataFrame(
+        {"a": lo, "b": hi, "dist": dist[hit].astype(np.int64)}
+    )

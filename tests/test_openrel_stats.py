@@ -127,3 +127,39 @@ def test_shape_violations_semantics(ray_session):
     )
     mx = sig.groupby("pred")["n_triples"].max()
     assert (m["n_triples"].to_numpy() == mx.loc[m["pred"]].to_numpy()).all()
+
+
+def test_name_pair_editdistance_blocks_losslessly():
+    import numpy as np
+
+    from ner_funtool_ray.stages.editdist import editdistance_name_pairs_df
+
+    names = ["part", "sort", "spark", "key", "keys", "window"]
+    lens = np.array([len(n) for n in names])
+    homes = (lens // 2).astype(np.int64)
+    got = []
+    for bucket in sorted(set(homes) | set(homes + 1)):
+        df = editdistance_name_pairs_df(names, homes, int(bucket), 2)
+        got += list(zip(df["a"], df["b"], df["dist"]))
+    # brute-force reference over all pairs
+    from ner_funtool_ray.pipelines.textops import _levenshtein
+
+    expect = sorted(
+        (min(x, y), max(x, y), _levenshtein(x, y))
+        for i, x in enumerate(names)
+        for y in names[i + 1:]
+        if _levenshtein(x, y) <= 2
+    )
+    assert sorted(got) == expect
+    assert ("key", "keys", 1) in expect  # a true near-alias pair survives
+
+
+def test_merge_candidates_pipeline(ray_session):
+    from ner_funtool_ray.pipelines.openrel import kg_merge_candidates
+
+    out = kg_merge_candidates("/root/testdata/sf0.001").to_pandas()
+    assert (out["a"] < out["b"]).all()
+    assert out["dist"].between(1, 2).all()
+    assert (out["shared"] >= 1).all()
+    # the corpus's known near-name pair is found
+    assert {"part"} <= set(out["a"])
