@@ -133,6 +133,10 @@ def run_bench() -> dict:
         "kg_open_relations",       # textual-predicate extraction per sentence
         "kg_entity_summary",       # per-entity cards: bucketed distinct aggs
         "kg_predicate_signatures",  # schema induction: typed join over rels
+        "entity_katz",             # attenuated-walk centrality (fixed-point)
+        "kg_shape_violations",     # SHACL-lite signature conformance report
+        "kg_merge_candidates",     # alias discovery: editdist + shared-nbr join
+        "kg_proximity_edges",      # distance-weighted co-occurrence
     ]
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
