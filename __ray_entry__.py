@@ -188,6 +188,21 @@ WHERE a.entity_id < b.entity_id
 GROUP BY 1, 2
 """
 
+# RDF-style statement reification with provenance
+# (pipelines/fusion.py:kg_reify_statements).
+_KG_REIFY_SQL = f"""
+WITH p AS ({_KG_PROVENANCE_SQL})
+SELECT md5(subj || '|cooccurs_with|' || obj) AS stmt_id, subj,
+       'cooccurs_with' AS pred, obj, n_docs, first_doc
+FROM p
+"""
+
+# 2-round Weisfeiler-Lehman structural fingerprints over the co-occurrence
+# graph (pipelines/fusion.py:kg_wl_colors) — unrolled-CTE twin.
+from ner_funtool_ray.pipelines.fusion import make_wl_sql as _make_wl_sql
+
+_KG_WL_SQL = _make_wl_sql(_TRIPLES_SQL, rounds=2)
+
 # Open relation extraction: adjacent-mention pairs per sentence with the
 # normalized inter-mention token run as the textual predicate.  The gap
 # between match i and i+1 is split-part i+1 — regexp_split_to_array and
@@ -249,6 +264,69 @@ t AS (
 SELECT 'ent:' || {_alias_case("m")} AS entity_id, attr, count(*)::BIGINT AS n
 FROM t WHERE attr IN ('fast','slow','small','big')
 GROUP BY 1, 2
+"""
+
+# Per-document attribute observations (doc_id carried through) — shared by
+# the truth-discovery fusion and the last-write-wins versioned read
+# (pipelines/fusion.py:AttrObservationExtractor, same split alignment as
+# the attrs twin above).
+_KG_ATTR_OBS_CTE = f"""
+frags AS (
+  SELECT doc_id, unnest(
+    regexp_split_to_array(text, '{SENTENCE_SPLIT_SQL_REGEX}')) AS frag
+  FROM documents
+),
+sents AS (
+  SELECT doc_id, trim(frag) AS sentence FROM frags WHERE trim(frag) <> ''
+),
+e AS (
+  SELECT doc_id, regexp_extract_all(sentence, '{_GAZ_PATTERN}', 1) AS ms,
+         regexp_split_to_array(sentence, '{_GAZ_PATTERN}') AS gaps
+  FROM sents
+),
+x AS (
+  SELECT doc_id, ms[i] AS m, gaps[i] AS pregap
+  FROM e, unnest(generate_series(1, len(ms))) AS t(i)
+),
+tk AS (
+  SELECT doc_id, m, toks[len(toks)] AS attr
+  FROM (SELECT doc_id, m,
+               regexp_extract_all(lower(pregap), '\\w+') AS toks FROM x)
+  WHERE len(toks) > 0
+),
+obs AS (
+  SELECT doc_id, 'ent:' || {_alias_case("m")} AS entity_id, attr
+  FROM tk WHERE attr IN ('fast','slow','small','big')
+)"""
+
+# Majority-vote truth discovery (pipelines/fusion.py:kg_attr_fusion):
+# winner by (n DESC, attr ASC), integer-exact confidence ppm.
+_KG_ATTR_FUSION_SQL = f"""
+WITH {_KG_ATTR_OBS_CTE},
+a AS (SELECT entity_id, attr, count(*)::BIGINT AS n FROM obs GROUP BY 1, 2),
+tot AS (SELECT entity_id, sum(n)::BIGINT AS total FROM a GROUP BY 1),
+w AS (
+  SELECT entity_id, attr, n,
+         row_number() OVER (
+           PARTITION BY entity_id ORDER BY n DESC, attr) AS rn
+  FROM a
+)
+SELECT w.entity_id, w.attr AS fused_attr, w.n AS votes, tot.total,
+       (w.n * 1000000 // tot.total)::BIGINT AS conf_ppm
+FROM w JOIN tot USING (entity_id) WHERE rn = 1
+"""
+
+# Last-write-wins versioned read (pipelines/fusion.py:kg_attr_latest).
+_KG_ATTR_LATEST_SQL = f"""
+WITH {_KG_ATTR_OBS_CTE},
+d AS (SELECT DISTINCT doc_id, entity_id, attr FROM obs),
+w AS (
+  SELECT entity_id, attr, doc_id,
+         row_number() OVER (
+           PARTITION BY entity_id ORDER BY doc_id DESC, attr) AS rn
+  FROM d
+)
+SELECT entity_id, attr, doc_id::BIGINT AS as_of_doc FROM w WHERE rn = 1
 """
 
 # Schema induction: textual predicate → dominant-type signature counts.
@@ -629,10 +707,15 @@ WHERE bit_count(xor(x.sh, y.sh)) <= 3
 _SIMHASH_CLUSTERS_SQL = _cc_wrap(_SIMHASH_PAIRS_SQL)
 
 
-def _minhash_pairs_sql() -> str:
+def _minhash_pairs_sql(
+    final_select: str = "SELECT a, b FROM est WHERE ej >= 0.8",
+) -> str:
     """MinHash-LSH candidate pairs at est_jaccard ≥ 0.8 — twin of
     stages/dedup.py:minhash_candidate_pairs_ds incl. the
-    MAX_BAND_PAIRWISE=64 star expansion for degenerate bands."""
+    MAX_BAND_PAIRWISE=64 star expansion for degenerate bands.
+    ``final_select`` swaps the verification filter out (the blocking
+    audit grades the raw deduped candidate set: ``SELECT DISTINCT a, b
+    FROM cand``)."""
     from ner_funtool_ray.functions.hashing import MinHasher
 
     h = MinHasher(num_perm=64, seed=1)
@@ -682,12 +765,48 @@ est AS (
   JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p
   GROUP BY c.a, c.b
 )
-SELECT a, b FROM est WHERE ej >= 0.8
+{final_select}
 """
 
 
 _MINHASH_CLUSTERS_SQL = _cc_wrap(_minhash_pairs_sql())
 _NGRAM_CLUSTERS_SQL = _cc_wrap(_NGRAM_JACCARD_SQL)
+
+# Blocking-stage audit (pipelines/fusion.py:er_blocking_quality): the raw
+# deduped banded candidate set (no est-Jaccard verify) graded against
+# exact-duplicate ground truth (equal whitespace-normalized text), with
+# integer-exact pair-completeness and reduction-ratio ppm.
+_ER_BLOCKING_SQL = f"""
+WITH cand AS (
+  SELECT * FROM ({_minhash_pairs_sql("SELECT DISTINCT a, b FROM cand")}) q
+),
+fps AS (
+  SELECT doc_id,
+         md5(array_to_string(list_filter(
+           regexp_split_to_array(text, '\\s+'), x -> x <> ''), ' ')) AS fp
+  FROM documents
+),
+truth AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+),
+hit AS (SELECT cand.a, cand.b FROM cand JOIN truth USING (a, b)),
+s AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         (SELECT count(*) FROM truth)::BIGINT AS n_true_pairs,
+         (SELECT count(*) FROM cand)::BIGINT AS n_cand_pairs,
+         (SELECT count(*) FROM hit)::BIGINT AS n_hit_pairs
+)
+SELECT n_docs, n_true_pairs, n_cand_pairs, n_hit_pairs,
+       (CASE WHEN n_true_pairs = 0 THEN 1000000
+             ELSE n_hit_pairs * 1000000 // n_true_pairs END)::BIGINT
+         AS pair_completeness_ppm,
+       (CASE WHEN n_docs < 2 THEN 0
+             ELSE ((n_docs * (n_docs - 1) // 2) - n_cand_pairs) * 1000000
+                  // (n_docs * (n_docs - 1) // 2) END)::BIGINT
+         AS reduction_ppm
+FROM s
+"""
 
 # Winnowing fingerprints (MOSS-style): char-5-gram hashes over normalized
 # lowercased text, min per 4-window, distinct — twin of
@@ -1677,6 +1796,36 @@ def _q_kg_entity_attributes(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_entity_attributes
 
     return kg_entity_attributes(sf_dir)
+
+
+def _q_kg_attr_fusion(sf_dir: str):
+    from ner_funtool_ray.pipelines.fusion import kg_attr_fusion
+
+    return kg_attr_fusion(sf_dir)
+
+
+def _q_kg_attr_latest(sf_dir: str):
+    from ner_funtool_ray.pipelines.fusion import kg_attr_latest
+
+    return kg_attr_latest(sf_dir)
+
+
+def _q_kg_wl_colors(sf_dir: str):
+    from ner_funtool_ray.pipelines.fusion import kg_wl_colors
+
+    return kg_wl_colors(sf_dir, rounds=2)
+
+
+def _q_er_blocking_quality(sf_dir: str):
+    from ner_funtool_ray.pipelines.fusion import er_blocking_quality
+
+    return er_blocking_quality(sf_dir)
+
+
+def _q_kg_reify_statements(sf_dir: str):
+    from ner_funtool_ray.pipelines.fusion import kg_reify_statements
+
+    return kg_reify_statements(sf_dir)
 
 
 def _q_kg_proximity_edges(sf_dir: str):
@@ -2945,6 +3094,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfrecord_roundtrip": _q_tfrecord_roundtrip,
         "entity_source_hits": _q_entity_source_hits,
         "event_anomaly_days": _q_event_anomaly_days,
+        # knowledge fusion / versioned reads / WL structural fingerprints /
+        # blocking audit / statement reification — oracle-checked,
+        # pipelines/fusion.py
+        "kg_attr_fusion": _q_kg_attr_fusion,
+        "kg_attr_latest": _q_kg_attr_latest,
+        "kg_wl_colors": _q_kg_wl_colors,
+        "er_blocking_quality": _q_er_blocking_quality,
+        "kg_reify_statements": _q_kg_reify_statements,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3191,6 +3348,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_open_relations": _KG_OPEN_RELATIONS_SQL,
         "kg_triple_provenance": _KG_PROVENANCE_SQL,
         "kg_entity_attributes": _KG_ENTITY_ATTRS_SQL,
+        "kg_attr_fusion": _KG_ATTR_FUSION_SQL,
+        "kg_attr_latest": _KG_ATTR_LATEST_SQL,
+        "kg_wl_colors": _KG_WL_SQL,
+        "er_blocking_quality": _ER_BLOCKING_SQL,
+        "kg_reify_statements": _KG_REIFY_SQL,
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,

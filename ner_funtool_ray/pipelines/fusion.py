@@ -1,0 +1,546 @@
+"""Knowledge fusion, versioned reads, WL fingerprints, blocking audit,
+statement reification.
+
+Five KG-construction surfaces downstream of the extraction stack:
+
+- :func:`kg_attr_fusion` — truth discovery over conflicting attribute
+  observations: per entity, the majority-vote attribute with vote count,
+  total evidence and an integer-exact confidence (ppm).  Data-fusion
+  complement of the extraction in ``pipelines/openrel.py``
+  (`EntityAttributeExtractor`): extraction emits every observation, fusion
+  resolves them to one value per entity.
+- :func:`kg_attr_latest` — last-write-wins versioned read: the attribute
+  observed in the HIGHEST doc_id (ties: lexicographically smallest attr),
+  i.e. the "current" value when doc_id orders ingestion batches.
+- :func:`kg_wl_colors` — 1-dim Weisfeiler-Lehman color refinement over the
+  co-occurrence graph: two rounds of hash(own color + sorted multiset of
+  neighbor colors).  Entities with identical colors are structurally
+  indistinguishable at radius 2 — the classic structural-fingerprint
+  blocking key for entity-resolution over graphs (complements the
+  name-similarity blocking in ``openrel.kg_merge_candidates``).
+- :func:`er_blocking_quality` — audit of the MinHash-LSH blocking stage
+  (`stages/dedup.py:minhash_candidate_pairs_ds`): pair completeness
+  (candidate recall of exact-duplicate ground truth) and reduction ratio
+  vs the quadratic all-pairs baseline, both exact-integer ppm.
+- :func:`kg_reify_statements` — RDF-style statement reification: each
+  co-occurrence edge becomes an addressable statement (md5 statement id)
+  carrying its provenance (supporting-doc count + exemplar), the shape a
+  downstream annotation/qualifier layer attaches to.
+
+Scale design: every op is map_batches partial extraction → bounded-bucket
+shuffles only (``bucketed_group_sum`` / ``attach_col`` / crc-bucketed
+group-argmax).  The WL rounds move node-cardinality color tables through
+the same bucketed equi-join the PageRank/BFS cores use; nothing funnels
+the corpus through the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ner_funtool_ray.config import ALIASES, GAZETTEER
+from ner_funtool_ray.functions.text import _WORD_RE, split_sentences
+from ner_funtool_ray.pipelines.openrel import (
+    ATTR_LEXICON,
+    _gaz_pattern,
+    kg_triple_provenance,
+)
+from ner_funtool_ray.sources.io import read_parquet_auto
+from ner_funtool_ray.stages.graphops import _crc_bucket, attach_col
+from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+from ner_funtool_ray.utils import pa_from_pandas
+
+
+# ---------------------------------------------------------------------------
+# attribute observations (shared by fusion + latest)
+# ---------------------------------------------------------------------------
+
+
+class AttrObservationExtractor:
+    """map_batches callable: documents rows → (doc_id, entity_id, attr).
+
+    Same adjectival-modifier semantics as
+    ``openrel.EntityAttributeExtractor`` (last pregap token in the
+    lexicon), but run per DOCUMENT with the doc_id carried through so
+    downstream fusion can weigh and order observations by source."""
+
+    def __init__(
+        self,
+        gazetteer: dict[str, str] | None = None,
+        aliases: dict[str, str] | None = None,
+        lexicon: frozenset[str] | None = None,
+    ):
+        self.pattern = _gaz_pattern(gazetteer or GAZETTEER)
+        self.aliases = dict(ALIASES) if aliases is None else dict(aliases)
+        self.lexicon = ATTR_LEXICON if lexicon is None else lexicon
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        ents: list[str] = []
+        attrs: list[str] = []
+        al = self.aliases
+        lex = self.lexicon
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for sent in split_sentences(text or ""):
+                parts = self.pattern.split(sent)
+                n = (len(parts) - 1) // 2
+                for i in range(n):
+                    toks = _WORD_RE.findall(parts[2 * i].lower())
+                    if toks and toks[-1] in lex:
+                        m = parts[2 * i + 1]
+                        doc_ids.append(doc_id)
+                        ents.append("ent:" + al.get(m, m))
+                        attrs.append(toks[-1])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "entity_id": pa.array(ents, type=pa.string()),
+                "attr": pa.array(attrs, type=pa.string()),
+            }
+        )
+
+
+def _attr_observations(sf_dir: str) -> "ray.data.Dataset":
+    docs = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(AttrObservationExtractor(), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# kg_attr_fusion — majority-vote truth discovery
+# ---------------------------------------------------------------------------
+
+
+def kg_attr_fusion(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Per entity: (fused_attr, votes, total, conf_ppm) by majority vote.
+
+    Winner = the attribute with the most observations; ties break to the
+    lexicographically smallest attr (deterministic, matches the SQL twin's
+    ``ORDER BY n DESC, attr``).  ``conf_ppm = votes * 1e6 // total`` is
+    integer-exact, so the DuckDB twin hash-matches.
+
+    Plan: observation stream → bounded-bucket group-count per
+    (entity, attr) → one more entity-bucketed shuffle for the per-entity
+    argmax + total (partials are attribute-lexicon × entity-vocabulary
+    bounded, never corpus-sized)."""
+    counts = bucketed_group_sum(
+        _attr_observations(sf_dir).drop_columns(["doc_id"]),
+        ["entity_id", "attr"],
+        count_col="n",
+        n_buckets=n_buckets,
+    )
+
+    def with_ebucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ebucket",
+            pa.array(_crc_bucket(t["entity_id"].to_pylist(), n_buckets)),
+        )
+
+    def fuse(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["entity_id", "n", "attr"], ascending=[True, False, True]
+        )
+        tot = g.groupby("entity_id", sort=False)["n"].sum()
+        win = g.drop_duplicates("entity_id")
+        votes = win["n"].to_numpy(dtype=np.int64)
+        total = tot.loc[win["entity_id"]].to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "entity_id": pa.array(win["entity_id"], type=pa.string()),
+                "fused_attr": pa.array(win["attr"], type=pa.string()),
+                "votes": pa.array(votes),
+                "total": pa.array(total),
+                "conf_ppm": pa.array(votes * 1_000_000 // total),
+            }
+        )
+
+    return (
+        counts.map_batches(with_ebucket, batch_format="pyarrow")
+        .groupby("ebucket")
+        .map_groups(fuse, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kg_attr_latest — last-write-wins versioned read
+# ---------------------------------------------------------------------------
+
+
+def kg_attr_latest(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Per entity: the attribute observed in the highest doc_id
+    (``as_of_doc``); ties within that doc break to the smallest attr.
+
+    The (doc_id DESC, attr ASC) argmax is associative, so each batch
+    reduces to one row per entity before the single bounded shuffle."""
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["entity_id", "doc_id", "attr"], ascending=[True, False, True]
+        )
+        return df.drop_duplicates("entity_id")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = best(t.to_pandas())
+        out = pa_from_pandas(df, preserve_index=False)
+        return out.append_column(
+            "ebucket",
+            pa.array(_crc_bucket(df["entity_id"].tolist(), n_buckets)),
+        )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        df = best(g)
+        return pa.table(
+            {
+                "entity_id": pa.array(df["entity_id"], type=pa.string()),
+                "attr": pa.array(df["attr"], type=pa.string()),
+                "as_of_doc": pa.array(
+                    df["doc_id"].to_numpy(dtype=np.int64)
+                ),
+            }
+        )
+
+    return (
+        _attr_observations(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ebucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kg_wl_colors — Weisfeiler-Lehman structural fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _wl_hash(own: str, sig: str) -> str:
+    return hashlib.md5((own + "|" + sig).encode("utf-8")).hexdigest()
+
+
+def kg_wl_colors(
+    sf_dir: str, rounds: int = 2, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """(entity_id, wl_color) after ``rounds`` WL refinement iterations.
+
+    color_0 = ``'d' + degree`` (distinct-neighbor count in the simple
+    co-occurrence graph); color_{t+1} = md5(color_t + '|' + comma-joined
+    SORTED neighbor color_t multiset).  Nodes = distinct ``appears_in``
+    subjects, so mention-only entities with no co-occurrence edge refine
+    from degree 0 with an empty neighbor signature.
+
+    Each round is the PageRank-core join shape (``graphops.attach_col``
+    neighbor tag → crc-bucketed per-node sorted aggregation → left-attach
+    back), moving node-cardinality color tables only."""
+    from ner_funtool_ray.pipelines.graph import _graph_parts_ds
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+    from ner_funtool_ray.stages.graphops import neighbors_ds
+
+    triples = kg_from_sf_dir(sf_dir)
+    nodes, cooc = _graph_parts_ds(triples)
+    nb = neighbors_ds(
+        cooc.map_batches(
+            lambda t: pa.table({"src": t["subj"], "dst": t["obj"]}),
+            batch_format="pyarrow",
+        ).union(
+            cooc.map_batches(
+                lambda t: pa.table({"src": t["obj"], "dst": t["subj"]}),
+                batch_format="pyarrow",
+            )
+        ),
+        n_buckets=n_buckets,
+    ).materialize()
+
+    deg = bucketed_group_sum(
+        nb.map_batches(
+            lambda t: pa.table({"e": t["e"]}), batch_format="pyarrow"
+        ),
+        keys=["e"],
+        count_col="d",
+        n_buckets=n_buckets,
+    )
+    colors = attach_col(
+        nodes, "entity_id", deg, "e", "d", "d",
+        n_buckets=n_buckets, how="left", fill=0,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": t["entity_id"],
+                "c": pa.array(
+                    ["d" + str(int(d)) for d in t["d"].to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(rounds):
+        tagged = attach_col(
+            nb, "m", colors, "entity_id", "c", "mc",
+            n_buckets=n_buckets, how="inner",
+        )
+
+        def sig_agg(g: pd.DataFrame) -> pa.Table:
+            g = g.sort_values(["e", "mc"], kind="mergesort")
+            agg = g.groupby("e", sort=False)["mc"].agg(",".join).reset_index()
+            return pa.table(
+                {
+                    "e": pa.array(agg["e"], type=pa.string()),
+                    "sig": pa.array(agg["mc"], type=pa.string()),
+                }
+            )
+
+        sigs = (
+            tagged.map_batches(
+                lambda t: t.select(["e", "mc"]).append_column(
+                    "sbucket",
+                    pa.array(_crc_bucket(t["e"].to_pylist(), n_buckets)),
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("sbucket")
+            .map_groups(sig_agg, batch_format="pandas")
+        )
+        joined = attach_col(
+            colors, "entity_id", sigs, "e", "sig", "sig",
+            n_buckets=n_buckets, how="left", fill=None,
+        )
+        colors = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "entity_id": t["entity_id"],
+                    "c": pa.array(
+                        [
+                            _wl_hash(c, s or "")
+                            for c, s in zip(
+                                t["c"].to_pylist(), t["sig"].to_pylist()
+                            )
+                        ],
+                        type=pa.string(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return colors.map_batches(
+        lambda t: pa.table(
+            {"entity_id": t["entity_id"], "wl_color": t["c"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def make_wl_sql(triples_sql: str, rounds: int = 2) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`kg_wl_colors` — ``string_agg(c,
+    ',' ORDER BY c)`` matches Python's ``','.join(sorted(...))`` and
+    ``md5()`` matches hashlib for the ASCII color strings."""
+    parts = [
+        f"WITH t AS ({triples_sql})",
+        "cooc AS (SELECT subj, obj FROM t WHERE pred = 'cooccurs_with')",
+        "nodes AS (SELECT DISTINCT subj AS entity_id FROM t"
+        " WHERE pred = 'appears_in')",
+        "nb AS (SELECT subj AS e, obj AS m FROM cooc"
+        " UNION SELECT obj, subj FROM cooc)",
+        "deg AS (SELECT e, count(*)::BIGINT AS d FROM nb GROUP BY e)",
+        "c0 AS (SELECT n.entity_id, 'd' || COALESCE(deg.d, 0) AS c"
+        " FROM nodes n LEFT JOIN deg ON deg.e = n.entity_id)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"c{r - 1}"
+        parts.append(
+            f"s{r} AS (SELECT nb.e, string_agg(cm.c, ',' ORDER BY cm.c)"
+            f" AS sig FROM nb JOIN {prev} cm ON cm.entity_id = nb.m"
+            f" GROUP BY nb.e)"
+        )
+        parts.append(
+            f"c{r} AS (SELECT {prev}.entity_id,"
+            f" md5({prev}.c || '|' || COALESCE(s{r}.sig, '')) AS c"
+            f" FROM {prev} LEFT JOIN s{r} ON s{r}.e = {prev}.entity_id)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT entity_id, c AS wl_color FROM c{rounds}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# er_blocking_quality — blocking-stage audit
+# ---------------------------------------------------------------------------
+
+
+def er_blocking_quality(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """One-row audit of MinHash-LSH blocking vs exact-duplicate truth.
+
+    - truth pairs: documents with identical whitespace-normalized text
+      (the ``dedup_exact`` ground truth), counted as sum over fingerprint
+      groups of C(k, 2) — group sizes ride a bounded bucket shuffle, the
+      pair set itself is never expanded;
+    - candidate pairs: the deduped banded pair set from
+      ``minhash_candidate_pairs_ds`` (BEFORE the est-Jaccard verify
+      filter — the audit grades the blocking key, not the verifier);
+    - hits: candidates whose two fingerprints agree, via two bucketed
+      lookups of the (doc_id, fp) table;
+    - ``pair_completeness_ppm`` = hits·1e6 // truth (1e6 when no truth
+      pairs exist);  ``reduction_ppm`` = (C(n,2) − candidates)·1e6 //
+      C(n,2) — how much of the quadratic comparison space blocking
+      eliminated.  All integer-exact."""
+    from ner_funtool_ray.stages.dedup import minhash_candidate_pairs_ds
+
+    docs = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fp_batch(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(" ".join((x or "").split()).encode("utf-8")).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "fp": pa.array(fps, type=pa.string()),
+            }
+        )
+
+    fp = docs.map_batches(fp_batch, batch_format="pyarrow").materialize()
+    n_docs = fp.count()
+
+    # truth-pair count: Σ_groups C(k,2) over fingerprint group sizes
+    sizes = bucketed_group_sum(
+        fp.map_batches(
+            lambda t: pa.table({"fp": t["fp"]}), batch_format="pyarrow"
+        ),
+        keys=["fp"],
+        count_col="k",
+        n_buckets=n_buckets,
+    )
+    n_true = int(
+        sizes.map_batches(
+            lambda t: pa.table(
+                {
+                    "p": pa.array(
+                        [
+                            int(
+                                (
+                                    np.asarray(t["k"], dtype=np.int64)
+                                    * (np.asarray(t["k"], dtype=np.int64) - 1)
+                                    // 2
+                                ).sum()
+                            )
+                        ],
+                        type=pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("p")
+        or 0
+    )
+
+    cand = minhash_candidate_pairs_ds(docs, dedupe=True).materialize()
+    n_cand = cand.count()
+    with_a = attach_col(
+        cand, "a", fp, "doc_id", "fp", "fp_a",
+        n_buckets=n_buckets, how="inner",
+    )
+    with_b = attach_col(
+        with_a, "b", fp, "doc_id", "fp", "fp_b",
+        n_buckets=n_buckets, how="inner",
+    )
+    n_hit = with_b.map_batches(
+        lambda t: pa.table(
+            {
+                "h": pa.array(
+                    [
+                        int(
+                            pc.sum(
+                                pc.equal(t["fp_a"], t["fp_b"]).cast(pa.int64())
+                            ).as_py()
+                            or 0
+                        )
+                    ],
+                    type=pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).sum("h") or 0
+    n_hit = int(n_hit)
+
+    total_pairs = n_docs * (n_docs - 1) // 2
+    pc_ppm = n_hit * 1_000_000 // n_true if n_true else 1_000_000
+    rr_ppm = (
+        (total_pairs - n_cand) * 1_000_000 // total_pairs
+        if total_pairs
+        else 0
+    )
+    return pd.DataFrame(
+        {
+            "n_docs": pd.array([n_docs], dtype="int64"),
+            "n_true_pairs": pd.array([n_true], dtype="int64"),
+            "n_cand_pairs": pd.array([n_cand], dtype="int64"),
+            "n_hit_pairs": pd.array([n_hit], dtype="int64"),
+            "pair_completeness_ppm": pd.array([pc_ppm], dtype="int64"),
+            "reduction_ppm": pd.array([rr_ppm], dtype="int64"),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# kg_reify_statements — RDF-style reification with provenance
+# ---------------------------------------------------------------------------
+
+
+def kg_reify_statements(sf_dir: str) -> "ray.data.Dataset":
+    """Each co-occurrence edge as an addressable statement:
+    (stmt_id, subj, pred, obj, n_docs, first_doc) where ``stmt_id =
+    md5(subj|pred|obj)`` — stable across runs and partitions, so
+    qualifier/annotation layers can attach without re-deriving the edge."""
+
+    def reify(t: pa.Table) -> pa.Table:
+        subs = t["subj"].to_pylist()
+        objs = t["obj"].to_pylist()
+        ids = [
+            hashlib.md5(
+                f"{s}|cooccurs_with|{o}".encode("utf-8")
+            ).hexdigest()
+            for s, o in zip(subs, objs)
+        ]
+        n = len(subs)
+        return pa.table(
+            {
+                "stmt_id": pa.array(ids, type=pa.string()),
+                "subj": t["subj"],
+                "pred": pa.array(
+                    np.full(n, "cooccurs_with", dtype=object), type=pa.string()
+                ),
+                "obj": t["obj"],
+                "n_docs": t["n_docs"],
+                "first_doc": t["first_doc"],
+            }
+        )
+
+    return kg_triple_provenance(sf_dir).map_batches(
+        reify, batch_format="pyarrow"
+    )
+
+
+__all__ = [
+    "AttrObservationExtractor",
+    "kg_attr_fusion",
+    "kg_attr_latest",
+    "kg_wl_colors",
+    "make_wl_sql",
+    "er_blocking_quality",
+    "kg_reify_statements",
+]

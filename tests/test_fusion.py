@@ -1,0 +1,180 @@
+"""Knowledge fusion / versioned reads / WL fingerprints / blocking audit /
+reification (pipelines/fusion.py).  Corpus-level oracle parity runs in
+test_queries_oracle.py; these pin the semantics on hand-built inputs."""
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ner_funtool_ray.pipelines.fusion import (
+    AttrObservationExtractor,
+    er_blocking_quality,
+    kg_attr_fusion,
+    kg_attr_latest,
+    kg_reify_statements,
+    kg_wl_colors,
+)
+
+
+def _obs(doc_ids, texts):
+    ex = AttrObservationExtractor()
+    out = ex(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    return list(
+        zip(
+            out["doc_id"].to_pylist(),
+            out["entity_id"].to_pylist(),
+            out["attr"].to_pylist(),
+        )
+    )
+
+
+def test_attr_observations_carry_doc_id_and_lexicon_filter():
+    # 'fast join' observes; 'red join' is outside the lexicon; alias
+    # 'agg' → 'aggregate' rewrites the entity
+    rows = _obs(
+        [7, 9], ["a fast join here. red join there", "one big agg"]
+    )
+    assert rows == [
+        (7, "ent:join", "fast"),
+        (9, "ent:aggregate", "big"),
+    ]
+
+
+def test_attr_observations_sentence_boundary_blocks_modifier():
+    # the adjective is in the PREVIOUS sentence, so the pregap of the
+    # mention's own sentence has no tokens — no observation
+    assert _obs([1], ["it was fast. join runs"]) == []
+
+
+def _write_docs(tmp_path, doc_ids, texts):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * len(doc_ids), type=pa.string()),
+                "source": pa.array(["t"] * len(doc_ids), type=pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_fusion_majority_and_tie_break(ray_session, tmp_path):
+    # join: fast×2, slow×1 → fast (votes 2 / total 3, conf 666666 ppm);
+    # sort: big×1, small×1 → tie breaks to lexicographically smaller 'big'
+    sf = _write_docs(
+        tmp_path,
+        [1, 2, 3, 4, 5],
+        [
+            "fast join",
+            "fast join",
+            "slow join",
+            "big sort",
+            "small sort",
+        ],
+    )
+    df = (
+        kg_attr_fusion(sf)
+        .to_pandas()
+        .set_index("entity_id")
+        .sort_index()
+    )
+    j = df.loc["ent:join"]
+    assert (j["fused_attr"], j["votes"], j["total"], j["conf_ppm"]) == (
+        "fast", 2, 3, 666666,
+    )
+    s = df.loc["ent:sort"]
+    assert (s["fused_attr"], s["votes"], s["total"], s["conf_ppm"]) == (
+        "big", 1, 2, 500000,
+    )
+
+
+def test_latest_is_highest_doc_then_smallest_attr(ray_session, tmp_path):
+    # join's latest observation is doc 9 ('slow'); sort's latest doc 6
+    # carries two attrs → smallest ('big') wins the intra-doc tie
+    sf = _write_docs(
+        tmp_path,
+        [1, 9, 6],
+        ["fast join", "slow join", "small sort and big sort"],
+    )
+    df = kg_attr_latest(sf).to_pandas().set_index("entity_id")
+    assert tuple(df.loc["ent:join"]) == ("slow", 9)
+    assert tuple(df.loc["ent:sort"]) == ("big", 6)
+
+
+def test_wl_colors_structural_symmetry(ray_session, tmp_path):
+    # path graph: scan — join — sort (co-occurrence via shared docs).
+    # 'scan' and 'sort' are structurally symmetric (degree-1 leaves with
+    # identical neighborhoods up to iso) → same WL color; the center
+    # 'join' differs.
+    sf = _write_docs(
+        tmp_path,
+        [1, 2],
+        ["scan join", "join sort"],
+    )
+    df = kg_wl_colors(sf, rounds=2).to_pandas().set_index("entity_id")
+    assert df.loc["ent:scan", "wl_color"] == df.loc["ent:sort", "wl_color"]
+    assert df.loc["ent:join", "wl_color"] != df.loc["ent:scan", "wl_color"]
+
+
+def test_wl_rounds_refine_distinguish_radius_two(ray_session, tmp_path):
+    # path of 4: a-b-c-d. At round 1 the two leaves (a, d) agree and the
+    # two middles (b, c) agree; leaves stay symmetric at round 2 as well
+    # (the graph has an automorphism swapping a↔d, b↔c) — but a leaf never
+    # equals a middle at any round.
+    sf = _write_docs(
+        tmp_path,
+        [1, 2, 3],
+        ["scan join", "join sort", "sort merge"],
+    )
+    df = kg_wl_colors(sf, rounds=2).to_pandas().set_index("entity_id")
+    leaves = {df.loc["ent:scan", "wl_color"], df.loc["ent:merge", "wl_color"]}
+    mids = {df.loc["ent:join", "wl_color"], df.loc["ent:sort", "wl_color"]}
+    assert len(leaves) == 1 and len(mids) == 1
+    assert leaves.isdisjoint(mids)
+
+
+def test_blocking_quality_finds_planted_duplicates(ray_session, tmp_path):
+    # two identical docs (whitespace-normalized) → 1 truth pair; identical
+    # docs share every band, so blocking must surface the pair: PC = 1e6
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha  beta gamma\tdelta epsilon zeta",
+        "completely different content about sorting algorithms",
+        "yet another unrelated document with other words",
+    ]
+    sf = _write_docs(tmp_path, [1, 2, 3, 4], texts)
+    df = er_blocking_quality(sf)
+    row = df.iloc[0]
+    assert row["n_docs"] == 4
+    assert row["n_true_pairs"] == 1
+    assert row["n_hit_pairs"] == 1
+    assert row["pair_completeness_ppm"] == 1_000_000
+    assert 0 <= row["n_cand_pairs"] <= 6
+    assert row["reduction_ppm"] == (6 - row["n_cand_pairs"]) * 1_000_000 // 6
+
+
+def test_reify_statement_id_is_stable_md5(ray_session, tmp_path):
+    sf = _write_docs(tmp_path, [1, 2], ["scan join", "scan join sort"])
+    df = kg_reify_statements(sf).to_pandas()
+    assert df["stmt_id"].is_unique
+    for _, r in df.iterrows():
+        expect = hashlib.md5(
+            f"{r['subj']}|cooccurs_with|{r['obj']}".encode()
+        ).hexdigest()
+        assert r["stmt_id"] == expect
+    # (scan, join) co-occurs in both docs → n_docs 2, exemplar doc 1
+    pair = df.set_index(["subj", "obj"]).loc[("ent:join", "ent:scan")]
+    assert (pair["n_docs"], pair["first_doc"]) == (2, 1)
