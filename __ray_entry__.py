@@ -188,6 +188,43 @@ WHERE a.entity_id < b.entity_id
 GROUP BY 1, 2
 """
 
+# Temporal validity intervals per co-occurrence edge
+# (pipelines/fusion.py:kg_triple_intervals — provenance + closing endpoint).
+_KG_INTERVALS_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{_GAZ_PATTERN}', 1)) AS surface
+  FROM documents
+),
+c AS (SELECT DISTINCT doc_id, 'ent:' || {_ALIAS_CASE} AS entity_id FROM m)
+SELECT a.entity_id AS subj, b.entity_id AS obj,
+       count(*)::BIGINT AS n_docs, min(a.doc_id)::BIGINT AS first_doc,
+       max(a.doc_id)::BIGINT AS last_doc
+FROM c a JOIN c b USING (doc_id)
+WHERE a.entity_id < b.entity_id
+GROUP BY 1, 2
+"""
+
+# Document-level type-containment subsumption candidates
+# (pipelines/fusion.py:kg_type_subsumption).
+_KG_SUBSUMPTION_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{_GAZ_PATTERN}', 1)) AS surface
+  FROM documents
+),
+d AS (SELECT DISTINCT doc_id, {_TYPE_CASE} AS t FROM m),
+pairs AS (
+  SELECT a.t AS super_type, b.t AS sub_type, count(*)::BIGINT AS n_both
+  FROM d a JOIN d b USING (doc_id)
+  WHERE a.t <> b.t GROUP BY 1, 2
+),
+marg AS (SELECT t, count(*)::BIGINT AS n_sub FROM d GROUP BY t)
+SELECT super_type, sub_type, n_both, marg.n_sub,
+       (n_both * 1000000 // marg.n_sub)::BIGINT AS containment_ppm
+FROM pairs JOIN marg ON marg.t = pairs.sub_type
+"""
+
 # RDF-style statement reification with provenance
 # (pipelines/fusion.py:kg_reify_statements).
 _KG_REIFY_SQL = f"""
@@ -771,6 +808,33 @@ est AS (
 
 _MINHASH_CLUSTERS_SQL = _cc_wrap(_minhash_pairs_sql())
 _NGRAM_CLUSTERS_SQL = _cc_wrap(_NGRAM_JACCARD_SQL)
+
+# B-cubed ER-clustering audit (pipelines/fusion.py:er_cluster_quality):
+# MinHash-LSH components (singletons restored) vs exact-dup fingerprint
+# truth; per-doc floored ppm, then a floored corpus mean — all integer.
+_ER_B3_SQL = f"""
+WITH pred AS (SELECT * FROM ({_MINHASH_CLUSTERS_SQL}) q),
+fps AS (
+  SELECT doc_id,
+         md5(array_to_string(list_filter(
+           regexp_split_to_array(text, '\\s+'), x -> x <> ''), ' ')) AS fp
+  FROM documents
+),
+m AS (
+  SELECT f.doc_id, f.fp,
+         COALESCE(p.cluster_id::VARCHAR, 's' || f.doc_id) AS cid
+  FROM fps f LEFT JOIN pred p ON p.doc_id = f.doc_id
+),
+nc AS (SELECT cid, count(*)::BIGINT AS n_c FROM m GROUP BY cid),
+ncf AS (SELECT cid, fp, count(*)::BIGINT AS n_cf FROM m GROUP BY cid, fp),
+nf AS (SELECT fp, count(*)::BIGINT AS n_f FROM m GROUP BY fp)
+SELECT count(*)::BIGINT AS n_docs,
+       (sum(ncf.n_cf * 1000000 // nc.n_c) // count(*))::BIGINT
+         AS b3_precision_ppm,
+       (sum(ncf.n_cf * 1000000 // nf.n_f) // count(*))::BIGINT
+         AS b3_recall_ppm
+FROM m JOIN ncf USING (cid, fp) JOIN nc USING (cid) JOIN nf USING (fp)
+"""
 
 # Blocking-stage audit (pipelines/fusion.py:er_blocking_quality): the raw
 # deduped banded candidate set (no est-Jaccard verify) graded against
@@ -1826,6 +1890,24 @@ def _q_kg_reify_statements(sf_dir: str):
     from ner_funtool_ray.pipelines.fusion import kg_reify_statements
 
     return kg_reify_statements(sf_dir)
+
+
+def _q_er_cluster_quality(sf_dir: str):
+    from ner_funtool_ray.pipelines.fusion import er_cluster_quality
+
+    return er_cluster_quality(sf_dir)
+
+
+def _q_kg_triple_intervals(sf_dir: str):
+    from ner_funtool_ray.pipelines.fusion import kg_triple_intervals
+
+    return kg_triple_intervals(sf_dir)
+
+
+def _q_kg_type_subsumption(sf_dir: str):
+    from ner_funtool_ray.pipelines.fusion import kg_type_subsumption
+
+    return kg_type_subsumption(sf_dir)
 
 
 def _q_kg_proximity_edges(sf_dir: str):
@@ -3102,6 +3184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_wl_colors": _q_kg_wl_colors,
         "er_blocking_quality": _q_er_blocking_quality,
         "kg_reify_statements": _q_kg_reify_statements,
+        "er_cluster_quality": _q_er_cluster_quality,
+        "kg_triple_intervals": _q_kg_triple_intervals,
+        "kg_type_subsumption": _q_kg_type_subsumption,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3353,6 +3438,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_wl_colors": _KG_WL_SQL,
         "er_blocking_quality": _ER_BLOCKING_SQL,
         "kg_reify_statements": _KG_REIFY_SQL,
+        "er_cluster_quality": _ER_B3_SQL,
+        "kg_triple_intervals": _KG_INTERVALS_SQL,
+        "kg_type_subsumption": _KG_SUBSUMPTION_SQL,
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,

@@ -497,6 +497,306 @@ def er_blocking_quality(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# er_cluster_quality — B³ evaluation of the ER clustering
+# ---------------------------------------------------------------------------
+
+
+def er_cluster_quality(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """One-row B-cubed audit of the MinHash-LSH ER clustering vs
+    exact-duplicate ground truth.
+
+    Predicted clusters: ``minhash_lsh_clusters`` components (docs in no
+    multi-doc component are implicit singletons — restored here so every
+    doc has a cluster).  Truth clusters: equal whitespace-normalized-text
+    fingerprints.  Per doc d: B³ precision = |P(d) ∩ T(d)| / |P(d)|, B³
+    recall = |∩| / |T(d)| — both floored to ppm per doc, then the corpus
+    mean floored again, so DuckDB hash-matches (no float division).
+
+    Plan: cluster membership joins its fingerprint through one bucketed
+    attach; per-cluster sizes and per-(cluster, fp) intersections compute
+    INSIDE the cluster's hash bucket (one co-location, no second
+    exchange); truth sizes attach by fp bucket; the final mean reduces
+    per-batch partial sums."""
+    from ner_funtool_ray.stages.dedup import minhash_lsh_clusters
+
+    docs = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fp_batch(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(" ".join((x or "").split()).encode("utf-8")).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "fp": pa.array(fps, type=pa.string()),
+            }
+        )
+
+    fp = docs.map_batches(fp_batch, batch_format="pyarrow").materialize()
+    pred = minhash_lsh_clusters(docs, threshold=0.8)
+    # every doc gets a cluster: component label, else its own singleton
+    withc = attach_col(
+        fp, "doc_id", pred, "doc_id", "cluster_id", "cluster_id",
+        n_buckets=n_buckets, how="left", fill=None,
+    )
+
+    def cid_batch(t: pa.Table) -> pa.Table:
+        cids = [
+            str(c) if c is not None else "s" + str(d)
+            for d, c in zip(
+                t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fp": t["fp"],
+                "cid": pa.array(cids, type=pa.string()),
+                "cbucket": pa.array(_crc_bucket(cids, n_buckets)),
+            }
+        )
+
+    memb = withc.map_batches(cid_batch, batch_format="pyarrow")
+
+    def per_doc(g: pd.DataFrame) -> pa.Table:
+        n_c = g.groupby("cid")["doc_id"].transform("size")
+        n_cf = g.groupby(["cid", "fp"])["doc_id"].transform("size")
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64)),
+                "fp": pa.array(g["fp"], type=pa.string()),
+                "n_c": pa.array(n_c.to_numpy(dtype=np.int64)),
+                "n_cf": pa.array(n_cf.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    per = memb.groupby("cbucket").map_groups(per_doc, batch_format="pandas")
+    sizes = bucketed_group_sum(
+        fp.map_batches(
+            lambda t: pa.table({"fp": t["fp"]}), batch_format="pyarrow"
+        ),
+        keys=["fp"],
+        count_col="n_f",
+        n_buckets=n_buckets,
+    )
+    full = attach_col(
+        per, "fp", sizes, "fp", "n_f", "n_f",
+        n_buckets=n_buckets, how="inner",
+    )
+
+    def partial_sums(t: pa.Table) -> pa.Table:
+        n_cf = np.asarray(t["n_cf"], dtype=np.int64)
+        n_c = np.asarray(t["n_c"], dtype=np.int64)
+        n_f = np.asarray(t["n_f"], dtype=np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(n_cf)], type=pa.int64()),
+                "p": pa.array(
+                    [int((n_cf * 1_000_000 // n_c).sum())], type=pa.int64()
+                ),
+                "r": pa.array(
+                    [int((n_cf * 1_000_000 // n_f).sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    parts = full.map_batches(
+        partial_sums, batch_format="pyarrow"
+    ).materialize()
+    n_docs = int(parts.sum("n") or 0)
+    p_sum = int(parts.sum("p") or 0)
+    r_sum = int(parts.sum("r") or 0)
+    return pd.DataFrame(
+        {
+            "n_docs": pd.array([n_docs], dtype="int64"),
+            "b3_precision_ppm": pd.array(
+                [p_sum // n_docs if n_docs else 0], dtype="int64"
+            ),
+            "b3_recall_ppm": pd.array(
+                [r_sum // n_docs if n_docs else 0], dtype="int64"
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# kg_triple_intervals — temporal validity of co-occurrence edges
+# ---------------------------------------------------------------------------
+
+
+def kg_triple_intervals(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Per cooccurs_with edge: (subj, obj, n_docs, first_doc, last_doc) —
+    the edge's validity interval when doc_id orders ingestion (the
+    temporal-KG read of ``openrel.kg_triple_provenance``, which this
+    extends with the closing endpoint; same doc-bucket pair expansion +
+    crc-bucketed sum/min/max merge)."""
+    from ner_funtool_ray.pipelines.openrel import _doc_entities_batch
+
+    docs = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        t = _doc_entities_batch(batch)
+        bucket = pa.array(
+            (t["doc_id"].to_numpy() % n_buckets).astype(np.int64)
+        )
+        return t.append_column("bucket", bucket)
+
+    def expand_pairs(group: pd.DataFrame) -> pa.Table:
+        d = group[["doc_id", "entity_id"]].drop_duplicates()
+        m = d.merge(d, on="doc_id", suffixes=("_a", "_b"))
+        m = m[m["entity_id_a"] < m["entity_id_b"]]
+        agg = (
+            m.groupby(["entity_id_a", "entity_id_b"], sort=False)["doc_id"]
+            .agg(n_docs="size", first_doc="min", last_doc="max")
+            .reset_index()
+        )
+        kb = _crc_bucket(
+            [
+                f"{a}\x00{b}"
+                for a, b in zip(agg["entity_id_a"], agg["entity_id_b"])
+            ],
+            n_buckets,
+        )
+        return pa.table(
+            {
+                "subj": pa.array(agg["entity_id_a"], type=pa.string()),
+                "obj": pa.array(agg["entity_id_b"], type=pa.string()),
+                "n_docs": pa.array(agg["n_docs"].to_numpy(dtype=np.int64)),
+                "first_doc": pa.array(
+                    agg["first_doc"].to_numpy(dtype=np.int64)
+                ),
+                "last_doc": pa.array(
+                    agg["last_doc"].to_numpy(dtype=np.int64)
+                ),
+                "kbucket": pa.array(kb),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.groupby(["subj", "obj"], sort=False)
+            .agg(
+                n_docs=("n_docs", "sum"),
+                first_doc=("first_doc", "min"),
+                last_doc=("last_doc", "max"),
+            )
+            .reset_index()
+        )
+        for c in ("n_docs", "first_doc", "last_doc"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        docs.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(expand_pairs, batch_format="pandas")
+        .groupby("kbucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kg_type_subsumption — ontology induction from doc-level type containment
+# ---------------------------------------------------------------------------
+
+
+def kg_type_subsumption(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Directed type-pair containment: for each (super_type, sub_type),
+    how often a doc mentioning the sub type also mentions the super type
+    (``containment_ppm = n_both · 1e6 // n_sub``, integer-exact).  High
+    containment suggests the subsumption axiom ``sub ⊑ super`` — the
+    document-level distributional test ontology-induction systems start
+    from.  Types come from the gazetteer surface map (same rule as
+    ``openrel.kg_typed_triples``).
+
+    Plan: per-doc distinct types (≤ |type vocabulary| rows per doc) →
+    doc-bucket pair expansion → two bounded group sums (pairs +
+    marginals) → one bucketed attach.  Everything after extraction is
+    |types|²-bounded."""
+    docs = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pattern = _gaz_pattern(GAZETTEER)
+
+    def doc_types(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        types: list[str] = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            seen = {GAZETTEER[m.group(1)] for m in pattern.finditer(text or "")}
+            for t in seen:
+                ids.append(doc_id)
+                types.append(t)
+        out = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "t": pa.array(types, type=pa.string()),
+            }
+        )
+        return out.append_column(
+            "bucket",
+            pa.array((np.asarray(ids, dtype=np.int64) % n_buckets)),
+        )
+
+    dt = docs.map_batches(doc_types, batch_format="pyarrow").materialize()
+
+    def expand(g: pd.DataFrame) -> pa.Table:
+        d = g[["doc_id", "t"]]
+        m = d.merge(d, on="doc_id", suffixes=("_sup", "_sub"))
+        m = m[m["t_sup"] != m["t_sub"]]
+        agg = m.groupby(["t_sup", "t_sub"], sort=False).size().reset_index(
+            name="n_both"
+        )
+        return pa.table(
+            {
+                "super_type": pa.array(agg["t_sup"], type=pa.string()),
+                "sub_type": pa.array(agg["t_sub"], type=pa.string()),
+                "n_both": pa.array(agg["n_both"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    pairs = bucketed_group_sum(
+        dt.groupby("bucket").map_groups(expand, batch_format="pandas"),
+        keys=["super_type", "sub_type"],
+        sum_cols={"n_both": "n_both"},
+        count_col=None,
+        n_buckets=n_buckets,
+    )
+    marg = bucketed_group_sum(
+        dt.map_batches(lambda t: t.select(["t"]), batch_format="pyarrow"),
+        keys=["t"],
+        count_col="n_sub",
+        n_buckets=n_buckets,
+    )
+    full = attach_col(
+        pairs, "sub_type", marg, "t", "n_sub", "n_sub",
+        n_buckets=n_buckets, how="inner",
+    )
+    return full.map_batches(
+        lambda t: pa.table(
+            {
+                "super_type": t["super_type"],
+                "sub_type": t["sub_type"],
+                "n_both": t["n_both"],
+                "n_sub": t["n_sub"],
+                "containment_ppm": pa.array(
+                    np.asarray(t["n_both"], dtype=np.int64)
+                    * 1_000_000
+                    // np.asarray(t["n_sub"], dtype=np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # kg_reify_statements — RDF-style reification with provenance
 # ---------------------------------------------------------------------------
 
@@ -542,5 +842,8 @@ __all__ = [
     "kg_wl_colors",
     "make_wl_sql",
     "er_blocking_quality",
+    "er_cluster_quality",
+    "kg_triple_intervals",
+    "kg_type_subsumption",
     "kg_reify_statements",
 ]

@@ -12,9 +12,12 @@ import pytest
 from ner_funtool_ray.pipelines.fusion import (
     AttrObservationExtractor,
     er_blocking_quality,
+    er_cluster_quality,
     kg_attr_fusion,
     kg_attr_latest,
     kg_reify_statements,
+    kg_triple_intervals,
+    kg_type_subsumption,
     kg_wl_colors,
 )
 
@@ -164,6 +167,59 @@ def test_blocking_quality_finds_planted_duplicates(ray_session, tmp_path):
     assert row["pair_completeness_ppm"] == 1_000_000
     assert 0 <= row["n_cand_pairs"] <= 6
     assert row["reduction_ppm"] == (6 - row["n_cand_pairs"]) * 1_000_000 // 6
+
+
+def test_b3_perfect_on_exact_duplicates(ray_session, tmp_path):
+    # predicted clusters == truth clusters (one exact-dup pair + two
+    # singletons) → B³ precision and recall both exactly 1e6
+    sf = _write_docs(
+        tmp_path,
+        [1, 2, 3, 4],
+        [
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon zeta",
+            "other content entirely here with words",
+            "third unrelated document text goes here",
+        ],
+    )
+    row = er_cluster_quality(sf).iloc[0]
+    assert row["n_docs"] == 4
+    assert row["b3_precision_ppm"] == 1_000_000
+    assert row["b3_recall_ppm"] == 1_000_000
+
+
+def test_triple_intervals_first_last_and_count(ray_session, tmp_path):
+    # (join, scan) co-occurs in docs 3 and 9 → interval [3, 9], n_docs 2;
+    # (join, sort) only in doc 9 → degenerate interval [9, 9]
+    sf = _write_docs(
+        tmp_path,
+        [3, 9],
+        ["scan join", "scan join sort"],
+    )
+    df = kg_triple_intervals(sf).to_pandas().set_index(["subj", "obj"])
+    assert tuple(df.loc[("ent:join", "ent:scan")]) == (2, 3, 9)
+    assert tuple(df.loc[("ent:join", "ent:sort")]) == (1, 9, 9)
+
+
+def test_type_subsumption_containment_direction(ray_session, tmp_path):
+    # every TABLE doc also has an OPERATION mention, but not vice versa:
+    # containment(super=OPERATION, sub=TABLE) = 1e6; the reverse is 1/2
+    sf = _write_docs(
+        tmp_path,
+        [1, 2],
+        ["customer join", "join only here"],
+    )
+    df = kg_type_subsumption(sf).to_pandas().set_index(
+        ["super_type", "sub_type"]
+    )
+    up = df.loc[("OPERATION", "TABLE")]
+    assert (up["n_both"], up["n_sub"], up["containment_ppm"]) == (
+        1, 1, 1_000_000,
+    )
+    down = df.loc[("TABLE", "OPERATION")]
+    assert (down["n_both"], down["n_sub"], down["containment_ppm"]) == (
+        1, 2, 500_000,
+    )
 
 
 def test_reify_statement_id_is_stable_md5(ray_session, tmp_path):
