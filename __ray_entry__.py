@@ -366,6 +366,42 @@ w AS (
 SELECT entity_id, attr, doc_id::BIGINT AS as_of_doc FROM w WHERE rn = 1
 """
 
+# One voting round of truth-discovery source scoring
+# (pipelines/fusion.py:source_attr_reliability): observation agreement
+# with the fused majority value, per document source.
+_SOURCE_RELIABILITY_SQL = f"""
+WITH {_KG_ATTR_OBS_CTE},
+a AS (SELECT entity_id, attr, count(*)::BIGINT AS n FROM obs GROUP BY 1, 2),
+w AS (
+  SELECT entity_id, attr,
+         row_number() OVER (
+           PARTITION BY entity_id ORDER BY n DESC, attr) AS rn
+  FROM a
+),
+f AS (SELECT entity_id, attr AS fused_attr FROM w WHERE rn = 1),
+j AS (
+  SELECT d.source, o.attr, f.fused_attr
+  FROM obs o
+  JOIN documents d USING (doc_id)
+  JOIN f USING (entity_id)
+)
+SELECT source, count(*)::BIGINT AS n_obs,
+       sum(CASE WHEN attr = fused_attr THEN 1 ELSE 0 END)::BIGINT
+         AS n_agree,
+       (sum(CASE WHEN attr = fused_attr THEN 1 ELSE 0 END) * 1000000
+        // count(*))::BIGINT AS reliability_ppm
+FROM j GROUP BY source
+"""
+
+# Conflicting-observation work queue (pipelines/fusion.py:kg_attr_conflicts).
+_KG_ATTR_CONFLICTS_SQL = f"""
+WITH {_KG_ATTR_OBS_CTE},
+a AS (SELECT entity_id, attr, count(*)::BIGINT AS n FROM obs GROUP BY 1, 2)
+SELECT entity_id, count(*)::BIGINT AS n_values, sum(n)::BIGINT AS n_obs
+FROM a GROUP BY entity_id HAVING count(*) > 1
+"""
+
+
 # Schema induction: textual predicate → dominant-type signature counts.
 # Proximity-weighted symmetric entity edges: adjacent-mention pairs
 # contribute max(0, 5 - gap_tokens), canonical a<b, self-pairs dropped
@@ -1910,6 +1946,18 @@ def _q_kg_type_subsumption(sf_dir: str):
     return kg_type_subsumption(sf_dir)
 
 
+def _q_source_attr_reliability(sf_dir: str):
+    from ner_funtool_ray.pipelines.fusion import source_attr_reliability
+
+    return source_attr_reliability(sf_dir)
+
+
+def _q_kg_attr_conflicts(sf_dir: str):
+    from ner_funtool_ray.pipelines.fusion import kg_attr_conflicts
+
+    return kg_attr_conflicts(sf_dir)
+
+
 def _q_kg_proximity_edges(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_proximity_edges
 
@@ -3187,6 +3235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_cluster_quality": _q_er_cluster_quality,
         "kg_triple_intervals": _q_kg_triple_intervals,
         "kg_type_subsumption": _q_kg_type_subsumption,
+        "source_attr_reliability": _q_source_attr_reliability,
+        "kg_attr_conflicts": _q_kg_attr_conflicts,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3441,6 +3491,8 @@ def oracle_sql() -> dict[str, str]:
         "er_cluster_quality": _ER_B3_SQL,
         "kg_triple_intervals": _KG_INTERVALS_SQL,
         "kg_type_subsumption": _KG_SUBSUMPTION_SQL,
+        "source_attr_reliability": _SOURCE_RELIABILITY_SQL,
+        "kg_attr_conflicts": _KG_ATTR_CONFLICTS_SQL,
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,

@@ -218,6 +218,125 @@ def kg_attr_latest(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# source_attr_reliability — truth-discovery source scoring
+# ---------------------------------------------------------------------------
+
+
+def source_attr_reliability(
+    sf_dir: str, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Per document source: how often its attribute observations agree
+    with the corpus-fused majority value — ``reliability_ppm = n_agree ·
+    1e6 // n_obs`` (one voting round of classic truth-discovery source
+    scoring; the scores would reweight the next :func:`kg_attr_fusion`
+    vote in an iterated system).
+
+    Plan: the observation stream attaches its doc's ``source`` and the
+    entity's fused value through two bucketed lookups (the fused table is
+    entity-vocabulary-bounded), then per-batch (source, agree) partials
+    ride one bounded group sum."""
+    obs = _attr_observations(sf_dir)
+    src = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    fused = kg_attr_fusion(sf_dir, n_buckets=n_buckets).map_batches(
+        lambda t: t.select(["entity_id", "fused_attr"]),
+        batch_format="pyarrow",
+    )
+    with_src = attach_col(
+        obs, "doc_id", src, "doc_id", "source", "source",
+        n_buckets=n_buckets, how="inner",
+    )
+    with_fused = attach_col(
+        with_src, "entity_id", fused, "entity_id", "fused_attr",
+        "fused_attr", n_buckets=n_buckets, how="inner",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "agree": pc.equal(t["attr"], t["fused_attr"])
+                .cast(pa.int64())
+                .to_pylist(),
+            }
+        )
+        agg = df.groupby("source", sort=False)["agree"].agg(
+            n_obs="size", n_agree="sum"
+        ).reset_index()
+        return pa.table(
+            {
+                "source": pa.array(agg["source"], type=pa.string()),
+                "n_obs": pa.array(agg["n_obs"].to_numpy(dtype=np.int64)),
+                "n_agree": pa.array(
+                    agg["n_agree"].to_numpy(dtype=np.int64)
+                ),
+            }
+        )
+
+    agg = bucketed_group_sum(
+        with_fused.map_batches(partial, batch_format="pyarrow"),
+        keys=["source"],
+        sum_cols={"n_obs": "n_obs", "n_agree": "n_agree"},
+        count_col=None,
+        n_buckets=n_buckets,
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "n_obs": t["n_obs"],
+                "n_agree": t["n_agree"],
+                "reliability_ppm": pa.array(
+                    np.asarray(t["n_agree"], dtype=np.int64)
+                    * 1_000_000
+                    // np.asarray(t["n_obs"], dtype=np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# kg_attr_conflicts — conflicting-observation report
+# ---------------------------------------------------------------------------
+
+
+def kg_attr_conflicts(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Entities whose observations disagree: (entity_id, n_values,
+    n_obs) for entities with more than one distinct attribute value —
+    the work queue a human-in-the-loop fusion review consumes."""
+    counts = bucketed_group_sum(
+        _attr_observations(sf_dir).drop_columns(["doc_id"]),
+        ["entity_id", "attr"],
+        count_col="n",
+        n_buckets=n_buckets,
+    )
+
+    def with_ebucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ebucket",
+            pa.array(_crc_bucket(t["entity_id"].to_pylist(), n_buckets)),
+        )
+
+    def report(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("entity_id", sort=False).agg(
+            n_values=("attr", "nunique"), n_obs=("n", "sum")
+        ).reset_index()
+        agg = agg[agg["n_values"] > 1]
+        agg["n_values"] = agg["n_values"].astype(np.int64)
+        agg["n_obs"] = agg["n_obs"].astype(np.int64)
+        return agg
+
+    return (
+        counts.map_batches(with_ebucket, batch_format="pyarrow")
+        .groupby("ebucket")
+        .map_groups(report, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # kg_wl_colors — Weisfeiler-Lehman structural fingerprints
 # ---------------------------------------------------------------------------
 
@@ -841,6 +960,8 @@ __all__ = [
     "kg_attr_latest",
     "kg_wl_colors",
     "make_wl_sql",
+    "source_attr_reliability",
+    "kg_attr_conflicts",
     "er_blocking_quality",
     "er_cluster_quality",
     "kg_triple_intervals",

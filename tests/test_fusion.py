@@ -16,9 +16,11 @@ from ner_funtool_ray.pipelines.fusion import (
     kg_attr_fusion,
     kg_attr_latest,
     kg_reify_statements,
+    kg_attr_conflicts,
     kg_triple_intervals,
     kg_type_subsumption,
     kg_wl_colors,
+    source_attr_reliability,
 )
 
 
@@ -167,6 +169,47 @@ def test_blocking_quality_finds_planted_duplicates(ray_session, tmp_path):
     assert row["pair_completeness_ppm"] == 1_000_000
     assert 0 <= row["n_cand_pairs"] <= 6
     assert row["reduction_ppm"] == (6 - row["n_cand_pairs"]) * 1_000_000 // 6
+
+
+def _write_docs_src(tmp_path, doc_ids, texts, sources):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * len(doc_ids), type=pa.string()),
+                "source": pa.array(sources, type=pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_source_reliability_agreement_ratio(ray_session, tmp_path):
+    # fused(join) = 'fast' (2 vs 1).  Source A's two observations agree;
+    # source B's one observation disagrees.
+    sf = _write_docs_src(
+        tmp_path,
+        [1, 2, 3],
+        ["fast join", "fast join", "slow join"],
+        ["A", "A", "B"],
+    )
+    df = source_attr_reliability(sf).to_pandas().set_index("source")
+    assert tuple(df.loc["A"]) == (2, 2, 1_000_000)
+    assert tuple(df.loc["B"]) == (1, 0, 0)
+
+
+def test_attr_conflicts_lists_only_disagreeing_entities(ray_session, tmp_path):
+    # join has two distinct values (conflict); sort has one (clean)
+    sf = _write_docs(
+        tmp_path,
+        [1, 2, 3],
+        ["fast join", "slow join", "big sort"],
+    )
+    df = kg_attr_conflicts(sf).to_pandas()
+    assert df["entity_id"].tolist() == ["ent:join"]
+    assert tuple(df.iloc[0][["n_values", "n_obs"]]) == (2, 2)
 
 
 def test_b3_perfect_on_exact_duplicates(ray_session, tmp_path):
