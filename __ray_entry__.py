@@ -393,6 +393,47 @@ SELECT source, count(*)::BIGINT AS n_obs,
 FROM j GROUP BY source
 """
 
+# Round-2 reliability-weighted truth discovery
+# (pipelines/fusion.py:kg_attr_fusion_weighted): observations weighted by
+# their source's round-1 reliability ppm; winner by (score DESC, attr).
+_KG_ATTR_FUSION_W_SQL = f"""
+WITH {_KG_ATTR_OBS_CTE},
+a AS (SELECT entity_id, attr, count(*)::BIGINT AS n FROM obs GROUP BY 1, 2),
+w AS (
+  SELECT entity_id, attr,
+         row_number() OVER (
+           PARTITION BY entity_id ORDER BY n DESC, attr) AS rn
+  FROM a
+),
+f AS (SELECT entity_id, attr AS fused_attr FROM w WHERE rn = 1),
+j AS (
+  SELECT d.source, o.attr, f.fused_attr
+  FROM obs o JOIN documents d USING (doc_id) JOIN f USING (entity_id)
+),
+rel AS (
+  SELECT source,
+         (sum(CASE WHEN attr = fused_attr THEN 1 ELSE 0 END) * 1000000
+          // count(*))::BIGINT AS r
+  FROM j GROUP BY source
+),
+wo AS (
+  SELECT o.entity_id, o.attr, rel.r
+  FROM obs o JOIN documents d USING (doc_id) JOIN rel USING (source)
+),
+sc AS (
+  SELECT entity_id, attr, sum(r)::BIGINT AS score,
+         count(*)::BIGINT AS n_obs
+  FROM wo GROUP BY 1, 2
+),
+w2 AS (
+  SELECT entity_id, attr, score, n_obs,
+         row_number() OVER (
+           PARTITION BY entity_id ORDER BY score DESC, attr) AS rn
+  FROM sc
+)
+SELECT entity_id, attr AS fused_attr, score, n_obs FROM w2 WHERE rn = 1
+"""
+
 # Conflicting-observation work queue (pipelines/fusion.py:kg_attr_conflicts).
 _KG_ATTR_CONFLICTS_SQL = f"""
 WITH {_KG_ATTR_OBS_CTE},
@@ -1958,6 +1999,12 @@ def _q_kg_attr_conflicts(sf_dir: str):
     return kg_attr_conflicts(sf_dir)
 
 
+def _q_kg_attr_fusion_weighted(sf_dir: str):
+    from ner_funtool_ray.pipelines.fusion import kg_attr_fusion_weighted
+
+    return kg_attr_fusion_weighted(sf_dir)
+
+
 def _q_kg_proximity_edges(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_proximity_edges
 
@@ -3237,6 +3284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_type_subsumption": _q_kg_type_subsumption,
         "source_attr_reliability": _q_source_attr_reliability,
         "kg_attr_conflicts": _q_kg_attr_conflicts,
+        "kg_attr_fusion_weighted": _q_kg_attr_fusion_weighted,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3493,6 +3541,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_type_subsumption": _KG_SUBSUMPTION_SQL,
         "source_attr_reliability": _SOURCE_RELIABILITY_SQL,
         "kg_attr_conflicts": _KG_ATTR_CONFLICTS_SQL,
+        "kg_attr_fusion_weighted": _KG_ATTR_FUSION_W_SQL,
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,

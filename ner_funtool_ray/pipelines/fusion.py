@@ -299,6 +299,83 @@ def source_attr_reliability(
 
 
 # ---------------------------------------------------------------------------
+# kg_attr_fusion_weighted — iterated (2-round) truth discovery
+# ---------------------------------------------------------------------------
+
+
+def kg_attr_fusion_weighted(
+    sf_dir: str, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Round-2 truth discovery: re-vote each entity's attribute with
+    observations weighted by their SOURCE's round-1 reliability (the
+    TruthFinder / Latent-Credibility iteration, cut to one re-vote so
+    every number stays integer-exact).
+
+    ``score(entity, attr) = Σ reliability_ppm(source(obs))`` over
+    supporting observations; winner by (score DESC, attr ASC).  A value
+    pushed only by unreliable sources loses to one backed by sources
+    that usually agree with the majority — the disagreement-robustness
+    plain majority vote lacks.
+
+    Plan: reuses :func:`source_attr_reliability` (itself two bucketed
+    lookups + one group sum); weights attach back onto the observation
+    stream through the same source-bucketed join, then one
+    (entity, attr) group sum and an entity-bucketed argmax."""
+    obs = _attr_observations(sf_dir)
+    src = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    rel = source_attr_reliability(sf_dir, n_buckets=n_buckets).map_batches(
+        lambda t: t.select(["source", "reliability_ppm"]),
+        batch_format="pyarrow",
+    )
+    with_src = attach_col(
+        obs, "doc_id", src, "doc_id", "source", "source",
+        n_buckets=n_buckets, how="inner",
+    )
+    with_r = attach_col(
+        with_src, "source", rel, "source", "reliability_ppm", "r",
+        n_buckets=n_buckets, how="inner",
+    )
+    scores = bucketed_group_sum(
+        with_r.map_batches(
+            lambda t: t.select(["entity_id", "attr", "r"]),
+            batch_format="pyarrow",
+        ),
+        keys=["entity_id", "attr"],
+        sum_cols={"score": "r"},
+        count_col="n_obs",
+        n_buckets=n_buckets,
+    )
+
+    def with_ebucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ebucket",
+            pa.array(_crc_bucket(t["entity_id"].to_pylist(), n_buckets)),
+        )
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["entity_id", "score", "attr"], ascending=[True, False, True]
+        )
+        win = g.drop_duplicates("entity_id")
+        return pa.table(
+            {
+                "entity_id": pa.array(win["entity_id"], type=pa.string()),
+                "fused_attr": pa.array(win["attr"], type=pa.string()),
+                "score": pa.array(win["score"].to_numpy(dtype=np.int64)),
+                "n_obs": pa.array(win["n_obs"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return (
+        scores.map_batches(with_ebucket, batch_format="pyarrow")
+        .groupby("ebucket")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # kg_attr_conflicts — conflicting-observation report
 # ---------------------------------------------------------------------------
 
@@ -961,6 +1038,7 @@ __all__ = [
     "kg_wl_colors",
     "make_wl_sql",
     "source_attr_reliability",
+    "kg_attr_fusion_weighted",
     "kg_attr_conflicts",
     "er_blocking_quality",
     "er_cluster_quality",

@@ -17,6 +17,7 @@ from ner_funtool_ray.pipelines.fusion import (
     kg_attr_latest,
     kg_reify_statements,
     kg_attr_conflicts,
+    kg_attr_fusion_weighted,
     kg_triple_intervals,
     kg_type_subsumption,
     kg_wl_colors,
@@ -198,6 +199,30 @@ def test_source_reliability_agreement_ratio(ray_session, tmp_path):
     df = source_attr_reliability(sf).to_pandas().set_index("source")
     assert tuple(df.loc["A"]) == (2, 2, 1_000_000)
     assert tuple(df.loc["B"]) == (1, 0, 0)
+
+
+def test_weighted_fusion_overrules_unreliable_majority(ray_session, tmp_path):
+    # 'join' sets reliabilities: A fast×6 vs B slow×4 → round-1 'fast',
+    # so r(A) = 6/7 = 857142 ppm (one dissent on sort) and r(B) = 2/6 =
+    # 333333 ppm (4 join dissents, 2 sort agreements).  On 'sort', B has
+    # the raw 2-1 majority ('slow'), but round-2 scores are fast =
+    # 857142 > slow = 2·333333 = 666666 — the reliable minority wins.
+    sf = _write_docs_src(
+        tmp_path,
+        list(range(1, 14)),
+        ["fast join"] * 6 + ["fast sort"] + ["slow join"] * 4
+        + ["slow sort"] * 2,
+        ["A"] * 7 + ["B"] * 6,
+    )
+    un = kg_attr_fusion(sf).to_pandas().set_index("entity_id")
+    assert un.loc["ent:sort", "fused_attr"] == "slow"  # raw majority
+    wdf = kg_attr_fusion_weighted(sf).to_pandas().set_index("entity_id")
+    s = wdf.loc["ent:sort"]
+    assert (s["fused_attr"], s["score"], s["n_obs"]) == ("fast", 857142, 1)
+    j = wdf.loc["ent:join"]
+    assert (j["fused_attr"], j["score"], j["n_obs"]) == (
+        "fast", 6 * 857142, 6,
+    )
 
 
 def test_attr_conflicts_lists_only_disagreeing_entities(ray_session, tmp_path):
