@@ -121,7 +121,11 @@ def _attr_observations(sf_dir: str) -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 
-def kg_attr_fusion(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+def kg_attr_fusion(
+    sf_dir: str,
+    n_buckets: int = 64,
+    obs: "ray.data.Dataset | None" = None,
+) -> "ray.data.Dataset":
     """Per entity: (fused_attr, votes, total, conf_ppm) by majority vote.
 
     Winner = the attribute with the most observations; ties break to the
@@ -132,9 +136,12 @@ def kg_attr_fusion(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
     Plan: observation stream → bounded-bucket group-count per
     (entity, attr) → one more entity-bucketed shuffle for the per-entity
     argmax + total (partials are attribute-lexicon × entity-vocabulary
-    bounded, never corpus-sized)."""
+    bounded, never corpus-sized).  ``obs`` lets a caller share one
+    materialized observation extraction across fusion rounds."""
+    if obs is None:
+        obs = _attr_observations(sf_dir)
     counts = bucketed_group_sum(
-        _attr_observations(sf_dir).drop_columns(["doc_id"]),
+        obs.drop_columns(["doc_id"]),
         ["entity_id", "attr"],
         count_col="n",
         n_buckets=n_buckets,
@@ -223,7 +230,9 @@ def kg_attr_latest(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
 
 
 def source_attr_reliability(
-    sf_dir: str, n_buckets: int = 64
+    sf_dir: str,
+    n_buckets: int = 64,
+    obs: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Per document source: how often its attribute observations agree
     with the corpus-fused majority value — ``reliability_ppm = n_agree ·
@@ -234,12 +243,14 @@ def source_attr_reliability(
     Plan: the observation stream attaches its doc's ``source`` and the
     entity's fused value through two bucketed lookups (the fused table is
     entity-vocabulary-bounded), then per-batch (source, agree) partials
-    ride one bounded group sum."""
-    obs = _attr_observations(sf_dir)
+    ride one bounded group sum.  ``obs`` shares one materialized
+    extraction with the fusion pass (and the weighted caller)."""
+    if obs is None:
+        obs = _attr_observations(sf_dir).materialize()
     src = read_parquet_auto(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
-    fused = kg_attr_fusion(sf_dir, n_buckets=n_buckets).map_batches(
+    fused = kg_attr_fusion(sf_dir, n_buckets=n_buckets, obs=obs).map_batches(
         lambda t: t.select(["entity_id", "fused_attr"]),
         batch_format="pyarrow",
     )
@@ -320,12 +331,16 @@ def kg_attr_fusion_weighted(
     Plan: reuses :func:`source_attr_reliability` (itself two bucketed
     lookups + one group sum); weights attach back onto the observation
     stream through the same source-bucketed join, then one
-    (entity, attr) group sum and an entity-bucketed argmax."""
-    obs = _attr_observations(sf_dir)
+    (entity, attr) group sum and an entity-bucketed argmax.  The corpus
+    is scanned ONCE: the observation extraction materializes (it is
+    observation-sized, far below the corpus) and feeds all three passes."""
+    obs = _attr_observations(sf_dir).materialize()
     src = read_parquet_auto(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
-    rel = source_attr_reliability(sf_dir, n_buckets=n_buckets).map_batches(
+    rel = source_attr_reliability(
+        sf_dir, n_buckets=n_buckets, obs=obs
+    ).map_batches(
         lambda t: t.select(["source", "reliability_ppm"]),
         batch_format="pyarrow",
     )
