@@ -225,6 +225,31 @@ SELECT super_type, sub_type, n_both, marg.n_sub,
 FROM pairs JOIN marg ON marg.t = pairs.sub_type
 """
 
+# SNAP-style type-level graph condensation
+# (pipelines/fusion.py:kg_graph_summary): dominant-type super-nodes.
+_KG_GRAPH_SUMMARY_SQL = f"""
+WITH t AS ({_TRIPLES_SQL}),
+ty AS (SELECT * FROM ({_KG_TYPED_SQL}) q),
+dom AS (
+  SELECT subj AS entity_id, obj AS etype,
+         row_number() OVER (
+           PARTITION BY subj ORDER BY weight DESC, obj) AS rn
+  FROM ty
+),
+d AS (SELECT entity_id, etype FROM dom WHERE rn = 1),
+cooc AS (SELECT subj, obj, weight FROM t WHERE pred = 'cooccurs_with'),
+e AS (
+  SELECT least(da.etype, db.etype) AS type_a,
+         greatest(da.etype, db.etype) AS type_b, c.weight
+  FROM cooc c
+  JOIN d da ON da.entity_id = c.subj
+  JOIN d db ON db.entity_id = c.obj
+)
+SELECT type_a, type_b, count(*)::BIGINT AS n_edges,
+       sum(weight)::BIGINT AS total_weight
+FROM e GROUP BY 1, 2
+"""
+
 # RDF-style statement reification with provenance
 # (pipelines/fusion.py:kg_reify_statements).
 _KG_REIFY_SQL = f"""
@@ -2005,6 +2030,12 @@ def _q_kg_attr_fusion_weighted(sf_dir: str):
     return kg_attr_fusion_weighted(sf_dir)
 
 
+def _q_kg_graph_summary(sf_dir: str):
+    from ner_funtool_ray.pipelines.fusion import kg_graph_summary
+
+    return kg_graph_summary(sf_dir)
+
+
 def _q_kg_proximity_edges(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_proximity_edges
 
@@ -3285,6 +3316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_attr_reliability": _q_source_attr_reliability,
         "kg_attr_conflicts": _q_kg_attr_conflicts,
         "kg_attr_fusion_weighted": _q_kg_attr_fusion_weighted,
+        "kg_graph_summary": _q_kg_graph_summary,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3542,6 +3574,7 @@ def oracle_sql() -> dict[str, str]:
         "source_attr_reliability": _SOURCE_RELIABILITY_SQL,
         "kg_attr_conflicts": _KG_ATTR_CONFLICTS_SQL,
         "kg_attr_fusion_weighted": _KG_ATTR_FUSION_W_SQL,
+        "kg_graph_summary": _KG_GRAPH_SUMMARY_SQL,
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,

@@ -247,6 +247,18 @@ def source_attr_reliability(
     extraction with the fusion pass (and the weighted caller)."""
     if obs is None:
         obs = _attr_observations(sf_dir).materialize()
+    if obs.count() == 0:
+        # an empty fused table has no schema for the bucketed attach
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "n_obs": pa.array([], type=pa.int64()),
+                    "n_agree": pa.array([], type=pa.int64()),
+                    "reliability_ppm": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     src = read_parquet_auto(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
@@ -335,6 +347,17 @@ def kg_attr_fusion_weighted(
     is scanned ONCE: the observation extraction materializes (it is
     observation-sized, far below the corpus) and feeds all three passes."""
     obs = _attr_observations(sf_dir).materialize()
+    if obs.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "entity_id": pa.array([], type=pa.string()),
+                    "fused_attr": pa.array([], type=pa.string()),
+                    "score": pa.array([], type=pa.int64()),
+                    "n_obs": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     src = read_parquet_auto(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
@@ -1008,6 +1031,70 @@ def kg_type_subsumption(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# kg_graph_summary — SNAP-style type-level graph condensation
+# ---------------------------------------------------------------------------
+
+
+def kg_graph_summary(
+    sf_dir: str, broadcast_limit: int = 5_000_000, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Condensed type-level view of the co-occurrence graph: one row per
+    unordered dominant-type pair with its edge count and total weight —
+    the SNAP-style super-node summary an analyst reads before diving
+    into the full graph.
+
+    Dominant type per entity = max mention-evidence weight, ties to the
+    lexicographically smallest type (the ``kg_predicate_signatures``
+    rule).  The type map is entity-vocabulary-bounded and broadcast under
+    the same loud ``broadcast_limit`` guard; edges stream through one
+    map_batches relabel + one |types|²-bounded group sum."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+    from ner_funtool_ray.pipelines.openrel import kg_typed_triples
+
+    typed = kg_typed_triples(sf_dir).materialize()
+    n_typed = typed.count()
+    if n_typed > broadcast_limit:
+        raise RuntimeError(
+            f"entity-type table has {n_typed} rows > broadcast_limit="
+            f"{broadcast_limit}; route the dominant-type map through a "
+            "bucketed join on subj/obj instead"
+        )
+    tdf = typed.to_pandas().sort_values(
+        ["subj", "weight", "obj"], ascending=[True, False, True]
+    ).drop_duplicates("subj", keep="first")
+    ent_type = dict(zip(tdf["subj"], tdf["obj"]))
+
+    triples = kg_from_sf_dir(sf_dir)
+
+    def relabel(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["pred"], "cooccurs_with"))
+        ta = [ent_type[s] for s in t["subj"].to_pylist()]
+        tb = [ent_type[o] for o in t["obj"].to_pylist()]
+        return pa.table(
+            {
+                "type_a": pa.array(
+                    [min(a, b) for a, b in zip(ta, tb)], type=pa.string()
+                ),
+                "type_b": pa.array(
+                    [max(a, b) for a, b in zip(ta, tb)], type=pa.string()
+                ),
+                "weight": t["weight"],
+            }
+        )
+
+    out = bucketed_group_sum(
+        triples.map_batches(relabel, batch_format="pyarrow"),
+        ["type_a", "type_b"],
+        sum_cols={"total_weight": "weight"},
+        count_col="n_edges",
+        n_buckets=n_buckets,
+    )
+    return out.select_columns(
+        ["type_a", "type_b", "n_edges", "total_weight"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # kg_reify_statements — RDF-style reification with provenance
 # ---------------------------------------------------------------------------
 
@@ -1059,5 +1146,6 @@ __all__ = [
     "er_cluster_quality",
     "kg_triple_intervals",
     "kg_type_subsumption",
+    "kg_graph_summary",
     "kg_reify_statements",
 ]

@@ -18,6 +18,7 @@ from ner_funtool_ray.pipelines.fusion import (
     kg_reify_statements,
     kg_attr_conflicts,
     kg_attr_fusion_weighted,
+    kg_graph_summary,
     kg_triple_intervals,
     kg_type_subsumption,
     kg_wl_colors,
@@ -288,6 +289,34 @@ def test_type_subsumption_containment_direction(ray_session, tmp_path):
     assert (down["n_both"], down["n_sub"], down["containment_ppm"]) == (
         1, 2, 500_000,
     )
+
+
+def test_graph_summary_condenses_by_dominant_type(ray_session, tmp_path):
+    # doc 1 yields edge (join, scan) → super-edge (OPERATION, OPERATION);
+    # doc 2 yields (customer, scan) → (OPERATION, TABLE) — one co-occurrence
+    # edge each, condensed by the entities' dominant types.
+    sf = _write_docs(
+        tmp_path, [1, 2], ["scan join", "scan customer"]
+    )
+    df = kg_graph_summary(sf).to_pandas().set_index(["type_a", "type_b"])
+    assert tuple(df.loc[("OPERATION", "OPERATION")]) == (1, 1)
+    assert tuple(df.loc[("OPERATION", "TABLE")]) == (1, 1)
+    assert len(df) == 2
+
+
+def test_fusion_family_handles_corpus_without_observations(
+    ray_session, tmp_path
+):
+    # no adjectival modifiers anywhere → every attribute op returns empty
+    # (no crash, deterministic zero rows)
+    sf = _write_docs(
+        tmp_path, [1, 2], ["scan join here", "plain sort text"]
+    )
+    assert len(kg_attr_fusion(sf).to_pandas()) == 0
+    assert len(kg_attr_latest(sf).to_pandas()) == 0
+    assert len(kg_attr_conflicts(sf).to_pandas()) == 0
+    assert len(source_attr_reliability(sf).to_pandas()) == 0
+    assert len(kg_attr_fusion_weighted(sf).to_pandas()) == 0
 
 
 def test_reify_statement_id_is_stable_md5(ray_session, tmp_path):
