@@ -265,6 +265,12 @@ from ner_funtool_ray.pipelines.fusion import make_wl_sql as _make_wl_sql
 
 _KG_WL_SQL = _make_wl_sql(_TRIPLES_SQL, rounds=2)
 
+# Deterministic DeepWalk-style walk corpus
+# (pipelines/kgembed.py:kg_random_walks) — md5-replayed neighbor choices.
+from ner_funtool_ray.pipelines.kgembed import make_walks_sql as _make_walks_sql
+
+_KG_WALKS_SQL = _make_walks_sql(_TRIPLES_SQL, steps=3)
+
 # Open relation extraction: adjacent-mention pairs per sentence with the
 # normalized inter-mention token run as the textual predicate.  The gap
 # between match i and i+1 is split-part i+1 — regexp_split_to_array and
@@ -2036,6 +2042,12 @@ def _q_kg_graph_summary(sf_dir: str):
     return kg_graph_summary(sf_dir)
 
 
+def _q_kg_random_walks(sf_dir: str):
+    from ner_funtool_ray.pipelines.kgembed import kg_random_walks
+
+    return kg_random_walks(sf_dir, steps=3)
+
+
 def _q_kg_proximity_edges(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_proximity_edges
 
@@ -3317,6 +3329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_attr_conflicts": _q_kg_attr_conflicts,
         "kg_attr_fusion_weighted": _q_kg_attr_fusion_weighted,
         "kg_graph_summary": _q_kg_graph_summary,
+        "kg_random_walks": _q_kg_random_walks,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3575,6 +3588,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_attr_conflicts": _KG_ATTR_CONFLICTS_SQL,
         "kg_attr_fusion_weighted": _KG_ATTR_FUSION_W_SQL,
         "kg_graph_summary": _KG_GRAPH_SUMMARY_SQL,
+        "kg_random_walks": _KG_WALKS_SQL,
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,

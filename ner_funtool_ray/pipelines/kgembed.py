@@ -414,3 +414,186 @@ def kg_transe_report(
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# kg_random_walks — deterministic DeepWalk-style walk corpus
+# ---------------------------------------------------------------------------
+
+
+def kg_random_walks(
+    sf_dir: str, steps: int = 3, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """(walk_id, step, node): one ``steps``-hop walk started from every
+    entity over the simple co-occurrence graph — the walk corpus a
+    DeepWalk/node2vec embedding trainer consumes (Perozzi et al. 2014,
+    public), with the "random" choice made ENGINE-REPRODUCIBLE: at step
+    s from node v the walk takes the neighbor whose lexicographic rank
+    is ``md5_number_lower(walk_id|s|v) mod degree(v)`` — the same
+    md5-derived determinism the TransE negatives and hyperplane-LSH
+    planes use, so the DuckDB twin replays the walks bit-exactly.
+
+    Walks stop early at nodes with no co-occurrence edge (step 0 is
+    always emitted).  Scale plan: each step is two bucketed equi-joins
+    over walk-cardinality tables (degree attach, then the (node, rank)
+    composite-key neighbor lookup); the neighbor ranking itself is one
+    crc-bucketed sort per node — never a broadcast of the edge list."""
+    import pandas as pd
+
+    from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
+    from ner_funtool_ray.pipelines.graph import _graph_parts_ds
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+    from ner_funtool_ray.stages.graphops import (
+        _crc_bucket,
+        attach_col,
+        neighbors_ds,
+    )
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    nodes, cooc = _graph_parts_ds(kg_from_sf_dir(sf_dir))
+    nb = neighbors_ds(
+        cooc.map_batches(
+            lambda t: pa.table({"src": t["subj"], "dst": t["obj"]}),
+            batch_format="pyarrow",
+        ).union(
+            cooc.map_batches(
+                lambda t: pa.table({"src": t["obj"], "dst": t["subj"]}),
+                batch_format="pyarrow",
+            )
+        ),
+        n_buckets=n_buckets,
+    ).materialize()
+
+    def rank_group(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["e", "m"], kind="mergesort")
+        r = g.groupby("e", sort=False).cumcount().to_numpy(dtype=np.int64)
+        keys = [f"{e}\x00{i}" for e, i in zip(g["e"], r)]
+        return pa.table(
+            {
+                "key": pa.array(keys, type=pa.string()),
+                "m": pa.array(g["m"], type=pa.string()),
+            }
+        )
+
+    ranked = (
+        nb.map_batches(
+            lambda t: t.append_column(
+                "rbucket", pa.array(_crc_bucket(t["e"].to_pylist(), n_buckets))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("rbucket")
+        .map_groups(rank_group, batch_format="pandas")
+        .materialize()
+    )
+    deg = bucketed_group_sum(
+        nb.map_batches(lambda t: pa.table({"e": t["e"]}), batch_format="pyarrow"),
+        keys=["e"],
+        count_col="d",
+        n_buckets=n_buckets,
+    ).materialize()
+
+    frontier = nodes.map_batches(
+        lambda t: pa.table(
+            {"walk_id": t["entity_id"], "node": t["entity_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+    emitted = [
+        frontier.map_batches(
+            lambda t: pa.table(
+                {
+                    "walk_id": t["walk_id"],
+                    "step": pa.array(
+                        np.zeros(t.num_rows, dtype=np.int64)
+                    ),
+                    "node": t["node"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ]
+    for s in range(1, steps + 1):
+        withd = attach_col(
+            frontier, "node", deg, "e", "d", "d",
+            n_buckets=n_buckets, how="inner",
+        )
+
+        def pick_key(t: pa.Table, _s=s) -> pa.Table:
+            wids = t["walk_id"].to_pylist()
+            vs = t["node"].to_pylist()
+            d = np.asarray(t["d"], dtype=np.uint64)
+            h = md5_number_lower_batch(
+                [f"{w}|{_s}|{v}" for w, v in zip(wids, vs)]
+            )
+            idx = (h % d).astype(np.int64)
+            keys = [f"{v}\x00{i}" for v, i in zip(vs, idx)]
+            return pa.table(
+                {
+                    "walk_id": t["walk_id"],
+                    "key": pa.array(keys, type=pa.string()),
+                }
+            )
+
+        keyed = withd.map_batches(pick_key, batch_format="pyarrow")
+        nxt = attach_col(
+            keyed, "key", ranked, "key", "m", "node",
+            n_buckets=n_buckets, how="inner",
+        )
+        frontier = nxt.map_batches(
+            lambda t: t.select(["walk_id", "node"]), batch_format="pyarrow"
+        ).materialize()
+        emitted.append(
+            frontier.map_batches(
+                lambda t, _s=s: pa.table(
+                    {
+                        "walk_id": t["walk_id"],
+                        "step": pa.array(
+                            np.full(t.num_rows, _s, dtype=np.int64)
+                        ),
+                        "node": t["node"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    out = emitted[0]
+    for e in emitted[1:]:
+        out = out.union(e)
+    return out
+
+
+def make_walks_sql(triples_sql: str, steps: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`kg_random_walks` — DuckDB's
+    ``md5_number_lower`` equals ``md5vec.md5_number_lower_batch`` and the
+    rank join replays each step's neighbor choice exactly."""
+    parts = [
+        f"WITH t AS ({triples_sql})",
+        "cooc AS (SELECT subj, obj FROM t WHERE pred = 'cooccurs_with')",
+        "nodes AS (SELECT DISTINCT subj AS entity_id FROM t"
+        " WHERE pred = 'appears_in')",
+        "nb AS (SELECT subj AS e, obj AS m FROM cooc"
+        " UNION SELECT obj, subj FROM cooc)",
+        "rk AS (SELECT e, m,"
+        " row_number() OVER (PARTITION BY e ORDER BY m) - 1 AS r FROM nb)",
+        "deg AS (SELECT e, count(*)::BIGINT AS d FROM nb GROUP BY e)",
+        "w0 AS (SELECT entity_id AS walk_id, entity_id AS node FROM nodes)",
+    ]
+    for s in range(1, steps + 1):
+        prev = f"w{s - 1}"
+        parts.append(
+            f"w{s} AS (SELECT w.walk_id, rk.m AS node"
+            f" FROM {prev} w"
+            f" JOIN deg ON deg.e = w.node"
+            f" JOIN rk ON rk.e = w.node AND rk.r ="
+            f" (md5_number_lower(w.walk_id || '|{s}|' || w.node)"
+            f" % deg.d::UBIGINT)::BIGINT)"
+        )
+    selects = [
+        f"SELECT walk_id, {s}::BIGINT AS step, node FROM w{s}"
+        for s in range(0, steps + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+__all__ = ["train_transe", "train_transe_serial", "transe_linkpred_eval", "kg_transe_report", "kg_random_walks", "make_walks_sql"]

@@ -319,6 +319,38 @@ def test_fusion_family_handles_corpus_without_observations(
     assert len(kg_attr_fusion_weighted(sf).to_pandas()) == 0
 
 
+def test_random_walks_deterministic_and_edge_valid(ray_session, tmp_path):
+    # path graph scan—join—sort: every step must traverse a real edge;
+    # degree-1 nodes have forced moves; the md5 replay makes reruns
+    # identical row-for-row
+    from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
+    from ner_funtool_ray.pipelines.kgembed import kg_random_walks
+
+    sf = _write_docs(tmp_path, [1, 2], ["scan join", "join sort"])
+    df = kg_random_walks(sf, steps=3).to_pandas()
+    df2 = kg_random_walks(sf, steps=3).to_pandas()
+    key = ["walk_id", "step", "node"]
+    pd.testing.assert_frame_equal(
+        df.sort_values(key).reset_index(drop=True),
+        df2.sort_values(key).reset_index(drop=True),
+    )
+    edges = {("ent:scan", "ent:join"), ("ent:join", "ent:sort")}
+    edges |= {(b, a) for a, b in edges}
+    for wid, g in df.groupby("walk_id"):
+        seq = g.sort_values("step")["node"].tolist()
+        assert seq[0] == wid
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in edges
+    # degree-1 start: scan's first hop is forced to join
+    scan = df[df["walk_id"] == "ent:scan"].set_index("step")["node"]
+    assert scan.loc[1] == "ent:join"
+    # join's first hop replays the md5 rank rule over sorted neighbors
+    h = int(md5_number_lower_batch(["ent:join|1|ent:join"])[0])
+    expect = ["ent:scan", "ent:sort"][h % 2]
+    join = df[df["walk_id"] == "ent:join"].set_index("step")["node"]
+    assert join.loc[1] == expect
+
+
 def test_reify_statement_id_is_stable_md5(ray_session, tmp_path):
     sf = _write_docs(tmp_path, [1, 2], ["scan join", "scan join sort"])
     df = kg_reify_statements(sf).to_pandas()
