@@ -162,6 +162,24 @@ SELECT subj, pred, obj, sum(weight)::BIGINT AS weight
 FROM u GROUP BY subj, pred, obj
 """
 
+# Versioned-KG full diff: added / removed / changed-weight triples
+# (pipelines/kg.py:kg_graph_diff).
+_KG_DIFF_SQL = f"""
+WITH newt AS ({_triples_sql(" WHERE doc_id % 2 = 1")}),
+     baset AS ({_triples_sql(" WHERE doc_id % 2 = 0")})
+SELECT COALESCE(n.subj, b.subj) AS subj,
+       COALESCE(n.pred, b.pred) AS pred,
+       COALESCE(n.obj, b.obj) AS obj,
+       COALESCE(b.weight, 0)::BIGINT AS base_weight,
+       COALESCE(n.weight, 0)::BIGINT AS new_weight,
+       CASE WHEN b.subj IS NULL THEN 'added'
+            WHEN n.subj IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM newt n FULL OUTER JOIN baset b
+  ON n.subj = b.subj AND n.pred = b.pred AND n.obj = b.obj
+WHERE b.subj IS NULL OR n.subj IS NULL OR b.weight <> n.weight
+"""
+
 # Entity typing as rdf:type-style triples (pipelines/openrel.py).
 _KG_TYPED_SQL = f"""
 WITH m AS (
@@ -2048,6 +2066,12 @@ def _q_kg_random_walks(sf_dir: str):
     return kg_random_walks(sf_dir, steps=3)
 
 
+def _q_kg_graph_diff(sf_dir: str):
+    from ner_funtool_ray.pipelines.kg import kg_graph_diff
+
+    return kg_graph_diff(sf_dir)
+
+
 def _q_kg_proximity_edges(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_proximity_edges
 
@@ -3330,6 +3354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_attr_fusion_weighted": _q_kg_attr_fusion_weighted,
         "kg_graph_summary": _q_kg_graph_summary,
         "kg_random_walks": _q_kg_random_walks,
+        "kg_graph_diff": _q_kg_graph_diff,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3589,6 +3614,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_attr_fusion_weighted": _KG_ATTR_FUSION_W_SQL,
         "kg_graph_summary": _KG_GRAPH_SUMMARY_SQL,
         "kg_random_walks": _KG_WALKS_SQL,
+        "kg_graph_diff": _KG_DIFF_SQL,
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,

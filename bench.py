@@ -137,6 +137,9 @@ def run_bench() -> dict:
         "kg_shape_violations",     # SHACL-lite signature conformance report
         "kg_merge_candidates",     # alias discovery: editdist + shared-nbr join
         "kg_proximity_edges",      # distance-weighted co-occurrence
+        "kg_attr_fusion",          # majority-vote attribute truth discovery
+        "kg_wl_colors",            # 2-round WL structural fingerprints
+        "er_blocking_quality",     # MinHash blocking audit (PC / RR ppm)
     ]
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

@@ -197,6 +197,78 @@ def kg_upsert_merged(
     return out.select_columns(["subj", "pred", "obj", "weight"])
 
 
+def kg_graph_diff(
+    sf_dir: str, cfg: PipelineConfig | None = None, n_buckets: int = 32
+) -> "ray.data.Dataset":
+    """Versioned-KG full diff between the base (``doc_id % 2 == 0``) and
+    new (``doc_id % 2 == 1``) graphs: one row per triple key whose weight
+    changed, with ``status`` ∈ added / removed / changed and both weights
+    (0 where the side lacks the key) — the audit a KG release pipeline
+    publishes next to the upsert.
+
+    Same key-bucketed co-location as :func:`kg_incremental_triples`
+    (both sides are entity-vocabulary-bounded triple aggregates); the
+    per-bucket full-outer merge is a vectorized pandas join, and
+    unchanged keys are dropped before leaving the bucket."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    base = kg_triples(corpus_from_documents(sf_dir, doc_parity=0), cfg)
+    new = kg_triples(corpus_from_documents(sf_dir, doc_parity=1), cfg)
+
+    def widen(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import zlib
+
+            keys = [
+                f"{s}\x00{p}\x00{o}"
+                for s, p, o in zip(
+                    batch["subj"].to_pylist(),
+                    batch["pred"].to_pylist(),
+                    batch["obj"].to_pylist(),
+                )
+            ]
+            bucket = np.fromiter(
+                (zlib.crc32(k.encode("utf-8")) % n_buckets for k in keys),
+                dtype=np.int64,
+                count=len(keys),
+            )
+            return batch.append_column(
+                "side", pa.array(np.full(len(keys), side, dtype=np.int8))
+            ).append_column("bucket", pa.array(bucket))
+
+        return fn
+
+    def diff(group: pd.DataFrame) -> pd.DataFrame:
+        key = ["subj", "pred", "obj"]
+        baser = group.loc[group["side"] == 0, key + ["weight"]].rename(
+            columns={"weight": "base_weight"}
+        )
+        newr = group.loc[group["side"] == 1, key + ["weight"]].rename(
+            columns={"weight": "new_weight"}
+        )
+        m = baser.merge(newr, on=key, how="outer")
+        bw = m["base_weight"].fillna(0).astype(np.int64)
+        nw = m["new_weight"].fillna(0).astype(np.int64)
+        m["base_weight"] = bw
+        m["new_weight"] = nw
+        m["status"] = np.where(
+            bw == 0, "added", np.where(nw == 0, "removed", "changed")
+        )
+        return m.loc[
+            bw != nw,
+            ["subj", "pred", "obj", "base_weight", "new_weight", "status"],
+        ]
+
+    return (
+        base.map_batches(widen(0), batch_format="pyarrow")
+        .union(new.map_batches(widen(1), batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(diff, batch_format="pandas")
+    )
+
+
 def kg_from_sf_dir_counted(
     sf_dir: str,
     cfg: PipelineConfig | None = None,

@@ -351,6 +351,39 @@ def test_random_walks_deterministic_and_edge_valid(ray_session, tmp_path):
     assert join.loc[1] == expect
 
 
+def test_graph_diff_statuses(ray_session, tmp_path):
+    # base = even doc_ids {0: "scan join", 2: "scan join", 4: "sort merge"},
+    # new = odd {1: "scan join", 3: "scan customer"}: join's weights drop
+    # (changed), customer rows appear (added), sort/merge rows vanish
+    # (removed), scan's appears_in weight 2 == 2 is dropped as unchanged
+    from ner_funtool_ray.pipelines.kg import kg_graph_diff
+
+    sf = _write_docs(
+        tmp_path,
+        [0, 2, 4, 1, 3],
+        ["scan join", "scan join", "sort merge", "scan join", "scan customer"],
+    )
+    df = (
+        kg_graph_diff(sf)
+        .to_pandas()
+        .set_index(["subj", "pred", "obj"])
+        .sort_index()
+    )
+    ch = df.loc[("ent:join", "appears_in", "repos/t")]
+    assert (ch["base_weight"], ch["new_weight"], ch["status"]) == (
+        2, 1, "changed",
+    )
+    add = df.loc[("ent:customer", "appears_in", "repos/t")]
+    assert (add["base_weight"], add["new_weight"], add["status"]) == (
+        0, 1, "added",
+    )
+    rem = df.loc[("ent:merge", "cooccurs_with", "ent:sort")]
+    assert (rem["base_weight"], rem["new_weight"], rem["status"]) == (
+        1, 0, "removed",
+    )
+    assert ("ent:scan", "appears_in", "repos/t") not in df.index
+
+
 def test_reify_statement_id_is_stable_md5(ray_session, tmp_path):
     sf = _write_docs(tmp_path, [1, 2], ["scan join", "scan join sort"])
     df = kg_reify_statements(sf).to_pandas()
