@@ -162,6 +162,20 @@ SELECT subj, pred, obj, sum(weight)::BIGINT AS weight
 FROM u GROUP BY subj, pred, obj
 """
 
+# Per-entity activity span (pipelines/fusion.py:kg_entity_timeline).
+_KG_TIMELINE_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{_GAZ_PATTERN}', 1)) AS surface
+  FROM documents
+),
+c AS (SELECT DISTINCT doc_id, 'ent:' || {_ALIAS_CASE} AS entity_id FROM m)
+SELECT entity_id, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS first_doc,
+       max(doc_id)::BIGINT AS last_doc,
+       (max(doc_id) - min(doc_id))::BIGINT AS span
+FROM c GROUP BY entity_id
+"""
+
 # Versioned-KG full diff: added / removed / changed-weight triples
 # (pipelines/kg.py:kg_graph_diff).
 _KG_DIFF_SQL = f"""
@@ -440,6 +454,23 @@ SELECT source, count(*)::BIGINT AS n_obs,
        (sum(CASE WHEN attr = fused_attr THEN 1 ELSE 0 END) * 1000000
         // count(*))::BIGINT AS reliability_ppm
 FROM j GROUP BY source
+"""
+
+# Fused facts written back into the graph
+# (pipelines/fusion.py:kg_triples_with_attrs).
+_KG_TRIPLES_ATTRS_SQL = f"""
+WITH {_KG_ATTR_OBS_CTE},
+a AS (SELECT entity_id, attr, count(*)::BIGINT AS n FROM obs GROUP BY 1, 2),
+w AS (
+  SELECT entity_id, attr, n,
+         row_number() OVER (
+           PARTITION BY entity_id ORDER BY n DESC, attr) AS rn
+  FROM a
+)
+SELECT * FROM ({_TRIPLES_SQL}) tt
+UNION ALL
+SELECT entity_id AS subj, 'has_attr' AS pred, attr AS obj, n AS weight
+FROM w WHERE rn = 1
 """
 
 # Round-2 reliability-weighted truth discovery
@@ -2072,6 +2103,18 @@ def _q_kg_graph_diff(sf_dir: str):
     return kg_graph_diff(sf_dir)
 
 
+def _q_kg_entity_timeline(sf_dir: str):
+    from ner_funtool_ray.pipelines.fusion import kg_entity_timeline
+
+    return kg_entity_timeline(sf_dir)
+
+
+def _q_kg_triples_with_attrs(sf_dir: str):
+    from ner_funtool_ray.pipelines.fusion import kg_triples_with_attrs
+
+    return kg_triples_with_attrs(sf_dir)
+
+
 def _q_kg_proximity_edges(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_proximity_edges
 
@@ -3355,6 +3398,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_graph_summary": _q_kg_graph_summary,
         "kg_random_walks": _q_kg_random_walks,
         "kg_graph_diff": _q_kg_graph_diff,
+        "kg_entity_timeline": _q_kg_entity_timeline,
+        "kg_triples_with_attrs": _q_kg_triples_with_attrs,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3615,6 +3660,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_summary": _KG_GRAPH_SUMMARY_SQL,
         "kg_random_walks": _KG_WALKS_SQL,
         "kg_graph_diff": _KG_DIFF_SQL,
+        "kg_entity_timeline": _KG_TIMELINE_SQL,
+        "kg_triples_with_attrs": _KG_TRIPLES_ATTRS_SQL,
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,

@@ -1031,6 +1031,95 @@ def kg_type_subsumption(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# kg_entity_timeline — per-entity activity span
+# ---------------------------------------------------------------------------
+
+
+def kg_entity_timeline(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Per entity: (first_doc, last_doc, n_docs, span) where span =
+    last − first when doc_id orders ingestion — the node-level companion
+    of :func:`kg_triple_intervals` (edge validity), answering "when was
+    this entity active in the corpus".
+
+    Plan: distinct (doc, entity) per batch → one crc-bucketed
+    min/max/count merge; partials are entity-vocabulary-bounded."""
+    from ner_funtool_ray.pipelines.openrel import _doc_entities_batch
+
+    docs = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _doc_entities_batch(batch)
+        df = (
+            t.to_pandas()
+            .groupby("entity_id", sort=False)["doc_id"]
+            .agg(n_docs="nunique", first_doc="min", last_doc="max")
+            .reset_index()
+        )
+        # distinct doc set per batch: nunique is exact per batch, but the
+        # same doc never spans batches (one row per doc), so the bucket
+        # merge can SUM counts and min/max the endpoints
+        out = pa_from_pandas(df, preserve_index=False)
+        return out.append_column(
+            "ebucket",
+            pa.array(_crc_bucket(df["entity_id"].tolist(), n_buckets)),
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("entity_id", sort=False)
+            .agg(
+                n_docs=("n_docs", "sum"),
+                first_doc=("first_doc", "min"),
+                last_doc=("last_doc", "max"),
+            )
+            .reset_index()
+        )
+        for c in ("n_docs", "first_doc", "last_doc"):
+            out[c] = out[c].astype(np.int64)
+        out["span"] = out["last_doc"] - out["first_doc"]
+        return out
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("ebucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kg_triples_with_attrs — materialize fused facts into the graph
+# ---------------------------------------------------------------------------
+
+
+def kg_triples_with_attrs(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """The flagship triple table EXTENDED with the fused attribute facts:
+    ``(entity, has_attr, fused value, weight = votes)`` rows union into
+    the appears_in/cooccurs_with graph — the "write the resolved facts
+    back into the KG" materialize step that closes the
+    extract → fuse → publish loop."""
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    triples = kg_from_sf_dir(sf_dir)
+    attrs = kg_attr_fusion(sf_dir, n_buckets=n_buckets).map_batches(
+        lambda t: pa.table(
+            {
+                "subj": t["entity_id"],
+                "pred": pa.array(
+                    np.full(t.num_rows, "has_attr", dtype=object),
+                    type=pa.string(),
+                ),
+                "obj": t["fused_attr"],
+                "weight": t["votes"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return triples.union(attrs)
+
+
+# ---------------------------------------------------------------------------
 # kg_graph_summary — SNAP-style type-level graph condensation
 # ---------------------------------------------------------------------------
 
@@ -1147,5 +1236,7 @@ __all__ = [
     "kg_triple_intervals",
     "kg_type_subsumption",
     "kg_graph_summary",
+    "kg_entity_timeline",
+    "kg_triples_with_attrs",
     "kg_reify_statements",
 ]

@@ -351,6 +351,31 @@ def test_random_walks_deterministic_and_edge_valid(ray_session, tmp_path):
     assert join.loc[1] == expect
 
 
+def test_entity_timeline_span(ray_session, tmp_path):
+    from ner_funtool_ray.pipelines.fusion import kg_entity_timeline
+
+    sf = _write_docs(
+        tmp_path, [2, 7, 9], ["scan here", "scan again", "join once"]
+    )
+    df = kg_entity_timeline(sf).to_pandas().set_index("entity_id")
+    assert tuple(df.loc["ent:scan"]) == (2, 2, 7, 5)  # n, first, last, span
+    assert tuple(df.loc["ent:join"]) == (1, 9, 9, 0)
+
+
+def test_triples_with_attrs_appends_fused_facts(ray_session, tmp_path):
+    from ner_funtool_ray.pipelines.fusion import kg_triples_with_attrs
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+
+    sf = _write_docs(tmp_path, [1, 2], ["fast join", "fast join and scan"])
+    base = kg_from_sf_dir(sf).to_pandas()
+    full = kg_triples_with_attrs(sf).to_pandas()
+    extra = full[full["pred"] == "has_attr"]
+    assert len(full) == len(base) + len(extra)
+    assert extra[["subj", "obj", "weight"]].values.tolist() == [
+        ["ent:join", "fast", 2]
+    ]
+
+
 def test_graph_diff_statuses(ray_session, tmp_path):
     # base = even doc_ids {0: "scan join", 2: "scan join", 4: "sort merge"},
     # new = odd {1: "scan join", 3: "scan customer"}: join's weights drop
