@@ -2377,3 +2377,153 @@ __all__ += [
     "entity_lpa_communities",
     "make_lpa_sql",
 ]
+
+
+def community_modularity(
+    sf_dir: str, rounds: int = 4, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Newman modularity audit of the LPA communities, integer-exact:
+    per community c — node count, internal edge weight ``e_in``, total
+    incident weight ``d_tot``, and the community's modularity
+    contribution in ppm::
+
+        q_ppm = floor((4·m·e_in − d_tot²) · 1e6 / (4·m²))
+
+    (the standard ``e_c/m − (d_c/2m)²`` term cross-multiplied by 4m² so
+    both engines compute the same integer; Σ q_ppm ≈ Q·1e6).  Python
+    bigints on this side, HUGEINT with an explicit floor-division CASE
+    on the DuckDB side, so negative terms floor identically.
+
+    Plan: the edge table attaches both endpoint communities through two
+    bucketed lookups, per-edge (community, e_w, d_w) partials ride one
+    bounded group sum, node counts one more; the per-community math runs
+    vectorized inside map_batches over the community-bounded aggregate —
+    only the single scalar ``m`` reduces to the driver."""
+    import pyarrow.compute as _pc
+
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+    from ner_funtool_ray.stages.graphops import attach_col
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    triples = kg_from_sf_dir(sf_dir)
+    _, cooc = _graph_parts_ds(triples)
+    cooc = cooc.materialize()
+    comm = entity_lpa_communities(sf_dir, rounds=rounds).materialize()
+
+    m = int(cooc.sum("weight") or 0)
+
+    with_cs = attach_col(
+        cooc, "subj", comm, "entity_id", "community", "cs",
+        n_buckets=n_buckets, how="inner",
+    )
+    with_co = attach_col(
+        with_cs, "obj", comm, "entity_id", "community", "co",
+        n_buckets=n_buckets, how="inner",
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        w = np.asarray(t["weight"], dtype=np.int64)
+        cs = t["cs"].to_pylist()
+        co = t["co"].to_pylist()
+        same = np.array([a == b for a, b in zip(cs, co)], dtype=bool)
+        return pa.table(
+            {
+                "community": pa.array(cs + co, type=pa.string()),
+                "e_w": pa.array(
+                    np.concatenate([np.where(same, w, 0), np.zeros_like(w)])
+                ),
+                "d_w": pa.array(np.concatenate([w, w])),
+            }
+        )
+
+    byc = bucketed_group_sum(
+        with_co.map_batches(partials, batch_format="pyarrow"),
+        keys=["community"],
+        sum_cols={"e_in": "e_w", "d_tot": "d_w"},
+        count_col=None,
+        n_buckets=n_buckets,
+    )
+    counts = bucketed_group_sum(
+        comm.map_batches(
+            lambda t: pa.table({"community": t["community"]}),
+            batch_format="pyarrow",
+        ),
+        keys=["community"],
+        count_col="n_nodes",
+        n_buckets=n_buckets,
+    )
+    full = attach_col(
+        counts, "community", byc, "community", "e_in", "e_in",
+        n_buckets=n_buckets, how="left", fill=0,
+    )
+    full = attach_col(
+        full, "community", byc, "community", "d_tot", "d_tot",
+        n_buckets=n_buckets, how="left", fill=0,
+    )
+
+    def finish(t: pa.Table, _m=m) -> pa.Table:
+        e = [int(x) for x in t["e_in"].to_pylist()]
+        d = [int(x) for x in t["d_tot"].to_pylist()]
+        den = 4 * _m * _m
+        q = [
+            ((4 * _m * ei - di * di) * 1_000_000) // den if den else 0
+            for ei, di in zip(e, d)
+        ]
+        return pa.table(
+            {
+                "community": t["community"],
+                "n_nodes": t["n_nodes"].cast(pa.int64()),
+                "e_in": t["e_in"].cast(pa.int64()),
+                "d_tot": t["d_tot"].cast(pa.int64()),
+                "q_ppm": pa.array(q, type=pa.int64()),
+            }
+        )
+
+    return full.map_batches(finish, batch_format="pyarrow")
+
+
+def make_modularity_sql(triples_sql: str, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`community_modularity` — HUGEINT arithmetic
+    with an explicit floor-division CASE so negative q terms floor like
+    Python's ``//``."""
+    lpa = make_lpa_sql(triples_sql, rounds=rounds)
+    return f"""
+WITH comm AS (SELECT * FROM ({lpa}) q),
+t2 AS ({triples_sql}),
+cooc AS (SELECT subj, obj, weight FROM t2 WHERE pred = 'cooccurs_with'),
+mm AS (SELECT COALESCE(sum(weight), 0)::HUGEINT AS m FROM cooc),
+e AS (
+  SELECT c.weight, ca.community AS cs, cb.community AS co
+  FROM cooc c
+  JOIN comm ca ON ca.entity_id = c.subj
+  JOIN comm cb ON cb.entity_id = c.obj
+),
+byc AS (
+  SELECT community, sum(e_w)::HUGEINT AS e_in, sum(d_w)::HUGEINT AS d_tot
+  FROM (
+    SELECT cs AS community,
+           CASE WHEN cs = co THEN weight ELSE 0 END AS e_w,
+           weight AS d_w
+    FROM e
+    UNION ALL
+    SELECT co, 0, weight FROM e
+  ) GROUP BY community
+),
+n AS (SELECT community, count(*)::BIGINT AS n_nodes FROM comm GROUP BY community),
+j AS (
+  SELECT n.community, n.n_nodes,
+         COALESCE(byc.e_in, 0::HUGEINT) AS e_in,
+         COALESCE(byc.d_tot, 0::HUGEINT) AS d_tot, mm.m
+  FROM n LEFT JOIN byc USING (community) CROSS JOIN mm
+)
+SELECT community, n_nodes, e_in::BIGINT AS e_in, d_tot::BIGINT AS d_tot,
+       (CASE WHEN m = 0 THEN 0
+             WHEN (4*m*e_in - d_tot*d_tot) >= 0
+             THEN (4*m*e_in - d_tot*d_tot) * 1000000 // (4*m*m)
+             ELSE -(((d_tot*d_tot - 4*m*e_in) * 1000000 + 4*m*m - 1)
+                    // (4*m*m)) END)::BIGINT AS q_ppm
+FROM j
+"""
+
+
+__all__ += ["community_modularity", "make_modularity_sql"]

@@ -1,0 +1,66 @@
+"""Modularity audit of LPA communities (pipelines/graph.py:
+community_modularity).  The corpus-level oracle parity runs in
+test_queries_oracle.py (degenerate there: the sf graph is one dense
+community, q = 0 exactly); these tests pin the non-vacuous semantics on
+a planted two-community graph and the negative-term floor parity."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ner_funtool_ray.pipelines.graph import community_modularity
+
+
+def _write_docs(tmp_path, doc_ids, texts):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * len(doc_ids), type=pa.string()),
+                "source": pa.array(["t"] * len(doc_ids), type=pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_two_cliques_weak_bridge(ray_session, tmp_path):
+    # two strongly-internal triangles bridged by ONE weak edge: LPA keeps
+    # them apart and both communities contribute positive modularity
+    clique_a = "scan join sort"
+    clique_b = "customer row table"
+    sf = _write_docs(
+        tmp_path,
+        list(range(1, 8)),
+        [clique_a] * 3 + [clique_b] * 3 + ["sort customer"],
+    )
+    df = community_modularity(sf).to_pandas()
+    assert len(df) == 2
+    assert (df["q_ppm"] > 0).all()
+    assert set(df["n_nodes"]) == {3}
+    # bookkeeping identity: Σ d_tot = 2m and Σ e_in = m − cross-edges
+    m = 3 + 3 + 3 + 3 + 3 + 3 + 1  # 6 intra edges ×3 docs + 1 bridge
+    assert df["d_tot"].sum() == 2 * m
+    assert df["e_in"].sum() == m - 1
+
+
+def test_negative_term_floor_parity_with_duckdb(ray_session):
+    # the HUGEINT CASE in the SQL twin must floor negative q terms the
+    # way Python's // does — check the exact expression on values where
+    # trunc and floor division differ
+    # −49e6 / 324 = −151234.57…: floor (−151235) ≠ trunc (−151234)
+    m, e, d = 9, 0, 7
+    py = ((4 * m * e - d * d) * 1_000_000) // (4 * m * m)
+    assert py == -151235  # Python floors toward −inf
+    sql = duckdb.sql(
+        f"""
+        SELECT (CASE WHEN (4*m*e - d*d) >= 0
+                 THEN (4*m*e - d*d) * 1000000 // (4*m*m)
+                 ELSE -(((d*d - 4*m*e) * 1000000 + 4*m*m - 1) // (4*m*m))
+                END)::BIGINT AS q
+        FROM (SELECT {m}::HUGEINT AS m, {e}::HUGEINT AS e, {d}::HUGEINT AS d)
+        """
+    ).fetchone()[0]
+    assert py == sql == -151235
