@@ -2121,6 +2121,12 @@ def _q_community_modularity(sf_dir: str):
     return community_modularity(sf_dir)
 
 
+def _q_graph_assortativity(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import graph_assortativity
+
+    return graph_assortativity(sf_dir)
+
+
 def _q_kg_proximity_edges(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_proximity_edges
 
@@ -3407,6 +3413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_timeline": _q_kg_entity_timeline,
         "kg_triples_with_attrs": _q_kg_triples_with_attrs,
         "community_modularity": _q_community_modularity,
+        "graph_assortativity": _q_graph_assortativity,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3670,6 +3677,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_timeline": _KG_TIMELINE_SQL,
         "kg_triples_with_attrs": _KG_TRIPLES_ATTRS_SQL,
         "community_modularity": _graph.make_modularity_sql(_TRIPLES_SQL),
+        "graph_assortativity": _graph.make_assortativity_sql(_TRIPLES_SQL),
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,

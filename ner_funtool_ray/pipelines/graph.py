@@ -2527,3 +2527,115 @@ FROM j
 
 
 __all__ += ["community_modularity", "make_modularity_sql"]
+
+
+def graph_assortativity(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Degree-assortativity audit of the co-occurrence graph (one row):
+    Pearson correlation of endpoint degrees over the symmetrized
+    unweighted edge list — ``r = (M·Σxy − Σx·Σy) / (M·Σxx − (Σx)²)``
+    with M the directed edge count and x/y the endpoint degrees (the x
+    and y marginals coincide under symmetrization, so one denominator
+    serves both).  Moments are exact integers (Python bigints / HUGEINT);
+    the single edge division casts both sides to double first —
+    identical IEEE semantics on both engines, so the float hash-matches.
+    Degree-regular graphs (zero variance) report r = 0.0 by convention.
+
+    Plan: the distinct-neighbor relation attaches both endpoint degrees
+    through two bucketed lookups; per-batch moment partials reduce to
+    one row per batch and a driver-side constant-size sum."""
+    import pyarrow.compute as _pc
+
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+    from ner_funtool_ray.stages.graphops import attach_col, neighbors_ds
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    triples = kg_from_sf_dir(sf_dir)
+    _, cooc = _graph_parts_ds(triples)
+    nb = neighbors_ds(
+        cooc.map_batches(
+            lambda t: pa.table({"src": t["subj"], "dst": t["obj"]}),
+            batch_format="pyarrow",
+        ).union(
+            cooc.map_batches(
+                lambda t: pa.table({"src": t["obj"], "dst": t["subj"]}),
+                batch_format="pyarrow",
+            )
+        ),
+        n_buckets=n_buckets,
+    ).materialize()
+    deg = bucketed_group_sum(
+        nb.map_batches(lambda t: pa.table({"e": t["e"]}), batch_format="pyarrow"),
+        keys=["e"],
+        count_col="d",
+        n_buckets=n_buckets,
+    ).materialize()
+    withx = attach_col(
+        nb, "e", deg, "e", "d", "x", n_buckets=n_buckets, how="inner"
+    )
+    withy = attach_col(
+        withx, "m", deg, "e", "d", "y", n_buckets=n_buckets, how="inner"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["x"], dtype=np.int64)
+        y = np.asarray(t["y"], dtype=np.int64)
+        return pa.table(
+            {
+                "mdir": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([int(x.sum())], type=pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = withy.map_batches(partial, batch_format="pyarrow").materialize()
+    mdir = int(parts.sum("mdir") or 0)
+    sx = int(parts.sum("sx") or 0)
+    sxy = int(parts.sum("sxy") or 0)
+    sxx = int(parts.sum("sxx") or 0)
+    num = mdir * sxy - sx * sx
+    den = mdir * sxx - sx * sx
+    r = float(num) / float(den) if den else 0.0
+    import pandas as pd
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_dir_edges": pa.array([mdir], type=pa.int64()),
+                "sum_deg": pa.array([sx], type=pa.int64()),
+                "sum_xy": pa.array([sxy], type=pa.int64()),
+                "sum_xx": pa.array([sxx], type=pa.int64()),
+                "assortativity": pa.array([r], type=pa.float64()),
+            }
+        )
+    )
+
+
+def make_assortativity_sql(triples_sql: str) -> str:
+    """DuckDB twin of :func:`graph_assortativity` — HUGEINT moments,
+    both cross-products cast to DOUBLE before the one division."""
+    return f"""
+WITH t AS ({triples_sql}),
+cooc AS (SELECT subj, obj FROM t WHERE pred = 'cooccurs_with'),
+nb AS (SELECT subj AS e, obj AS m FROM cooc UNION SELECT obj, subj FROM cooc),
+deg AS (SELECT e, count(*)::BIGINT AS d FROM nb GROUP BY e),
+x AS (
+  SELECT da.d AS x, db.d AS y
+  FROM nb JOIN deg da ON da.e = nb.e JOIN deg db ON db.e = nb.m
+),
+s AS (
+  SELECT count(*)::HUGEINT AS mdir, COALESCE(sum(x), 0)::HUGEINT AS sx,
+         COALESCE(sum(x*y), 0)::HUGEINT AS sxy,
+         COALESCE(sum(x*x), 0)::HUGEINT AS sxx
+  FROM x
+)
+SELECT mdir::BIGINT AS n_dir_edges, sx::BIGINT AS sum_deg,
+       sxy::BIGINT AS sum_xy, sxx::BIGINT AS sum_xx,
+       CASE WHEN mdir*sxx - sx*sx = 0 THEN 0.0
+            ELSE (mdir*sxy - sx*sx)::DOUBLE / (mdir*sxx - sx*sx)::DOUBLE
+       END AS assortativity
+FROM s
+"""
+
+
+__all__ += ["graph_assortativity", "make_assortativity_sql"]

@@ -46,6 +46,22 @@ def test_two_cliques_weak_bridge(ray_session, tmp_path):
     assert df["e_in"].sum() == m - 1
 
 
+def test_star_graph_is_perfectly_disassortative(ray_session, tmp_path):
+    # star (hub 'join', 3 leaves): M=6 directed edges, Σx=12, Σxy=18,
+    # Σxx=30 → r = (6·18 − 144)/(6·30 − 144) = −1 exactly; the sf corpus
+    # oracle row is vacuous (complete graph → zero variance → r = 0), so
+    # this pins the non-degenerate value
+    from ner_funtool_ray.pipelines.graph import graph_assortativity
+
+    sf = _write_docs(
+        tmp_path, [1, 2, 3], ["join scan", "join sort", "join merge"]
+    )
+    row = graph_assortativity(sf).to_pandas().iloc[0]
+    assert row["n_dir_edges"] == 6
+    assert (row["sum_deg"], row["sum_xy"], row["sum_xx"]) == (12, 18, 30)
+    assert row["assortativity"] == -1.0
+
+
 def test_negative_term_floor_parity_with_duckdb(ray_session):
     # the HUGEINT CASE in the SQL twin must floor negative q terms the
     # way Python's // does — check the exact expression on values where
