@@ -176,6 +176,30 @@ SELECT entity_id, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS first_doc,
 FROM c GROUP BY entity_id
 """
 
+# One-row release gate over the base/new graphs
+# (pipelines/kg.py:kg_graph_similarity).
+_KG_SIMILARITY_SQL = f"""
+WITH newt AS ({_triples_sql(" WHERE doc_id % 2 = 1")}),
+     baset AS ({_triples_sql(" WHERE doc_id % 2 = 0")}),
+s AS (
+  SELECT (SELECT count(*) FROM baset)::BIGINT AS n_base,
+         (SELECT count(*) FROM newt)::BIGINT AS n_new,
+         (SELECT count(*) FROM baset b JOIN newt n
+            ON b.subj = n.subj AND b.pred = n.pred AND b.obj = n.obj
+         )::BIGINT AS n_shared,
+         (SELECT count(*) FROM baset b JOIN newt n
+            ON b.subj = n.subj AND b.pred = n.pred AND b.obj = n.obj
+          WHERE b.weight <> n.weight)::BIGINT AS n_changed
+)
+SELECT n_base, n_new, n_shared,
+       (n_new - n_shared)::BIGINT AS n_added,
+       (n_base - n_shared)::BIGINT AS n_removed, n_changed,
+       (CASE WHEN n_base + n_new - n_shared = 0 THEN 1000000
+             ELSE n_shared * 1000000 // (n_base + n_new - n_shared)
+        END)::BIGINT AS key_jaccard_ppm
+FROM s
+"""
+
 # Versioned-KG full diff: added / removed / changed-weight triples
 # (pipelines/kg.py:kg_graph_diff).
 _KG_DIFF_SQL = f"""
@@ -2127,6 +2151,12 @@ def _q_graph_assortativity(sf_dir: str):
     return graph_assortativity(sf_dir)
 
 
+def _q_kg_graph_similarity(sf_dir: str):
+    from ner_funtool_ray.pipelines.kg import kg_graph_similarity
+
+    return kg_graph_similarity(sf_dir)
+
+
 def _q_kg_proximity_edges(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_proximity_edges
 
@@ -3414,6 +3444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_with_attrs": _q_kg_triples_with_attrs,
         "community_modularity": _q_community_modularity,
         "graph_assortativity": _q_graph_assortativity,
+        "kg_graph_similarity": _q_kg_graph_similarity,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3678,6 +3709,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_with_attrs": _KG_TRIPLES_ATTRS_SQL,
         "community_modularity": _graph.make_modularity_sql(_TRIPLES_SQL),
         "graph_assortativity": _graph.make_assortativity_sql(_TRIPLES_SQL),
+        "kg_graph_similarity": _KG_SIMILARITY_SQL,
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,

@@ -269,6 +269,99 @@ def kg_graph_diff(
     )
 
 
+def kg_graph_similarity(
+    sf_dir: str, cfg: PipelineConfig | None = None, n_buckets: int = 32
+) -> "ray.data.Dataset":
+    """One-row release gate over the base/new graphs: triple-key counts
+    (base, new, shared) plus integer-ppm key Jaccard and the
+    added/removed/changed tallies — the summary a CI gate thresholds
+    before publishing a new KG build (detail rows: :func:`kg_graph_diff`).
+
+    Same key-bucketed co-location as the diff; each bucket reduces to
+    one partial-count row, so the driver merge is bucket-bounded."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as _rd
+
+    base = kg_triples(corpus_from_documents(sf_dir, doc_parity=0), cfg)
+    new = kg_triples(corpus_from_documents(sf_dir, doc_parity=1), cfg)
+
+    def widen(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import zlib
+
+            keys = [
+                f"{s}\x00{p}\x00{o}"
+                for s, p, o in zip(
+                    batch["subj"].to_pylist(),
+                    batch["pred"].to_pylist(),
+                    batch["obj"].to_pylist(),
+                )
+            ]
+            bucket = np.fromiter(
+                (zlib.crc32(k.encode("utf-8")) % n_buckets for k in keys),
+                dtype=np.int64,
+                count=len(keys),
+            )
+            return pa.table(
+                {
+                    "key": pa.array(keys, type=pa.string()),
+                    "weight": batch["weight"].cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(len(keys), side, dtype=np.int8)
+                    ),
+                    "bucket": pa.array(bucket),
+                }
+            )
+
+        return fn
+
+    def tally(group: pd.DataFrame) -> pd.DataFrame:
+        b = group[group["side"] == 0].set_index("key")["weight"]
+        n = group[group["side"] == 1].set_index("key")["weight"]
+        shared = b.index.intersection(n.index)
+        changed = int((b.loc[shared] != n.loc[shared]).sum())
+        return pd.DataFrame(
+            {
+                "n_base": [len(b)],
+                "n_new": [len(n)],
+                "n_shared": [len(shared)],
+                "n_changed": [changed],
+            }
+        )
+
+    parts = (
+        base.map_batches(widen(0), batch_format="pyarrow")
+        .union(new.map_batches(widen(1), batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(tally, batch_format="pandas")
+        .materialize()
+    )
+    n_base = int(parts.sum("n_base") or 0)
+    n_new = int(parts.sum("n_new") or 0)
+    n_shared = int(parts.sum("n_shared") or 0)
+    n_changed = int(parts.sum("n_changed") or 0)
+    union = n_base + n_new - n_shared
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "n_base": pa.array([n_base], type=pa.int64()),
+                "n_new": pa.array([n_new], type=pa.int64()),
+                "n_shared": pa.array([n_shared], type=pa.int64()),
+                "n_added": pa.array([n_new - n_shared], type=pa.int64()),
+                "n_removed": pa.array([n_base - n_shared], type=pa.int64()),
+                "n_changed": pa.array([n_changed], type=pa.int64()),
+                "key_jaccard_ppm": pa.array(
+                    [n_shared * 1_000_000 // union if union else 1_000_000],
+                    type=pa.int64(),
+                ),
+            }
+        )
+    )
+
+
 def kg_from_sf_dir_counted(
     sf_dir: str,
     cfg: PipelineConfig | None = None,

@@ -409,6 +409,23 @@ def test_graph_diff_statuses(ray_session, tmp_path):
     assert ("ent:scan", "appears_in", "repos/t") not in df.index
 
 
+def test_graph_similarity_consistent_with_diff(ray_session, tmp_path):
+    from ner_funtool_ray.pipelines.kg import kg_graph_diff, kg_graph_similarity
+
+    sf = _write_docs(
+        tmp_path,
+        [0, 2, 4, 1, 3],
+        ["scan join", "scan join", "sort merge", "scan join", "scan customer"],
+    )
+    gate = kg_graph_similarity(sf).to_pandas().iloc[0]
+    diff = kg_graph_diff(sf).to_pandas()["status"].value_counts()
+    assert gate["n_added"] == diff.get("added", 0)
+    assert gate["n_removed"] == diff.get("removed", 0)
+    assert gate["n_changed"] == diff.get("changed", 0)
+    union = gate["n_base"] + gate["n_new"] - gate["n_shared"]
+    assert gate["key_jaccard_ppm"] == gate["n_shared"] * 1_000_000 // union
+
+
 def test_reify_statement_id_is_stable_md5(ray_session, tmp_path):
     sf = _write_docs(tmp_path, [1, 2], ["scan join", "scan join sort"])
     df = kg_reify_statements(sf).to_pandas()
