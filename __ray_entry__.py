@@ -327,6 +327,13 @@ from ner_funtool_ray.pipelines.kgembed import make_walks_sql as _make_walks_sql
 
 _KG_WALKS_SQL = _make_walks_sql(_TRIPLES_SQL, steps=3)
 
+# Second-order p/q-biased walks (pipelines/kgembed.py:node2vec_walks).
+from ner_funtool_ray.pipelines.kgembed import (
+    make_node2vec_sql as _make_node2vec_sql,
+)
+
+_KG_NODE2VEC_SQL = _make_node2vec_sql(_TRIPLES_SQL, steps=3)
+
 # Open relation extraction: adjacent-mention pairs per sentence with the
 # normalized inter-mention token run as the textual predicate.  The gap
 # between match i and i+1 is split-part i+1 — regexp_split_to_array and
@@ -2121,6 +2128,12 @@ def _q_kg_random_walks(sf_dir: str):
     return kg_random_walks(sf_dir, steps=3)
 
 
+def _q_node2vec_walks(sf_dir: str):
+    from ner_funtool_ray.pipelines.kgembed import node2vec_walks
+
+    return node2vec_walks(sf_dir, steps=3)
+
+
 def _q_kg_graph_diff(sf_dir: str):
     from ner_funtool_ray.pipelines.kg import kg_graph_diff
 
@@ -3439,6 +3452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_attr_fusion_weighted": _q_kg_attr_fusion_weighted,
         "kg_graph_summary": _q_kg_graph_summary,
         "kg_random_walks": _q_kg_random_walks,
+        "node2vec_walks": _q_node2vec_walks,
         "kg_graph_diff": _q_kg_graph_diff,
         "kg_entity_timeline": _q_kg_entity_timeline,
         "kg_triples_with_attrs": _q_kg_triples_with_attrs,
@@ -3704,6 +3718,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_attr_fusion_weighted": _KG_ATTR_FUSION_W_SQL,
         "kg_graph_summary": _KG_GRAPH_SUMMARY_SQL,
         "kg_random_walks": _KG_WALKS_SQL,
+        "node2vec_walks": _KG_NODE2VEC_SQL,
         "kg_graph_diff": _KG_DIFF_SQL,
         "kg_entity_timeline": _KG_TIMELINE_SQL,
         "kg_triples_with_attrs": _KG_TRIPLES_ATTRS_SQL,

@@ -596,4 +596,320 @@ def make_walks_sql(triples_sql: str, steps: int = 3) -> str:
     return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
-__all__ = ["train_transe", "train_transe_serial", "transe_linkpred_eval", "kg_transe_report", "kg_random_walks", "make_walks_sql"]
+
+
+# ---------------------------------------------------------------------------
+# node2vec_walks — second-order (p/q-biased) deterministic walks
+# ---------------------------------------------------------------------------
+
+
+def node2vec_walks(
+    sf_dir: str,
+    steps: int = 3,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_out: int = 2,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016,
+    public): from node v arrived-from u, candidate neighbor w weighs
+    ``w_return`` if w == u (1/p), ``w_common`` if w also neighbors u
+    (distance 1) and ``w_out`` otherwise (1/q) — integer weights so the
+    cumulative-weight pick is exact.  The pick replays
+    ``md5_number_lower(walk|step|prev|cur) mod total_weight`` against the
+    lexicographically-ordered candidates' running sum, making the walks
+    engine-reproducible like :func:`kg_random_walks` (whose first-order
+    uniform rule this generalizes; step 1 has no prev and is uniform
+    with hash ``walk|1|cur``).
+
+    Scale plan: per step, ONE bucketed co-location expands each frontier
+    row to its candidate set (cost = frontier degree sum, inherent to
+    node2vec), one more flags prev-adjacency against the edge-key set,
+    and the cumulative pick runs inside the walk's hash bucket.  All
+    tables are walk- or edge-cardinality."""
+    import pandas as pd
+
+    from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
+    from ner_funtool_ray.pipelines.graph import _graph_parts_ds
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+    from ner_funtool_ray.stages.graphops import _crc_bucket, neighbors_ds
+
+    nodes, cooc = _graph_parts_ds(kg_from_sf_dir(sf_dir))
+    nb = neighbors_ds(
+        cooc.map_batches(
+            lambda t: pa.table({"src": t["subj"], "dst": t["obj"]}),
+            batch_format="pyarrow",
+        ).union(
+            cooc.map_batches(
+                lambda t: pa.table({"src": t["obj"], "dst": t["subj"]}),
+                batch_format="pyarrow",
+            )
+        ),
+        n_buckets=n_buckets,
+    ).materialize()
+
+    def _expand(frontier: "ray.data.Dataset") -> "ray.data.Dataset":
+        """frontier (walk_id, prev, cur) × nb on cur — bucketed m:n join."""
+
+        def tag_f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "walk_id": t["walk_id"],
+                    "prev": t["prev"],
+                    "cur": t["cur"],
+                    "m": pa.nulls(t.num_rows, type=pa.string()),
+                    "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                    "jbucket": pa.array(
+                        _crc_bucket(t["cur"].to_pylist(), n_buckets)
+                    ),
+                }
+            )
+
+        def tag_nb(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "walk_id": pa.nulls(n, type=pa.string()),
+                    "prev": pa.nulls(n, type=pa.string()),
+                    "cur": t["e"],
+                    "m": t["m"],
+                    "kind": pa.array(np.ones(n, dtype=np.int8)),
+                    "jbucket": pa.array(
+                        _crc_bucket(t["e"].to_pylist(), n_buckets)
+                    ),
+                }
+            )
+
+        def join(g: pd.DataFrame) -> pa.Table:
+            f = g[g["kind"] == 0][["walk_id", "prev", "cur"]]
+            r = g[g["kind"] == 1][["cur", "m"]]
+            out = f.merge(r, on="cur")
+            return pa.table(
+                {
+                    "walk_id": pa.array(out["walk_id"], type=pa.string()),
+                    "prev": pa.array(out["prev"], type=pa.string()),
+                    "cur": pa.array(out["cur"], type=pa.string()),
+                    "cand": pa.array(out["m"], type=pa.string()),
+                }
+            )
+
+        return (
+            frontier.map_batches(tag_f, batch_format="pyarrow")
+            .union(nb.map_batches(tag_nb, batch_format="pyarrow"))
+            .groupby("jbucket")
+            .map_groups(join, batch_format="pandas")
+        )
+
+    def _flag_common(cands: "ray.data.Dataset") -> "ray.data.Dataset":
+        """Append is_common: does edge (prev, cand) exist? Bucketed
+        semi-join against the edge-key set."""
+
+        def tag_c(t: pa.Table) -> pa.Table:
+            keys = [
+                f"{p}\x00{c}" if p is not None else ""
+                for p, c in zip(
+                    t["prev"].to_pylist(), t["cand"].to_pylist()
+                )
+            ]
+            return pa.table(
+                {
+                    "walk_id": t["walk_id"],
+                    "prev": t["prev"],
+                    "cur": t["cur"],
+                    "cand": t["cand"],
+                    "ekey": pa.array(keys, type=pa.string()),
+                    "kind": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+                    "jbucket": pa.array(_crc_bucket(keys, n_buckets)),
+                }
+            )
+
+        def tag_e(t: pa.Table) -> pa.Table:
+            keys = [
+                f"{e}\x00{m}"
+                for e, m in zip(t["e"].to_pylist(), t["m"].to_pylist())
+            ]
+            n = t.num_rows
+            return pa.table(
+                {
+                    "walk_id": pa.nulls(n, type=pa.string()),
+                    "prev": pa.nulls(n, type=pa.string()),
+                    "cur": pa.nulls(n, type=pa.string()),
+                    "cand": pa.nulls(n, type=pa.string()),
+                    "ekey": pa.array(keys, type=pa.string()),
+                    "kind": pa.array(np.ones(n, dtype=np.int8)),
+                    "jbucket": pa.array(_crc_bucket(keys, n_buckets)),
+                }
+            )
+
+        def join(g: pd.DataFrame) -> pa.Table:
+            c = g[g["kind"] == 0]
+            keys = set(g.loc[g["kind"] == 1, "ekey"])
+            flag = c["ekey"].isin(keys).to_numpy()
+            return pa.table(
+                {
+                    "walk_id": pa.array(c["walk_id"], type=pa.string()),
+                    "prev": pa.array(c["prev"], type=pa.string()),
+                    "cur": pa.array(c["cur"], type=pa.string()),
+                    "cand": pa.array(c["cand"], type=pa.string()),
+                    "is_common": pa.array(flag),
+                }
+            )
+
+        return (
+            cands.map_batches(tag_c, batch_format="pyarrow")
+            .union(nb.map_batches(tag_e, batch_format="pyarrow"))
+            .groupby("jbucket")
+            .map_groups(join, batch_format="pandas")
+        )
+
+    def _pick(cands: "ray.data.Dataset", step: int) -> "ray.data.Dataset":
+        def choose(g: pd.DataFrame, _s=step) -> pa.Table:
+            outs = {"walk_id": [], "prev": [], "cur": []}
+            g = g.sort_values(["walk_id", "cand"], kind="mergesort")
+            for wid, sub in g.groupby("walk_id", sort=False):
+                prev = sub["prev"].iloc[0]
+                cur = sub["cur"].iloc[0]
+                if _s == 1:
+                    wt = np.ones(len(sub), dtype=np.int64)
+                    hkey = f"{wid}|1|{cur}"
+                else:
+                    wt = np.where(
+                        sub["cand"].to_numpy() == prev,
+                        w_return,
+                        np.where(sub["is_common"].to_numpy(), w_common, w_out),
+                    ).astype(np.int64)
+                    hkey = f"{wid}|{_s}|{prev}|{cur}"
+                cw = np.cumsum(wt)
+                r = int(md5_number_lower_batch([hkey])[0] % np.uint64(cw[-1]))
+                j = int(np.searchsorted(cw, r, side="right"))
+                outs["walk_id"].append(wid)
+                outs["prev"].append(cur)
+                outs["cur"].append(sub["cand"].iloc[j])
+            return pa.table(
+                {
+                    "walk_id": pa.array(outs["walk_id"], type=pa.string()),
+                    "prev": pa.array(outs["prev"], type=pa.string()),
+                    "cur": pa.array(outs["cur"], type=pa.string()),
+                }
+            )
+
+        return (
+            cands.map_batches(
+                lambda t: t.append_column(
+                    "wbucket",
+                    pa.array(_crc_bucket(t["walk_id"].to_pylist(), n_buckets)),
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("wbucket")
+            .map_groups(choose, batch_format="pandas")
+        )
+
+    frontier = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "walk_id": t["entity_id"],
+                "prev": pa.nulls(t.num_rows, type=pa.string()),
+                "cur": t["entity_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    emitted = [
+        frontier.map_batches(
+            lambda t: pa.table(
+                {
+                    "walk_id": t["walk_id"],
+                    "step": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                    "node": t["cur"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ]
+    for s in range(1, steps + 1):
+        cands = _expand(frontier)
+        if s > 1:
+            cands = _flag_common(cands)
+        frontier = _pick(cands, s).materialize()
+        emitted.append(
+            frontier.map_batches(
+                lambda t, _s=s: pa.table(
+                    {
+                        "walk_id": t["walk_id"],
+                        "step": pa.array(
+                            np.full(t.num_rows, _s, dtype=np.int64)
+                        ),
+                        "node": t["cur"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    out = emitted[0]
+    for e in emitted[1:]:
+        out = out.union(e)
+    return out
+
+
+def make_node2vec_sql(
+    triples_sql: str,
+    steps: int = 3,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_out: int = 2,
+) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`node2vec_walks` — the
+    cumulative-weight pick is a window running sum over the
+    lexicographically-ordered candidates, selected where
+    ``cw − wt ≤ md5 mod total < cw``."""
+    parts = [
+        f"WITH t AS ({triples_sql})",
+        "cooc AS (SELECT subj, obj FROM t WHERE pred = 'cooccurs_with')",
+        "nodes AS (SELECT DISTINCT subj AS entity_id FROM t"
+        " WHERE pred = 'appears_in')",
+        "nb AS (SELECT subj AS e, obj AS m FROM cooc"
+        " UNION SELECT obj, subj FROM cooc)",
+        "f0 AS (SELECT entity_id AS walk_id, CAST(NULL AS VARCHAR) AS prev,"
+        " entity_id AS cur FROM nodes)",
+    ]
+    for s in range(1, steps + 1):
+        prev = f"f{s - 1}"
+        if s == 1:
+            wt = "1"
+            hkey = f"w.walk_id || '|1|' || w.cur"
+        else:
+            wt = (
+                f"CASE WHEN nb.m = w.prev THEN {w_return}"
+                f" WHEN e2.m IS NOT NULL THEN {w_common}"
+                f" ELSE {w_out} END"
+            )
+            hkey = f"w.walk_id || '|{s}|' || w.prev || '|' || w.cur"
+        ljoin = (
+            "" if s == 1
+            else " LEFT JOIN nb e2 ON e2.e = w.prev AND e2.m = nb.m"
+        )
+        parts.append(
+            f"c{s} AS (SELECT w.walk_id, w.prev, w.cur, nb.m AS cand,"
+            f" ({wt})::BIGINT AS wt, {hkey} AS hkey"
+            f" FROM {prev} w JOIN nb ON nb.e = w.cur{ljoin})"
+        )
+        parts.append(
+            f"x{s} AS (SELECT *,"
+            f" sum(wt) OVER (PARTITION BY walk_id ORDER BY cand"
+            f" ROWS UNBOUNDED PRECEDING) AS cw,"
+            f" sum(wt) OVER (PARTITION BY walk_id) AS tw FROM c{s})"
+        )
+        parts.append(
+            f"f{s} AS (SELECT walk_id, cur AS prev, cand AS cur FROM x{s}"
+            f" WHERE (md5_number_lower(hkey) % tw::UBIGINT)::BIGINT >= cw - wt"
+            f" AND (md5_number_lower(hkey) % tw::UBIGINT)::BIGINT < cw)"
+        )
+    selects = [
+        f"SELECT walk_id, {s}::BIGINT AS step, cur AS node FROM f{s}"
+        for s in range(0, steps + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+__all__ = ["train_transe", "train_transe_serial", "transe_linkpred_eval", "kg_transe_report", "kg_random_walks", "make_walks_sql", "node2vec_walks", "make_node2vec_sql"]

@@ -426,6 +426,62 @@ def test_graph_similarity_consistent_with_diff(ray_session, tmp_path):
     assert gate["key_jaccard_ppm"] == gate["n_shared"] * 1_000_000 // union
 
 
+def test_node2vec_bias_rule_and_validity(ray_session, tmp_path):
+    # path scan—join—sort—merge: walks stay on edges, reruns are
+    # identical, and the step-2 choice from 'join' (prev 'scan')
+    # replays md5 % (w_return + w_out) over the sorted candidates
+    import numpy as np
+
+    from ner_funtool_ray.functions.md5vec import md5_number_lower_batch
+    from ner_funtool_ray.pipelines.kgembed import node2vec_walks
+
+    sf = _write_docs(
+        tmp_path, [1, 2, 3], ["scan join", "join sort", "sort merge"]
+    )
+    df = node2vec_walks(sf, steps=3).to_pandas()
+    df2 = node2vec_walks(sf, steps=3).to_pandas()
+    key = ["walk_id", "step", "node"]
+    pd.testing.assert_frame_equal(
+        df.sort_values(key).reset_index(drop=True),
+        df2.sort_values(key).reset_index(drop=True),
+    )
+    edges = {
+        ("ent:scan", "ent:join"),
+        ("ent:join", "ent:sort"),
+        ("ent:sort", "ent:merge"),
+    }
+    edges |= {(b, a) for a, b in edges}
+    for wid, g in df.groupby("walk_id"):
+        seq = g.sort_values("step")["node"].tolist()
+        assert seq[0] == wid
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in edges
+    # hand-replay: from join (prev scan), candidates sorted are
+    # [scan (return, wt 1), sort (out, wt 2)] → cum [1, 3]
+    r = int(
+        md5_number_lower_batch(["ent:scan|2|ent:scan|ent:join"])[0]
+        % np.uint64(3)
+    )
+    expect = "ent:scan" if r < 1 else "ent:sort"
+    scan_walk = df[df["walk_id"] == "ent:scan"].set_index("step")["node"]
+    assert scan_walk.loc[2] == expect
+
+
+def test_node2vec_return_weight_zero_forbids_backtrack(ray_session, tmp_path):
+    # triangle scan/join/sort: with w_return=0 a walk can never revisit
+    # its previous node (every alternative has positive weight)
+    from ner_funtool_ray.pipelines.kgembed import node2vec_walks
+
+    sf = _write_docs(
+        tmp_path, [1, 2, 3], ["scan join", "join sort", "sort scan"]
+    )
+    df = node2vec_walks(sf, steps=5, w_return=0).to_pandas()
+    for _, g in df.groupby("walk_id"):
+        seq = g.sort_values("step")["node"].tolist()
+        for a, b in zip(seq, seq[2:]):
+            assert a != b  # no immediate backtrack anywhere
+
+
 def test_reify_statement_id_is_stable_md5(ray_session, tmp_path):
     sf = _write_docs(tmp_path, [1, 2], ["scan join", "scan join sort"])
     df = kg_reify_statements(sf).to_pandas()
