@@ -334,6 +334,14 @@ from ner_funtool_ray.pipelines.kgembed import (
 
 _KG_NODE2VEC_SQL = _make_node2vec_sql(_TRIPLES_SQL, steps=3)
 
+# Skip-gram pair extraction over the walk corpus
+# (pipelines/kgembed.py:walk_skipgram_pairs).
+from ner_funtool_ray.pipelines.kgembed import (
+    make_skipgram_sql as _make_skipgram_sql,
+)
+
+_KG_SKIPGRAM_SQL = _make_skipgram_sql(_TRIPLES_SQL, steps=3, window=2)
+
 # Open relation extraction: adjacent-mention pairs per sentence with the
 # normalized inter-mention token run as the textual predicate.  The gap
 # between match i and i+1 is split-part i+1 — regexp_split_to_array and
@@ -2134,6 +2142,12 @@ def _q_node2vec_walks(sf_dir: str):
     return node2vec_walks(sf_dir, steps=3)
 
 
+def _q_walk_skipgram_pairs(sf_dir: str):
+    from ner_funtool_ray.pipelines.kgembed import walk_skipgram_pairs
+
+    return walk_skipgram_pairs(sf_dir, steps=3, window=2)
+
+
 def _q_kg_graph_diff(sf_dir: str):
     from ner_funtool_ray.pipelines.kg import kg_graph_diff
 
@@ -3453,6 +3467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_graph_summary": _q_kg_graph_summary,
         "kg_random_walks": _q_kg_random_walks,
         "node2vec_walks": _q_node2vec_walks,
+        "walk_skipgram_pairs": _q_walk_skipgram_pairs,
         "kg_graph_diff": _q_kg_graph_diff,
         "kg_entity_timeline": _q_kg_entity_timeline,
         "kg_triples_with_attrs": _q_kg_triples_with_attrs,
@@ -3719,6 +3734,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_summary": _KG_GRAPH_SUMMARY_SQL,
         "kg_random_walks": _KG_WALKS_SQL,
         "node2vec_walks": _KG_NODE2VEC_SQL,
+        "walk_skipgram_pairs": _KG_SKIPGRAM_SQL,
         "kg_graph_diff": _KG_DIFF_SQL,
         "kg_entity_timeline": _KG_TIMELINE_SQL,
         "kg_triples_with_attrs": _KG_TRIPLES_ATTRS_SQL,

@@ -912,4 +912,68 @@ def make_node2vec_sql(
     return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
-__all__ = ["train_transe", "train_transe_serial", "transe_linkpred_eval", "kg_transe_report", "kg_random_walks", "make_walks_sql", "node2vec_walks", "make_node2vec_sql"]
+
+
+def walk_skipgram_pairs(
+    sf_dir: str, steps: int = 3, window: int = 2, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Skip-gram training pairs from the walk corpus: (center, context,
+    n) for walk positions within ``window`` of each other (direction
+    collapsed by the usual skip-gram symmetry; self-pairs where a walk
+    revisits a node are kept — they are real co-visits).  The
+    pair-extraction step between :func:`kg_random_walks` and an SGNS
+    trainer.
+
+    Plan: walks co-locate by walk hash bucket (each walk is ≤ steps+1
+    rows), pairs expand vectorized per bucket, then one bounded group
+    sum."""
+    import pandas as pd
+
+    from ner_funtool_ray.stages.graphops import _crc_bucket
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    walks = kg_random_walks(sf_dir, steps=steps, n_buckets=n_buckets)
+
+    def expand(g: pd.DataFrame, _w=window) -> pa.Table:
+        g = g.sort_values(["walk_id", "step"], kind="mergesort")
+        m = g.merge(g, on="walk_id", suffixes=("_a", "_b"))
+        d = m["step_b"] - m["step_a"]
+        m = m[(d >= 1) & (d <= _w)]
+        return pa.table(
+            {
+                "center": pa.array(m["node_a"], type=pa.string()),
+                "context": pa.array(m["node_b"], type=pa.string()),
+            }
+        )
+
+    pairs = (
+        walks.map_batches(
+            lambda t: t.append_column(
+                "wbucket",
+                pa.array(_crc_bucket(t["walk_id"].to_pylist(), n_buckets)),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("wbucket")
+        .map_groups(expand, batch_format="pandas")
+    )
+    out = bucketed_group_sum(
+        pairs, keys=["center", "context"], count_col="n", n_buckets=n_buckets
+    )
+    return out.select_columns(["center", "context", "n"])
+
+
+def make_skipgram_sql(triples_sql: str, steps: int = 3, window: int = 2) -> str:
+    """DuckDB twin of :func:`walk_skipgram_pairs` — the walk twin
+    self-joined on walk_id with a step-distance band."""
+    walks = make_walks_sql(triples_sql, steps=steps)
+    return f"""
+WITH w AS (SELECT * FROM ({walks}) q)
+SELECT a.node AS center, b.node AS context, count(*)::BIGINT AS n
+FROM w a JOIN w b ON a.walk_id = b.walk_id
+WHERE b.step - a.step BETWEEN 1 AND {window}
+GROUP BY 1, 2
+"""
+
+
+__all__ = ["train_transe", "train_transe_serial", "transe_linkpred_eval", "kg_transe_report", "kg_random_walks", "make_walks_sql", "node2vec_walks", "make_node2vec_sql", "walk_skipgram_pairs", "make_skipgram_sql"]

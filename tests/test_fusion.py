@@ -467,6 +467,24 @@ def test_node2vec_bias_rule_and_validity(ray_session, tmp_path):
     assert scan_walk.loc[2] == expect
 
 
+def test_skipgram_pairs_window_arithmetic(ray_session, tmp_path):
+    # complete 3-node graph: every walk runs the full 4 positions, so a
+    # window of 2 yields exactly 5 ordered pairs per walk; every pair is
+    # a (node, later-node-within-2) co-visit of a real walk
+    from ner_funtool_ray.pipelines.kgembed import (
+        kg_random_walks,
+        walk_skipgram_pairs,
+    )
+
+    sf = _write_docs(
+        tmp_path, [1, 2, 3], ["scan join", "join sort", "sort scan"]
+    )
+    pairs = walk_skipgram_pairs(sf, steps=3, window=2).to_pandas()
+    n_walks = kg_random_walks(sf, steps=3).to_pandas()["walk_id"].nunique()
+    assert pairs["n"].sum() == 5 * n_walks
+    assert (pairs["n"] >= 1).all()
+
+
 def test_node2vec_return_weight_zero_forbids_backtrack(ray_session, tmp_path):
     # triangle scan/join/sort: with w_return=0 a walk can never revisit
     # its previous node (every alternative has positive weight)
