@@ -2022,6 +2022,12 @@ def _q_kg_transe_report(sf_dir: str):
     return kg_transe_report(sf_dir).to_pandas()
 
 
+def _q_kg_deepwalk_report(sf_dir: str):
+    from ner_funtool_ray.pipelines.kgembed import kg_deepwalk_report
+
+    return kg_deepwalk_report(sf_dir).to_pandas()
+
+
 def _q_kg_transe_linkpred(sf_dir: str):
     from ner_funtool_ray.pipelines.kgembed import kg_transe_linkpred
 
@@ -3507,6 +3513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative SGD, not SQL-expressible; Ray-vs-serial bit-exact
         # parity tested (tests/test_kgembed.py)
         "kg_transe_report": _q_kg_transe_report,
+        "kg_deepwalk_report": _q_kg_deepwalk_report,
         # filtered tail-ranking link prediction over the trained TransE
         # embeddings (rows-only: iterative SGD + ranking, not SQL)
         "kg_transe_linkpred": _q_kg_transe_linkpred,

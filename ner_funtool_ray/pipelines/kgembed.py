@@ -976,4 +976,222 @@ GROUP BY 1, 2
 """
 
 
-__all__ = ["train_transe", "train_transe_serial", "transe_linkpred_eval", "kg_transe_report", "kg_random_walks", "make_walks_sql", "node2vec_walks", "make_node2vec_sql", "walk_skipgram_pairs", "make_skipgram_sql"]
+
+
+# ---------------------------------------------------------------------------
+# SGNS (DeepWalk) trainer over the walk-pair table
+# ---------------------------------------------------------------------------
+
+
+def _sgns_negatives(
+    centers: list[str], contexts: list[str], n_vocab: int, epoch: int, k: int
+) -> np.ndarray:
+    """Content-derived negative context ids, shape (n_pairs, k) — crc32 of
+    (center, context, epoch, j), identical across processes/shards."""
+    out = np.empty((len(centers), k), dtype=np.int64)
+    for i, (c, x) in enumerate(zip(centers, contexts)):
+        for j in range(k):
+            out[i, j] = (
+                zlib.crc32(f"{c}\x00{x}\x00{epoch}\x00{j}".encode("utf-8"))
+                % n_vocab
+            )
+    return out
+
+
+def sgns_shard_grads(
+    W: np.ndarray, C: np.ndarray,
+    ci: np.ndarray, xi: np.ndarray, n: np.ndarray, neg: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, float, int]:
+    """Full-shard skip-gram-negative-sampling gradients (vectorized).
+
+    Loss per pair (weight n): −n·[log σ(w·c) + Σⱼ log σ(−w·cⱼ⁻)];
+    returns SUMS (grads and loss) plus the total weight so shard
+    averaging composes exactly."""
+    w = W[ci]
+    c = C[xi]
+    s_pos = 1.0 / (1.0 + np.exp(-(w * c).sum(axis=1)))
+    coef_pos = (s_pos - 1.0) * n
+    gW = np.zeros_like(W)
+    gC = np.zeros_like(C)
+    np.add.at(gW, ci, coef_pos[:, None] * c)
+    np.add.at(gC, xi, coef_pos[:, None] * w)
+    loss = float(-(n * np.log(np.maximum(s_pos, 1e-12))).sum())
+    for j in range(neg.shape[1]):
+        cn = C[neg[:, j]]
+        s_neg = 1.0 / (1.0 + np.exp(-(w * cn).sum(axis=1)))
+        coef = s_neg * n
+        np.add.at(gW, ci, coef[:, None] * cn)
+        np.add.at(gC, neg[:, j], coef[:, None] * w)
+        loss += float(-(n * np.log(np.maximum(1.0 - s_neg, 1e-12))).sum())
+    return gW, gC, loss, int(n.sum())
+
+
+@ray.remote(num_cpus=0)
+class _SgnsWorker:
+    """Zero-CPU gradient worker (same phase-alternation rationale as
+    _TransEWorker)."""
+
+    def load(self, shard: "ray.data.Dataset", vocab: dict) -> int:
+        cs: list[str] = []
+        xs: list[str] = []
+        ns: list[int] = []
+        for b in shard.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            cs.extend(b["center"].to_pylist())
+            xs.extend(b["context"].to_pylist())
+            ns.extend(b["n"].to_pylist())
+        order = sorted(range(len(cs)), key=lambda i: (cs[i], xs[i]))
+        self._c = [cs[i] for i in order]
+        self._x = [xs[i] for i in order]
+        self._ci = np.asarray([vocab[c] for c in self._c], dtype=np.int64)
+        self._xi = np.asarray([vocab[x] for x in self._x], dtype=np.int64)
+        self._n = np.asarray([ns[i] for i in order], dtype=np.float64)
+        self._nv = len(vocab)
+        return len(self._c)
+
+    def epoch_grads(self, params: dict, epoch: int, k: int):
+        if not len(self._ci):
+            return None
+        neg = _sgns_negatives(self._c, self._x, self._nv, epoch, k)
+        return sgns_shard_grads(
+            params["W"], params["C"], self._ci, self._xi, self._n, neg
+        )
+
+
+def train_deepwalk(
+    pairs: "ray.data.Dataset",
+    dim: int = 16,
+    epochs: int = 5,
+    lr: float = 0.1,
+    k_neg: int = 3,
+    n_workers: int = 2,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray, dict, list[dict]]:
+    """DeepWalk = skip-gram with negative sampling over the walk-pair
+    table (Perozzi et al. 2014 / Mikolov et al. 2013, public): full-batch
+    gradient per epoch over crc-sharded pairs, worker sums merged in
+    worker-index order — Ray-vs-serial BIT-EXACT like
+    ``train_transe``.  The pair table is entity-vocabulary²-bounded, so
+    full-batch is exact, cheap and deterministic."""
+    cents = sorted(set(pairs.unique("center")) | set(pairs.unique("context")))
+    vocab = {e: i for i, e in enumerate(cents)}
+    rng = np.random.default_rng(seed)
+    bound = 0.5 / dim
+    W = rng.uniform(-bound, bound, size=(len(vocab), dim))
+    C = rng.uniform(-bound, bound, size=(len(vocab), dim))
+
+    def shard_of(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{c}\x00{x}"
+            for c, x in zip(
+                batch["center"].to_pylist(), batch["context"].to_pylist()
+            )
+        ]
+        sh = np.fromiter(
+            (zlib.crc32(kk.encode("utf-8")) % n_workers for kk in keys),
+            dtype=np.int64, count=len(keys),
+        )
+        return batch.append_column("shard", pa.array(sh))
+
+    sharded = pairs.map_batches(shard_of, batch_format="pyarrow").materialize()
+    workers = [_SgnsWorker.remote() for _ in range(n_workers)]
+    ray.get(
+        [
+            wk.load.remote(
+                sharded.filter(expr=f"shard == {i}").select_columns(
+                    ["center", "context", "n"]
+                ),
+                vocab,
+            )
+            for i, wk in enumerate(workers)
+        ]
+    )
+
+    history: list[dict] = []
+    for epoch in range(epochs):
+        params_ref = ray.put({"W": W, "C": C})
+        res = ray.get(
+            [wk.epoch_grads.remote(params_ref, epoch, k_neg) for wk in workers]
+        )
+        live = [r for r in res if r is not None]
+        total = sum(r[3] for r in live)
+        gW = sum(r[0] for r in live) / total
+        gC = sum(r[1] for r in live) / total
+        loss = sum(r[2] for r in live) / total
+        W = W - lr * gW
+        C = C - lr * gC
+        history.append({"epoch": epoch, "mean_loss": loss, "n_weight": total})
+    return W, C, vocab, history
+
+
+def train_deepwalk_serial(
+    pairs_df, dim=16, epochs=5, lr=0.1, k_neg=3, n_workers=2, seed=42
+) -> tuple[np.ndarray, np.ndarray, dict, list[dict]]:
+    """Single-process twin of :func:`train_deepwalk` — same init, shards,
+    negatives and merge order; bit-identical without Ray actors."""
+    cents = sorted(set(pairs_df["center"]) | set(pairs_df["context"]))
+    vocab = {e: i for i, e in enumerate(cents)}
+    rng = np.random.default_rng(seed)
+    bound = 0.5 / dim
+    W = rng.uniform(-bound, bound, size=(len(vocab), dim))
+    C = rng.uniform(-bound, bound, size=(len(vocab), dim))
+
+    shards: list[list[tuple[str, str, int]]] = [[] for _ in range(n_workers)]
+    for c, x, n in zip(pairs_df["center"], pairs_df["context"], pairs_df["n"]):
+        shards[zlib.crc32(f"{c}\x00{x}".encode()) % n_workers].append(
+            (c, x, int(n))
+        )
+    shards = [sorted(sh) for sh in shards]
+
+    history: list[dict] = []
+    for epoch in range(epochs):
+        live = []
+        for sh in shards:
+            if not sh:
+                continue
+            cs = [t[0] for t in sh]
+            xs = [t[1] for t in sh]
+            ci = np.asarray([vocab[c] for c in cs], dtype=np.int64)
+            xi = np.asarray([vocab[x] for x in xs], dtype=np.int64)
+            n = np.asarray([t[2] for t in sh], dtype=np.float64)
+            neg = _sgns_negatives(cs, xs, len(vocab), epoch, k_neg)
+            live.append(sgns_shard_grads(W, C, ci, xi, n, neg))
+        total = sum(r[3] for r in live)
+        gW = sum(r[0] for r in live) / total
+        gC = sum(r[1] for r in live) / total
+        loss = sum(r[2] for r in live) / total
+        W = W - lr * gW
+        C = C - lr * gC
+        history.append({"epoch": epoch, "mean_loss": loss, "n_weight": total})
+    return W, C, vocab, history
+
+
+def kg_deepwalk_report(
+    sf_dir: str, dim: int = 16, epochs: int = 5
+) -> pa.Table:
+    """Query surface (rows-only — weight evolution is not
+    SQL-expressible): per-epoch mean SGNS loss over the engine's own walk
+    pairs, plus vocab size and final mean embedding norm.  Loss must
+    DECREASE across epochs (asserted in tests)."""
+    pairs = walk_skipgram_pairs(sf_dir, steps=3, window=2)
+    W, C, vocab, history = train_deepwalk(pairs, dim=dim, epochs=epochs)
+    return pa.table(
+        {
+            "epoch": pa.array([h["epoch"] for h in history], type=pa.int64()),
+            "mean_loss": pa.array(
+                [h["mean_loss"] for h in history], type=pa.float64()
+            ),
+            "n_weight": pa.array(
+                [h["n_weight"] for h in history], type=pa.int64()
+            ),
+            "n_vocab": pa.array(
+                [len(vocab)] * len(history), type=pa.int64()
+            ),
+            "mean_w_norm": pa.array(
+                [float(np.linalg.norm(W, axis=1).mean())] * len(history),
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+__all__ = ["train_transe", "train_transe_serial", "transe_linkpred_eval", "kg_transe_report", "kg_random_walks", "make_walks_sql", "node2vec_walks", "make_node2vec_sql", "walk_skipgram_pairs", "make_skipgram_sql", "train_deepwalk", "train_deepwalk_serial", "kg_deepwalk_report", "sgns_shard_grads"]

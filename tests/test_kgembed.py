@@ -129,3 +129,91 @@ def test_linkpred_report_is_consistent_and_deterministic():
         "/root/testdata/sf0.001", dim=8, epochs=2
     ).to_pandas()
     pd.testing.assert_frame_equal(rep, rep2)
+
+
+# --- DeepWalk / SGNS over walk pairs ---------------------------------------
+
+
+def _toy_pairs(seed=3, n_nodes=6, n=30):
+    rng = np.random.default_rng(seed)
+    rows = {}
+    for a, b in zip(rng.integers(0, n_nodes, n), rng.integers(0, n_nodes, n)):
+        if a == b:
+            continue
+        k = (f"v{a}", f"v{b}")
+        rows[k] = rows.get(k, 0) + 1
+    keys = sorted(rows)
+    return pd.DataFrame(
+        {
+            "center": [k[0] for k in keys],
+            "context": [k[1] for k in keys],
+            "n": [rows[k] for k in keys],
+        }
+    )
+
+
+def test_sgns_gradients_match_finite_differences():
+    from ner_funtool_ray.pipelines.kgembed import (
+        _sgns_negatives,
+        sgns_shard_grads,
+    )
+
+    df = _toy_pairs()
+    vocab = {
+        v: i
+        for i, v in enumerate(
+            sorted(set(df["center"]) | set(df["context"]))
+        )
+    }
+    rng = np.random.default_rng(0)
+    W = rng.normal(scale=0.2, size=(len(vocab), 5))
+    C = rng.normal(scale=0.2, size=(len(vocab), 5))
+    ci = np.asarray([vocab[c] for c in df["center"]])
+    xi = np.asarray([vocab[x] for x in df["context"]])
+    n = df["n"].to_numpy(dtype=np.float64)
+    neg = _sgns_negatives(list(df["center"]), list(df["context"]), len(vocab), 0, 2)
+
+    def loss_at(W_, C_):
+        w = W_[ci]
+        s = 1.0 / (1.0 + np.exp(-(w * C_[xi]).sum(axis=1)))
+        l = -(n * np.log(np.maximum(s, 1e-12))).sum()
+        for j in range(neg.shape[1]):
+            sn = 1.0 / (1.0 + np.exp(-(w * C_[neg[:, j]]).sum(axis=1)))
+            l += -(n * np.log(np.maximum(1.0 - sn, 1e-12))).sum()
+        return l
+
+    gW, gC, loss, tot = sgns_shard_grads(W, C, ci, xi, n, neg)
+    assert np.isclose(loss, loss_at(W, C))
+    eps = 1e-6
+    for M, g in ((W, gW), (C, gC)):
+        for idx in [(0, 0), (2, 3), (len(vocab) - 1, 4)]:
+            P = M.copy()
+            P[idx] += eps
+            fd = (
+                (loss_at(P, C) if M is W else loss_at(W, P)) - loss_at(W, C)
+            ) / eps
+            assert abs(fd - g[idx]) < 1e-3, (idx, fd, g[idx])
+
+
+def test_deepwalk_ray_vs_serial_bit_exact(ray_session):
+    from ner_funtool_ray.pipelines.kgembed import (
+        train_deepwalk,
+        train_deepwalk_serial,
+    )
+
+    df = _toy_pairs()
+    ds = ray.data.from_pandas(df).repartition(3)
+    W1, C1, v1, h1 = train_deepwalk(ds, dim=8, epochs=3)
+    W2, C2, v2, h2 = train_deepwalk_serial(df, dim=8, epochs=3)
+    assert v1 == v2
+    assert np.array_equal(W1, W2) and np.array_equal(C1, C2)
+    assert h1 == h2
+
+
+def test_deepwalk_loss_decreases_on_real_walks(ray_session):
+    from ner_funtool_ray.pipelines.kgembed import kg_deepwalk_report
+
+    t = kg_deepwalk_report("/root/testdata/sf0.001", epochs=4).to_pandas()
+    losses = t["mean_loss"].tolist()
+    assert all(a > b for a, b in zip(losses, losses[1:]))
+    assert (t["n_vocab"] > 0).all()
