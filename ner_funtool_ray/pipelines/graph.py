@@ -2639,3 +2639,192 @@ FROM s
 
 
 __all__ += ["graph_assortativity", "make_assortativity_sql"]
+
+
+def linkpred_cn_auc(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Link-prediction evaluation of the common-neighbor heuristic on the
+    versioned corpus (one row): score every BASE-graph (doc parity 0)
+    non-edge pair with ≥1 common neighbor, label it positive when the
+    edge APPEARS in the new half's graph, and report the exact
+    Mann-Whitney AUC in ppm — ``(2·#(pos>neg) + #(pos=neg)) · 1e6 //
+    (2·P·N)``, 500000 by convention when either class is empty.  The
+    temporal-split eval the heuristic family (neighbor Jaccard, resource
+    allocation, CN) is used for in KG completion.
+
+    Plan: middle-node pair expansion over the base neighbor relation
+    (the CN inverted index), then ONE pair-key co-location of candidates
+    + base edges (anti) + new edges (label), a score histogram through a
+    bounded group sum, and a distinct-score-bounded U-statistic cross
+    product on the driver (|scores_pos| × |scores_neg| cells, degree-
+    bounded — never pair-cardinality)."""
+    import pandas as pd
+
+    from ner_funtool_ray.corpus import corpus_from_documents
+    from ner_funtool_ray.pipelines.kg import kg_triples
+    from ner_funtool_ray.stages.graphops import (
+        _crc_bucket,
+        _middle_pairs,
+        neighbors_ds,
+    )
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    import pyarrow.compute as _pcmp
+
+    def _edges(parity: int) -> "ray.data.Dataset":
+        t = kg_triples(corpus_from_documents(sf_dir, doc_parity=parity))
+        return t.map_batches(
+            lambda b: b.filter(
+                _pcmp.equal(b["pred"], "cooccurs_with")
+            ).select(["subj", "obj"]),
+            batch_format="pyarrow",
+        )
+
+    base = _edges(0).materialize()
+    new = _edges(1).materialize()
+    nb = neighbors_ds(
+        base.map_batches(
+            lambda t: pa.table({"src": t["subj"], "dst": t["obj"]}),
+            batch_format="pyarrow",
+        ).union(
+            base.map_batches(
+                lambda t: pa.table({"src": t["obj"], "dst": t["subj"]}),
+                batch_format="pyarrow",
+            )
+        ),
+        n_buckets=n_buckets,
+    ).materialize()
+    cand = bucketed_group_sum(
+        _middle_pairs(nb, n_buckets),
+        keys=["a", "b"],
+        count_col="cn",
+        n_buckets=n_buckets,
+    )
+
+    def tag_pairs(kind: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if kind == 0:
+                a = t["a"].to_pylist()
+                b = t["b"].to_pylist()
+                cn = t["cn"].to_pylist()
+            else:
+                a = t["subj"].to_pylist()
+                b = t["obj"].to_pylist()
+                cn = [0] * len(a)
+            keys = [f"{x}\x00{y}" for x, y in zip(a, b)]
+            return pa.table(
+                {
+                    "pkey": pa.array(keys, type=pa.string()),
+                    "cn": pa.array(cn, type=pa.int64()),
+                    "kind": pa.array(
+                        np.full(len(a), kind, dtype=np.int8)
+                    ),
+                    "pbucket": pa.array(_crc_bucket(keys, n_buckets)),
+                }
+            )
+
+        return fn
+
+    def judge(g: pd.DataFrame) -> pa.Table:
+        c = g[g["kind"] == 0]
+        base_keys = set(g.loc[g["kind"] == 1, "pkey"])
+        new_keys = set(g.loc[g["kind"] == 2, "pkey"])
+        c = c[~c["pkey"].isin(base_keys)]
+        is_pos = c["pkey"].isin(new_keys).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "cn": pa.array(c["cn"].to_numpy(dtype=np.int64)),
+                "is_pos": pa.array(is_pos),
+            }
+        )
+
+    labeled = (
+        cand.map_batches(tag_pairs(0), batch_format="pyarrow")
+        .union(base.map_batches(tag_pairs(1), batch_format="pyarrow"))
+        .union(new.map_batches(tag_pairs(2), batch_format="pyarrow"))
+        .groupby("pbucket")
+        .map_groups(judge, batch_format="pandas")
+    )
+    hist = bucketed_group_sum(
+        labeled, keys=["cn", "is_pos"], count_col="c", n_buckets=n_buckets
+    ).to_pandas()  # distinct-score × 2 rows: degree-bounded, never pairs
+    if hist.empty:  # no scorable non-edge exists (e.g. a complete graph)
+        hist = pd.DataFrame({"cn": [], "is_pos": [], "c": []})
+
+    ph = dict(
+        zip(
+            hist.loc[hist["is_pos"] == 1, "cn"],
+            hist.loc[hist["is_pos"] == 1, "c"],
+        )
+    )
+    nh = dict(
+        zip(
+            hist.loc[hist["is_pos"] == 0, "cn"],
+            hist.loc[hist["is_pos"] == 0, "c"],
+        )
+    )
+    n_pos = int(sum(ph.values()))
+    n_neg = int(sum(nh.values()))
+    u2 = 0
+    for sp, cp in ph.items():
+        for sn, cnn in nh.items():
+            if sp > sn:
+                u2 += 2 * int(cp) * int(cnn)
+            elif sp == sn:
+                u2 += int(cp) * int(cnn)
+    auc = (
+        u2 * 1_000_000 // (2 * n_pos * n_neg)
+        if n_pos and n_neg
+        else 500_000
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_pos": pa.array([n_pos], type=pa.int64()),
+                "n_neg": pa.array([n_neg], type=pa.int64()),
+                "auc_ppm": pa.array([auc], type=pa.int64()),
+            }
+        )
+    )
+
+
+def make_linkpred_auc_sql(triples_sql_fn) -> str:
+    """DuckDB twin of :func:`linkpred_cn_auc` — ``triples_sql_fn`` is the
+    parity-filtered triple-SQL builder (the ``_triples_sql`` callable in
+    ``__ray_entry__``)."""
+    baset = triples_sql_fn(" WHERE doc_id % 2 = 0")
+    newt = triples_sql_fn(" WHERE doc_id % 2 = 1")
+    return f"""
+WITH baset AS ({baset}),
+newt AS ({newt}),
+be AS (SELECT subj AS a, obj AS b FROM baset WHERE pred = 'cooccurs_with'),
+ne AS (SELECT subj AS a, obj AS b FROM newt WHERE pred = 'cooccurs_with'),
+nb AS (SELECT a AS e, b AS m FROM be UNION SELECT b, a FROM be),
+mp AS (SELECT x.e AS a, y.e AS b FROM nb x JOIN nb y
+       ON x.m = y.m AND x.e < y.e),
+cand AS (SELECT a, b, count(*)::BIGINT AS cn FROM mp GROUP BY a, b),
+nonedge AS (SELECT c.* FROM cand c ANTI JOIN be USING (a, b)),
+lab AS (
+  SELECT c.cn, CASE WHEN ne.a IS NOT NULL THEN 1 ELSE 0 END AS is_pos
+  FROM nonedge c LEFT JOIN ne USING (a, b)
+),
+ph AS (SELECT cn, count(*)::HUGEINT AS c FROM lab WHERE is_pos = 1 GROUP BY cn),
+nh AS (SELECT cn, count(*)::HUGEINT AS c FROM lab WHERE is_pos = 0 GROUP BY cn),
+u AS (
+  SELECT COALESCE(sum(CASE WHEN p.cn > n.cn THEN 2 * p.c * n.c
+                           WHEN p.cn = n.cn THEN p.c * n.c
+                           ELSE 0 END), 0)::HUGEINT AS u2
+  FROM ph p CROSS JOIN nh n
+),
+tot AS (
+  SELECT (SELECT COALESCE(sum(c), 0) FROM ph)::HUGEINT AS np,
+         (SELECT COALESCE(sum(c), 0) FROM nh)::HUGEINT AS nn
+)
+SELECT np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+       (CASE WHEN np = 0 OR nn = 0 THEN 500000
+             ELSE (SELECT u2 FROM u) * 1000000 // (2 * np * nn)
+        END)::BIGINT AS auc_ppm
+FROM tot
+"""
+
+
+__all__ += ["linkpred_cn_auc", "make_linkpred_auc_sql"]

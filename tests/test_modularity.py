@@ -62,6 +62,32 @@ def test_star_graph_is_perfectly_disassortative(ray_session, tmp_path):
     assert row["assortativity"] == -1.0
 
 
+def test_linkpred_cn_auc_planted_split(ray_session, tmp_path):
+    # base (even docs) = square scan-join-sort-merge plus sort-group.
+    # CN-scorable non-edges: (scan,sort) cn=2, (join,merge) cn=2,
+    # (join,group) cn=1, (merge,group) cn=1.  The new half (odd doc)
+    # adds edge (scan,sort) → one positive at the top score: 2 wins over
+    # the cn=1 negatives + 1 tie with (join,merge) gives U2 = 2·2 + 1 = 5,
+    # AUC = 5·1e6 // (2·1·3) = 833333.
+    from ner_funtool_ray.pipelines.graph import linkpred_cn_auc
+
+    sf = _write_docs(
+        tmp_path,
+        [0, 2, 4, 6, 8, 1],
+        [
+            "scan join",
+            "join sort",
+            "scan merge",
+            "merge sort",
+            "sort group",
+            "scan sort",
+        ],
+    )
+    row = linkpred_cn_auc(sf).to_pandas().iloc[0]
+    assert (row["n_pos"], row["n_neg"]) == (1, 3)
+    assert row["auc_ppm"] == 833333
+
+
 def test_negative_term_floor_parity_with_duckdb(ray_session):
     # the HUGEINT CASE in the SQL twin must floor negative q terms the
     # way Python's // does — check the exact expression on values where
