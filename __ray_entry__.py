@@ -2196,6 +2196,12 @@ def _q_linkpred_cn_auc(sf_dir: str):
     return linkpred_cn_auc(sf_dir)
 
 
+def _q_linkpred_ra_auc(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import linkpred_ra_auc
+
+    return linkpred_ra_auc(sf_dir)
+
+
 def _q_kg_proximity_edges(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_proximity_edges
 
@@ -3487,6 +3493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_assortativity": _q_graph_assortativity,
         "kg_graph_similarity": _q_kg_graph_similarity,
         "linkpred_cn_auc": _q_linkpred_cn_auc,
+        "linkpred_ra_auc": _q_linkpred_ra_auc,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3755,7 +3762,8 @@ def oracle_sql() -> dict[str, str]:
         "community_modularity": _graph.make_modularity_sql(_TRIPLES_SQL),
         "graph_assortativity": _graph.make_assortativity_sql(_TRIPLES_SQL),
         "kg_graph_similarity": _KG_SIMILARITY_SQL,
-        "linkpred_cn_auc": _graph.make_linkpred_auc_sql(_triples_sql),
+        "linkpred_cn_auc": _graph.make_linkpred_auc_sql(_triples_sql, "cn"),
+        "linkpred_ra_auc": _graph.make_linkpred_auc_sql(_triples_sql, "ra"),
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,

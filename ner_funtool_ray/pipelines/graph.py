@@ -2641,15 +2641,21 @@ FROM s
 __all__ += ["graph_assortativity", "make_assortativity_sql"]
 
 
-def linkpred_cn_auc(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
-    """Link-prediction evaluation of the common-neighbor heuristic on the
+def linkpred_auc(
+    sf_dir: str, score: str = "cn", n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Link-prediction evaluation of a neighborhood heuristic on the
     versioned corpus (one row): score every BASE-graph (doc parity 0)
     non-edge pair with ≥1 common neighbor, label it positive when the
     edge APPEARS in the new half's graph, and report the exact
     Mann-Whitney AUC in ppm — ``(2·#(pos>neg) + #(pos=neg)) · 1e6 //
-    (2·P·N)``, 500000 by convention when either class is empty.  The
-    temporal-split eval the heuristic family (neighbor Jaccard, resource
-    allocation, CN) is used for in KG completion.
+    (2·P·N)``, 500000 by convention when either class is empty — the
+    temporal-split eval KG completion uses for this heuristic family.
+
+    ``score``: ``"cn"`` = common-neighbor count; ``"ra"`` = resource
+    allocation, Σ_m 1e6 // deg(m) over shared middles (the same floored
+    integer term as ``resource_allocation_ds``) — both integer scores,
+    so the twin hash-matches.
 
     Plan: middle-node pair expansion over the base neighbor relation
     (the CN inverted index), then ONE pair-key co-location of candidates
@@ -2657,6 +2663,8 @@ def linkpred_cn_auc(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
     bounded group sum, and a distinct-score-bounded U-statistic cross
     product on the driver (|scores_pos| × |scores_neg| cells, degree-
     bounded — never pair-cardinality)."""
+    if score not in ("cn", "ra"):
+        raise ValueError(f"score must be cn|ra, got {score!r}")
     import pandas as pd
 
     from ner_funtool_ray.corpus import corpus_from_documents
@@ -2693,12 +2701,21 @@ def linkpred_cn_auc(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
         ),
         n_buckets=n_buckets,
     ).materialize()
-    cand = bucketed_group_sum(
-        _middle_pairs(nb, n_buckets),
-        keys=["a", "b"],
-        count_col="cn",
-        n_buckets=n_buckets,
-    )
+    if score == "cn":
+        cand = bucketed_group_sum(
+            _middle_pairs(nb, n_buckets),
+            keys=["a", "b"],
+            count_col="cn",
+            n_buckets=n_buckets,
+        )
+    else:  # ra: per-middle floored term summed per pair
+        cand = bucketed_group_sum(
+            _middle_pairs(nb, n_buckets, with_term=True),
+            keys=["a", "b"],
+            sum_cols={"cn": "term"},
+            count_col=None,
+            n_buckets=n_buckets,
+        )
 
     def tag_pairs(kind: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -2787,21 +2804,40 @@ def linkpred_cn_auc(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
     )
 
 
-def make_linkpred_auc_sql(triples_sql_fn) -> str:
+def linkpred_cn_auc(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Common-neighbor variant of :func:`linkpred_auc`."""
+    return linkpred_auc(sf_dir, score="cn", n_buckets=n_buckets)
+
+
+def linkpred_ra_auc(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Resource-allocation variant of :func:`linkpred_auc`."""
+    return linkpred_auc(sf_dir, score="ra", n_buckets=n_buckets)
+
+
+def make_linkpred_auc_sql(triples_sql_fn, score: str = "cn") -> str:
     """DuckDB twin of :func:`linkpred_cn_auc` — ``triples_sql_fn`` is the
     parity-filtered triple-SQL builder (the ``_triples_sql`` callable in
     ``__ray_entry__``)."""
     baset = triples_sql_fn(" WHERE doc_id % 2 = 0")
     newt = triples_sql_fn(" WHERE doc_id % 2 = 1")
+    if score == "cn":
+        score_expr = "count(*)::BIGINT"
+        mp_from = "mp"
+    elif score == "ra":
+        score_expr = "sum(1000000 // dg.d)::BIGINT"
+        mp_from = "mp JOIN deg dg ON dg.m = mp.m"
+    else:
+        raise ValueError(f"score must be cn|ra, got {score!r}")
     return f"""
 WITH baset AS ({baset}),
 newt AS ({newt}),
 be AS (SELECT subj AS a, obj AS b FROM baset WHERE pred = 'cooccurs_with'),
 ne AS (SELECT subj AS a, obj AS b FROM newt WHERE pred = 'cooccurs_with'),
 nb AS (SELECT a AS e, b AS m FROM be UNION SELECT b, a FROM be),
-mp AS (SELECT x.e AS a, y.e AS b FROM nb x JOIN nb y
+deg AS (SELECT m, count(*)::BIGINT AS d FROM nb GROUP BY m),
+mp AS (SELECT x.e AS a, y.e AS b, x.m AS m FROM nb x JOIN nb y
        ON x.m = y.m AND x.e < y.e),
-cand AS (SELECT a, b, count(*)::BIGINT AS cn FROM mp GROUP BY a, b),
+cand AS (SELECT a, b, {score_expr} AS cn FROM {mp_from} GROUP BY a, b),
 nonedge AS (SELECT c.* FROM cand c ANTI JOIN be USING (a, b)),
 lab AS (
   SELECT c.cn, CASE WHEN ne.a IS NOT NULL THEN 1 ELSE 0 END AS is_pos
@@ -2827,4 +2863,5 @@ FROM tot
 """
 
 
-__all__ += ["linkpred_cn_auc", "make_linkpred_auc_sql"]
+__all__ += ["linkpred_auc", "linkpred_cn_auc", "linkpred_ra_auc",
+            "make_linkpred_auc_sql"]
