@@ -2202,6 +2202,12 @@ def _q_linkpred_ra_auc(sf_dir: str):
     return linkpred_ra_auc(sf_dir)
 
 
+def _q_linkpred_pa_auc(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import linkpred_pa_auc
+
+    return linkpred_pa_auc(sf_dir)
+
+
 def _q_kg_proximity_edges(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_proximity_edges
 
@@ -3494,6 +3500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_graph_similarity": _q_kg_graph_similarity,
         "linkpred_cn_auc": _q_linkpred_cn_auc,
         "linkpred_ra_auc": _q_linkpred_ra_auc,
+        "linkpred_pa_auc": _q_linkpred_pa_auc,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3764,6 +3771,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_similarity": _KG_SIMILARITY_SQL,
         "linkpred_cn_auc": _graph.make_linkpred_auc_sql(_triples_sql, "cn"),
         "linkpred_ra_auc": _graph.make_linkpred_auc_sql(_triples_sql, "ra"),
+        "linkpred_pa_auc": _graph.make_linkpred_auc_sql(_triples_sql, "pa"),
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,

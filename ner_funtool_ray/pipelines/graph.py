@@ -2654,8 +2654,10 @@ def linkpred_auc(
 
     ``score``: ``"cn"`` = common-neighbor count; ``"ra"`` = resource
     allocation, Σ_m 1e6 // deg(m) over shared middles (the same floored
-    integer term as ``resource_allocation_ds``) — both integer scores,
-    so the twin hash-matches.
+    integer term as ``resource_allocation_ds``); ``"pa"`` = preferential
+    attachment, deg(a)·deg(b) (candidates still the CN≥1 set, so all
+    three variants rank the same pair universe) — all integer scores,
+    so the twins hash-match.
 
     Plan: middle-node pair expansion over the base neighbor relation
     (the CN inverted index), then ONE pair-key co-location of candidates
@@ -2663,8 +2665,8 @@ def linkpred_auc(
     bounded group sum, and a distinct-score-bounded U-statistic cross
     product on the driver (|scores_pos| × |scores_neg| cells, degree-
     bounded — never pair-cardinality)."""
-    if score not in ("cn", "ra"):
-        raise ValueError(f"score must be cn|ra, got {score!r}")
+    if score not in ("cn", "ra", "pa"):
+        raise ValueError(f"score must be cn|ra|pa, got {score!r}")
     import pandas as pd
 
     from ner_funtool_ray.corpus import corpus_from_documents
@@ -2708,13 +2710,51 @@ def linkpred_auc(
             count_col="cn",
             n_buckets=n_buckets,
         )
-    else:  # ra: per-middle floored term summed per pair
+    elif score == "ra":  # per-middle floored term summed per pair
         cand = bucketed_group_sum(
             _middle_pairs(nb, n_buckets, with_term=True),
             keys=["a", "b"],
             sum_cols={"cn": "term"},
             count_col=None,
             n_buckets=n_buckets,
+        )
+    else:  # pa: degree product over the CN-candidate universe
+        from ner_funtool_ray.stages.graphops import attach_col
+
+        deg_t = bucketed_group_sum(
+            nb.map_batches(
+                lambda t: pa.table({"e": t["e"]}), batch_format="pyarrow"
+            ),
+            keys=["e"],
+            count_col="d",
+            n_buckets=n_buckets,
+        ).materialize()
+        pairs0 = bucketed_group_sum(
+            _middle_pairs(nb, n_buckets),
+            keys=["a", "b"],
+            count_col="__cn",
+            n_buckets=n_buckets,
+        )
+        j1 = attach_col(
+            pairs0, "a", deg_t, "e", "d", "da",
+            n_buckets=n_buckets, how="inner",
+        )
+        j2 = attach_col(
+            j1, "b", deg_t, "e", "d", "db",
+            n_buckets=n_buckets, how="inner",
+        )
+        cand = j2.map_batches(
+            lambda t: pa.table(
+                {
+                    "a": t["a"],
+                    "b": t["b"],
+                    "cn": pa.array(
+                        np.asarray(t["da"], dtype=np.int64)
+                        * np.asarray(t["db"], dtype=np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
         )
 
     def tag_pairs(kind: int):
@@ -2814,6 +2854,11 @@ def linkpred_ra_auc(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
     return linkpred_auc(sf_dir, score="ra", n_buckets=n_buckets)
 
 
+def linkpred_pa_auc(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Preferential-attachment variant of :func:`linkpred_auc`."""
+    return linkpred_auc(sf_dir, score="pa", n_buckets=n_buckets)
+
+
 def make_linkpred_auc_sql(triples_sql_fn, score: str = "cn") -> str:
     """DuckDB twin of :func:`linkpred_cn_auc` — ``triples_sql_fn`` is the
     parity-filtered triple-SQL builder (the ``_triples_sql`` callable in
@@ -2826,8 +2871,12 @@ def make_linkpred_auc_sql(triples_sql_fn, score: str = "cn") -> str:
     elif score == "ra":
         score_expr = "sum(1000000 // dg.d)::BIGINT"
         mp_from = "mp JOIN deg dg ON dg.m = mp.m"
+    elif score == "pa":
+        score_expr = "(any_value(de.d) * any_value(df.d))::BIGINT"
+        mp_from = ("mp JOIN degn de ON de.e = mp.a"
+                   " JOIN degn df ON df.e = mp.b")
     else:
-        raise ValueError(f"score must be cn|ra, got {score!r}")
+        raise ValueError(f"score must be cn|ra|pa, got {score!r}")
     return f"""
 WITH baset AS ({baset}),
 newt AS ({newt}),
@@ -2835,6 +2884,7 @@ be AS (SELECT subj AS a, obj AS b FROM baset WHERE pred = 'cooccurs_with'),
 ne AS (SELECT subj AS a, obj AS b FROM newt WHERE pred = 'cooccurs_with'),
 nb AS (SELECT a AS e, b AS m FROM be UNION SELECT b, a FROM be),
 deg AS (SELECT m, count(*)::BIGINT AS d FROM nb GROUP BY m),
+degn AS (SELECT e, count(*)::BIGINT AS d FROM nb GROUP BY e),
 mp AS (SELECT x.e AS a, y.e AS b, x.m AS m FROM nb x JOIN nb y
        ON x.m = y.m AND x.e < y.e),
 cand AS (SELECT a, b, {score_expr} AS cn FROM {mp_from} GROUP BY a, b),
@@ -2864,4 +2914,4 @@ FROM tot
 
 
 __all__ += ["linkpred_auc", "linkpred_cn_auc", "linkpred_ra_auc",
-            "make_linkpred_auc_sql"]
+            "linkpred_pa_auc", "make_linkpred_auc_sql"]

@@ -111,6 +111,28 @@ def test_linkpred_ra_auc_breaks_the_cn_tie(ray_session, tmp_path):
     assert row["auc_ppm"] == 1_000_000
 
 
+def test_linkpred_pa_auc_degree_product(ray_session, tmp_path):
+    # same planted split: PA = deg(a)·deg(b) gives (scan,sort) 2·3 = 6,
+    # strictly above (join,merge) 4 and the deg-1 pairs → perfect AUC
+    from ner_funtool_ray.pipelines.graph import linkpred_pa_auc
+
+    sf = _write_docs(
+        tmp_path,
+        [0, 2, 4, 6, 8, 1],
+        [
+            "scan join",
+            "join sort",
+            "scan merge",
+            "merge sort",
+            "sort group",
+            "scan sort",
+        ],
+    )
+    row = linkpred_pa_auc(sf).to_pandas().iloc[0]
+    assert (row["n_pos"], row["n_neg"]) == (1, 3)
+    assert row["auc_ppm"] == 1_000_000
+
+
 def test_negative_term_floor_parity_with_duckdb(ray_session):
     # the HUGEINT CASE in the SQL twin must floor negative q terms the
     # way Python's // does — check the exact expression on values where
