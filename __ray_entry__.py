@@ -2208,6 +2208,12 @@ def _q_linkpred_pa_auc(sf_dir: str):
     return linkpred_pa_auc(sf_dir)
 
 
+def _q_linkpred_jaccard_auc(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import linkpred_jaccard_auc
+
+    return linkpred_jaccard_auc(sf_dir)
+
+
 def _q_kg_proximity_edges(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_proximity_edges
 
@@ -3501,6 +3507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_cn_auc": _q_linkpred_cn_auc,
         "linkpred_ra_auc": _q_linkpred_ra_auc,
         "linkpred_pa_auc": _q_linkpred_pa_auc,
+        "linkpred_jaccard_auc": _q_linkpred_jaccard_auc,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3772,6 +3779,9 @@ def oracle_sql() -> dict[str, str]:
         "linkpred_cn_auc": _graph.make_linkpred_auc_sql(_triples_sql, "cn"),
         "linkpred_ra_auc": _graph.make_linkpred_auc_sql(_triples_sql, "ra"),
         "linkpred_pa_auc": _graph.make_linkpred_auc_sql(_triples_sql, "pa"),
+        "linkpred_jaccard_auc": _graph.make_linkpred_auc_sql(
+            _triples_sql, "jaccard"
+        ),
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,

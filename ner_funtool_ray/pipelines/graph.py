@@ -2655,9 +2655,9 @@ def linkpred_auc(
     ``score``: ``"cn"`` = common-neighbor count; ``"ra"`` = resource
     allocation, Σ_m 1e6 // deg(m) over shared middles (the same floored
     integer term as ``resource_allocation_ds``); ``"pa"`` = preferential
-    attachment, deg(a)·deg(b) (candidates still the CN≥1 set, so all
-    three variants rank the same pair universe) — all integer scores,
-    so the twins hash-match.
+    attachment, deg(a)·deg(b); ``"jaccard"`` = cn·1e6 // (deg(a)+deg(b)−cn)
+    (candidates are always the CN≥1 set, so every variant ranks the same
+    pair universe) — all integer scores, so the twins hash-match.
 
     Plan: middle-node pair expansion over the base neighbor relation
     (the CN inverted index), then ONE pair-key co-location of candidates
@@ -2665,8 +2665,8 @@ def linkpred_auc(
     bounded group sum, and a distinct-score-bounded U-statistic cross
     product on the driver (|scores_pos| × |scores_neg| cells, degree-
     bounded — never pair-cardinality)."""
-    if score not in ("cn", "ra", "pa"):
-        raise ValueError(f"score must be cn|ra|pa, got {score!r}")
+    if score not in ("cn", "ra", "pa", "jaccard"):
+        raise ValueError(f"score must be cn|ra|pa|jaccard, got {score!r}")
     import pandas as pd
 
     from ner_funtool_ray.corpus import corpus_from_documents
@@ -2718,7 +2718,7 @@ def linkpred_auc(
             count_col=None,
             n_buckets=n_buckets,
         )
-    else:  # pa: degree product over the CN-candidate universe
+    else:  # pa / jaccard: need both endpoint degrees
         from ner_funtool_ray.stages.graphops import attach_col
 
         deg_t = bucketed_group_sum(
@@ -2743,19 +2743,17 @@ def linkpred_auc(
             j1, "b", deg_t, "e", "d", "db",
             n_buckets=n_buckets, how="inner",
         )
-        cand = j2.map_batches(
-            lambda t: pa.table(
-                {
-                    "a": t["a"],
-                    "b": t["b"],
-                    "cn": pa.array(
-                        np.asarray(t["da"], dtype=np.int64)
-                        * np.asarray(t["db"], dtype=np.int64)
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        def _score(t: pa.Table, _sc=score) -> pa.Table:
+            da = np.asarray(t["da"], dtype=np.int64)
+            db = np.asarray(t["db"], dtype=np.int64)
+            cn = np.asarray(t["__cn"], dtype=np.int64)
+            if _sc == "pa":
+                s = da * db
+            else:  # jaccard
+                s = cn * np.int64(1_000_000) // (da + db - cn)
+            return pa.table({"a": t["a"], "b": t["b"], "cn": pa.array(s)})
+
+        cand = j2.map_batches(_score, batch_format="pyarrow")
 
     def tag_pairs(kind: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -2859,6 +2857,13 @@ def linkpred_pa_auc(sf_dir: str, n_buckets: int = 64) -> "ray.data.Dataset":
     return linkpred_auc(sf_dir, score="pa", n_buckets=n_buckets)
 
 
+def linkpred_jaccard_auc(
+    sf_dir: str, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Neighbor-Jaccard variant of :func:`linkpred_auc`."""
+    return linkpred_auc(sf_dir, score="jaccard", n_buckets=n_buckets)
+
+
 def make_linkpred_auc_sql(triples_sql_fn, score: str = "cn") -> str:
     """DuckDB twin of :func:`linkpred_cn_auc` — ``triples_sql_fn`` is the
     parity-filtered triple-SQL builder (the ``_triples_sql`` callable in
@@ -2875,8 +2880,13 @@ def make_linkpred_auc_sql(triples_sql_fn, score: str = "cn") -> str:
         score_expr = "(any_value(de.d) * any_value(df.d))::BIGINT"
         mp_from = ("mp JOIN degn de ON de.e = mp.a"
                    " JOIN degn df ON df.e = mp.b")
+    elif score == "jaccard":
+        score_expr = ("(count(*) * 1000000 // (any_value(de.d)"
+                      " + any_value(df.d) - count(*)))::BIGINT")
+        mp_from = ("mp JOIN degn de ON de.e = mp.a"
+                   " JOIN degn df ON df.e = mp.b")
     else:
-        raise ValueError(f"score must be cn|ra|pa, got {score!r}")
+        raise ValueError(f"score must be cn|ra|pa|jaccard, got {score!r}")
     return f"""
 WITH baset AS ({baset}),
 newt AS ({newt}),
@@ -2914,4 +2924,4 @@ FROM tot
 
 
 __all__ += ["linkpred_auc", "linkpred_cn_auc", "linkpred_ra_auc",
-            "linkpred_pa_auc", "make_linkpred_auc_sql"]
+            "linkpred_pa_auc", "linkpred_jaccard_auc", "make_linkpred_auc_sql"]

@@ -133,6 +133,31 @@ def test_linkpred_pa_auc_degree_product(ray_session, tmp_path):
     assert row["auc_ppm"] == 1_000_000
 
 
+def test_linkpred_jaccard_auc_can_underperform(ray_session, tmp_path):
+    # same planted split through the Jaccard lens: (join,merge) scores a
+    # full 1e6 (cn 2, union 2) ABOVE the positive (scan,sort) at 666666
+    # (cn 2, union 3) → the positive wins only over the two deg-1 pairs:
+    # U2 = 2·2 → AUC = 4e6 // 6 = 666666 — the harness separates the
+    # heuristics (RA/PA perfect, CN 833333, Jaccard 666666)
+    from ner_funtool_ray.pipelines.graph import linkpred_jaccard_auc
+
+    sf = _write_docs(
+        tmp_path,
+        [0, 2, 4, 6, 8, 1],
+        [
+            "scan join",
+            "join sort",
+            "scan merge",
+            "merge sort",
+            "sort group",
+            "scan sort",
+        ],
+    )
+    row = linkpred_jaccard_auc(sf).to_pandas().iloc[0]
+    assert (row["n_pos"], row["n_neg"]) == (1, 3)
+    assert row["auc_ppm"] == 666666
+
+
 def test_negative_term_floor_parity_with_duckdb(ray_session):
     # the HUGEINT CASE in the SQL twin must floor negative q terms the
     # way Python's // does — check the exact expression on values where
