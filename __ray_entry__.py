@@ -2214,6 +2214,12 @@ def _q_linkpred_jaccard_auc(sf_dir: str):
     return linkpred_jaccard_auc(sf_dir)
 
 
+def _q_entity_distance_histogram(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import entity_distance_histogram
+
+    return entity_distance_histogram(sf_dir)
+
+
 def _q_kg_proximity_edges(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_proximity_edges
 
@@ -3508,6 +3514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_ra_auc": _q_linkpred_ra_auc,
         "linkpred_pa_auc": _q_linkpred_pa_auc,
         "linkpred_jaccard_auc": _q_linkpred_jaccard_auc,
+        "entity_distance_histogram": _q_entity_distance_histogram,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3781,6 +3788,9 @@ def oracle_sql() -> dict[str, str]:
         "linkpred_pa_auc": _graph.make_linkpred_auc_sql(_triples_sql, "pa"),
         "linkpred_jaccard_auc": _graph.make_linkpred_auc_sql(
             _triples_sql, "jaccard"
+        ),
+        "entity_distance_histogram": _graph.make_distance_histogram_sql(
+            _TRIPLES_SQL
         ),
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,

@@ -2925,3 +2925,40 @@ FROM tot
 
 __all__ += ["linkpred_auc", "linkpred_cn_auc", "linkpred_ra_auc",
             "linkpred_pa_auc", "linkpred_jaccard_auc", "make_linkpred_auc_sql"]
+
+
+def entity_distance_histogram(
+    sf_dir: str, rounds: int = 6, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Distance distribution of the KG from the deterministic seed:
+    (dist, n_entities) over :func:`entity_shortest_path`'s weighted
+    distances (unreached = -1 bucket included) — the one-glance
+    connectivity profile a graph-health dashboard plots.
+
+    Composition: the shortest-path table is node-cardinality; the
+    histogram is one bounded group count on it."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    dist = entity_shortest_path(sf_dir, rounds=rounds)
+    out = bucketed_group_sum(
+        dist.map_batches(
+            lambda t: pa.table({"dist": t["dist"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        keys=["dist"],
+        count_col="n_entities",
+        n_buckets=n_buckets,
+    )
+    return out.select_columns(["dist", "n_entities"])
+
+
+def make_distance_histogram_sql(triples_sql: str, rounds: int = 6) -> str:
+    """DuckDB twin of :func:`entity_distance_histogram` — the sssp twin
+    grouped by distance."""
+    return f"""
+WITH sp AS ({make_sssp_sql(triples_sql, rounds=rounds)})
+SELECT dist, count(*)::BIGINT AS n_entities FROM sp GROUP BY dist
+"""
+
+
+__all__ += ["entity_distance_histogram", "make_distance_histogram_sql"]
