@@ -2220,6 +2220,12 @@ def _q_entity_distance_histogram(sf_dir: str):
     return entity_distance_histogram(sf_dir)
 
 
+def _q_community_size_histogram(sf_dir: str):
+    from ner_funtool_ray.pipelines.graph import community_size_histogram
+
+    return community_size_histogram(sf_dir)
+
+
 def _q_kg_proximity_edges(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_proximity_edges
 
@@ -3515,6 +3521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_pa_auc": _q_linkpred_pa_auc,
         "linkpred_jaccard_auc": _q_linkpred_jaccard_auc,
         "entity_distance_histogram": _q_entity_distance_histogram,
+        "community_size_histogram": _q_community_size_histogram,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3790,6 +3797,9 @@ def oracle_sql() -> dict[str, str]:
             _triples_sql, "jaccard"
         ),
         "entity_distance_histogram": _graph.make_distance_histogram_sql(
+            _TRIPLES_SQL
+        ),
+        "community_size_histogram": _graph.make_community_size_sql(
             _TRIPLES_SQL
         ),
         "kg_proximity_edges": _KG_PROXIMITY_SQL,

@@ -2962,3 +2962,46 @@ SELECT dist, count(*)::BIGINT AS n_entities FROM sp GROUP BY dist
 
 
 __all__ += ["entity_distance_histogram", "make_distance_histogram_sql"]
+
+
+def community_size_histogram(
+    sf_dir: str, rounds: int = 4, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Community-size distribution: (size, n_communities) over the LPA
+    assignment — the count-of-counts profile that flags degenerate
+    collapses (one giant community) or over-fragmentation at a glance.
+    Two bounded group counts over the node-cardinality label table."""
+    from ner_funtool_ray.stages.groupagg import bucketed_group_sum
+
+    comm = entity_lpa_communities(sf_dir, rounds=rounds)
+    sizes = bucketed_group_sum(
+        comm.map_batches(
+            lambda t: pa.table({"community": t["community"]}),
+            batch_format="pyarrow",
+        ),
+        keys=["community"],
+        count_col="size",
+        n_buckets=n_buckets,
+    )
+    out = bucketed_group_sum(
+        sizes.map_batches(
+            lambda t: pa.table({"size": t["size"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        keys=["size"],
+        count_col="n_communities",
+        n_buckets=n_buckets,
+    )
+    return out.select_columns(["size", "n_communities"])
+
+
+def make_community_size_sql(triples_sql: str, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`community_size_histogram`."""
+    return f"""
+WITH comm AS (SELECT * FROM ({make_lpa_sql(triples_sql, rounds=rounds)}) q),
+sizes AS (SELECT community, count(*)::BIGINT AS size FROM comm GROUP BY 1)
+SELECT size, count(*)::BIGINT AS n_communities FROM sizes GROUP BY size
+"""
+
+
+__all__ += ["community_size_histogram", "make_community_size_sql"]

@@ -158,6 +158,20 @@ def test_linkpred_jaccard_auc_can_underperform(ray_session, tmp_path):
     assert row["auc_ppm"] == 666666
 
 
+def test_community_size_histogram_two_cliques(ray_session, tmp_path):
+    # two 3-cliques bridged weakly → histogram is exactly {3: 2}
+    from ner_funtool_ray.pipelines.graph import community_size_histogram
+
+    sf = _write_docs(
+        tmp_path,
+        list(range(1, 8)),
+        ["scan join sort"] * 3 + ["customer row table"] * 3
+        + ["sort customer"],
+    )
+    df = community_size_histogram(sf).to_pandas()
+    assert df.to_dict("records") == [{"size": 3, "n_communities": 2}]
+
+
 def test_negative_term_floor_parity_with_duckdb(ray_session):
     # the HUGEINT CASE in the SQL twin must floor negative q terms the
     # way Python's // does — check the exact expression on values where
