@@ -162,6 +162,56 @@ SELECT subj, pred, obj, sum(weight)::BIGINT AS weight
 FROM u GROUP BY subj, pred, obj
 """
 
+# Governance audits (pipelines/kgaudit.py).
+_KG_SOURCE_CONTRIB_SQL = f"""
+WITH m AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(text, '{_GAZ_PATTERN}', 1)) AS surface
+  FROM documents
+),
+c AS (SELECT doc_id, source, 'ent:' || {_ALIAS_CASE} AS entity_id FROM m),
+men AS (SELECT source, count(*)::BIGINT AS n_mentions FROM c GROUP BY source),
+dts AS (
+  SELECT source, count(DISTINCT entity_id)::BIGINT AS n_entities
+  FROM c GROUP BY source
+),
+dc AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source)
+SELECT dc.source, dc.n_docs,
+       COALESCE(men.n_mentions, 0)::BIGINT AS n_mentions,
+       COALESCE(dts.n_entities, 0)::BIGINT AS n_entities
+FROM dc LEFT JOIN men USING (source) LEFT JOIN dts USING (source)
+"""
+
+_GAZ_COVERAGE_SQL = f"""
+WITH s AS (
+  SELECT COALESCE(sum(len(regexp_extract_all(text, '\\w+'))), 0)::BIGINT
+           AS n_tokens,
+         COALESCE(sum(len(regexp_extract_all(text, '{_GAZ_PATTERN}', 1))),
+                  0)::BIGINT AS n_mention_tokens
+  FROM documents
+)
+SELECT n_tokens, n_mention_tokens,
+       (CASE WHEN n_tokens = 0 THEN 0
+             ELSE n_mention_tokens * 1000000 // n_tokens END)::BIGINT
+         AS coverage_ppm
+FROM s
+"""
+
+_KG_ISOLATED_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{_GAZ_PATTERN}', 1)) AS surface
+  FROM documents
+),
+c AS (SELECT doc_id, 'ent:' || {_ALIAS_CASE} AS entity_id FROM m),
+cnt AS (SELECT entity_id, count(*)::BIGINT AS n_mentions FROM c GROUP BY 1),
+d AS (SELECT DISTINCT doc_id, entity_id FROM c),
+multi AS (SELECT doc_id FROM d GROUP BY doc_id HAVING count(*) > 1),
+sharedents AS (SELECT DISTINCT entity_id FROM d JOIN multi USING (doc_id))
+SELECT cnt.entity_id, cnt.n_mentions
+FROM cnt ANTI JOIN sharedents USING (entity_id)
+"""
+
 # Per-entity activity span (pipelines/fusion.py:kg_entity_timeline).
 _KG_TIMELINE_SQL = f"""
 WITH m AS (
@@ -2226,6 +2276,24 @@ def _q_community_size_histogram(sf_dir: str):
     return community_size_histogram(sf_dir)
 
 
+def _q_kg_source_contribution(sf_dir: str):
+    from ner_funtool_ray.pipelines.kgaudit import kg_source_contribution
+
+    return kg_source_contribution(sf_dir)
+
+
+def _q_gazetteer_coverage(sf_dir: str):
+    from ner_funtool_ray.pipelines.kgaudit import gazetteer_coverage
+
+    return gazetteer_coverage(sf_dir)
+
+
+def _q_kg_isolated_entities(sf_dir: str):
+    from ner_funtool_ray.pipelines.kgaudit import kg_isolated_entities
+
+    return kg_isolated_entities(sf_dir)
+
+
 def _q_kg_proximity_edges(sf_dir: str):
     from ner_funtool_ray.pipelines.openrel import kg_proximity_edges
 
@@ -3522,6 +3590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_jaccard_auc": _q_linkpred_jaccard_auc,
         "entity_distance_histogram": _q_entity_distance_histogram,
         "community_size_histogram": _q_community_size_histogram,
+        "kg_source_contribution": _q_kg_source_contribution,
+        "gazetteer_coverage": _q_gazetteer_coverage,
+        "kg_isolated_entities": _q_kg_isolated_entities,
         # --- rows-only queries (no DuckDB oracle) BELOW this line ONLY ---
         # The driver records the first 50 dict entries in its correctness
         # sample; everything above has a SQL twin, so the sampled window is
@@ -3802,6 +3873,9 @@ def oracle_sql() -> dict[str, str]:
         "community_size_histogram": _graph.make_community_size_sql(
             _TRIPLES_SQL
         ),
+        "kg_source_contribution": _KG_SOURCE_CONTRIB_SQL,
+        "gazetteer_coverage": _GAZ_COVERAGE_SQL,
+        "kg_isolated_entities": _KG_ISOLATED_SQL,
         "kg_proximity_edges": _KG_PROXIMITY_SQL,
         "doc_mention_diversity": _DOC_DIVERSITY_SQL,
         "entity_dispersion": _ENTITY_DISPERSION_SQL,
