@@ -32,6 +32,12 @@ import ner_funtool_ray.stages.editdist as _ed
 import ner_funtool_ray.stages.hll as _hll
 from ner_funtool_ray.config import ALIASES, GAZETTEER
 from ner_funtool_ray.corpus import CORPUS_FROM_DOCUMENTS_SQL
+from ner_funtool_ray.utils import install_benign_schema_warning_filter
+
+# Ray's sort shuffle logs a benign "RefBundle ... new schema: ." warning
+# for every empty range partition of a bucketed exchange; drop exactly that
+# variant (real schema divergences still warn — see utils.py).
+install_benign_schema_warning_filter()
 from ner_funtool_ray.functions.text import (
     LANG_MARKERS,
     SENTENCE_SPLIT_SQL_REGEX,

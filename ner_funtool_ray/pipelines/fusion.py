@@ -460,39 +460,61 @@ def _wl_hash(own: str, sig: str) -> str:
     return hashlib.md5((own + "|" + sig).encode("utf-8")).hexdigest()
 
 
-def kg_wl_colors(
-    sf_dir: str, rounds: int = 2, n_buckets: int = 64
+def _wl_sig_agg(g: pd.DataFrame) -> pa.Table:
+    """Per-bucket WL signature reducer: (e, mc) edge rows → (e, sig) where
+    ``sig = md5(','.join(sorted(md5(mc_i))))`` — the sorted neighbor-color
+    multiset reduced to ONE 32-char digest inside the group.
+
+    Skew-bounded by construction: a 10⁶-degree hub contributes a 10⁶×16 B
+    fixed-width numpy digest array that is sorted and STREAMED into the
+    hasher in 8k-token chunks; only the 32-char digest leaves the group
+    (the previous design comma-joined the raw neighbor colors into one
+    ~32 MB Python string that then rode an ``attach_col`` exchange as a
+    single row value — a straggler/OOM magnet on skewed degree)."""
+    mc = g["mc"].to_numpy()
+    dig = np.fromiter(
+        (hashlib.md5(s.encode("utf-8")).hexdigest().encode("ascii")
+         for s in mc),
+        dtype="S32",
+        count=len(mc),
+    )
+    codes, uniq = pd.factorize(g["e"], sort=False)
+    order = np.argsort(codes, kind="stable")
+    dig = dig[order]
+    counts = np.bincount(codes, minlength=len(uniq))
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    sigs = []
+    _CH = 8192
+    for i in range(len(uniq)):
+        arr = np.sort(dig[offs[i]:offs[i + 1]])
+        h = hashlib.md5()
+        h.update(arr[0])
+        for j in range(1, len(arr), _CH):
+            h.update(b",")
+            h.update(b",".join(arr[j:j + _CH]))
+        sigs.append(h.hexdigest())
+    return pa.table(
+        {
+            "e": pa.array(uniq, type=pa.string()),
+            "sig": pa.array(sigs, type=pa.string()),
+        }
+    )
+
+
+def _wl_refine(
+    nodes: "ray.data.Dataset",
+    nb: "ray.data.Dataset",
+    rounds: int,
+    n_buckets: int,
 ) -> "ray.data.Dataset":
-    """(entity_id, wl_color) after ``rounds`` WL refinement iterations.
+    """WL color-refinement core over a prepared (e, m) neighbor dataset.
 
-    color_0 = ``'d' + degree`` (distinct-neighbor count in the simple
-    co-occurrence graph); color_{t+1} = md5(color_t + '|' + comma-joined
-    SORTED neighbor color_t multiset).  Nodes = distinct ``appears_in``
-    subjects, so mention-only entities with no co-occurrence edge refine
-    from degree 0 with an empty neighbor signature.
-
-    Each round is the PageRank-core join shape (``graphops.attach_col``
-    neighbor tag → crc-bucketed per-node sorted aggregation → left-attach
-    back), moving node-cardinality color tables only."""
-    from ner_funtool_ray.pipelines.graph import _graph_parts_ds
-    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
-    from ner_funtool_ray.stages.graphops import neighbors_ds
-
-    triples = kg_from_sf_dir(sf_dir)
-    nodes, cooc = _graph_parts_ds(triples)
-    nb = neighbors_ds(
-        cooc.map_batches(
-            lambda t: pa.table({"src": t["subj"], "dst": t["obj"]}),
-            batch_format="pyarrow",
-        ).union(
-            cooc.map_batches(
-                lambda t: pa.table({"src": t["obj"], "dst": t["subj"]}),
-                batch_format="pyarrow",
-            )
-        ),
-        n_buckets=n_buckets,
-    ).materialize()
-
+    color_0 = ``'d' + degree``; color_{t+1} = md5(color_t + '|' + sig_t)
+    with sig_t the bounded multiset digest from :func:`_wl_sig_agg`
+    ('' for isolated nodes).  Each round is the PageRank-core join shape
+    (``graphops.attach_col`` neighbor tag → crc-bucketed per-node digest
+    aggregation → left-attach back), moving node-cardinality color tables
+    only — no row ever exceeds a 32-char color."""
     deg = bucketed_group_sum(
         nb.map_batches(
             lambda t: pa.table({"e": t["e"]}), batch_format="pyarrow"
@@ -522,17 +544,6 @@ def kg_wl_colors(
             nb, "m", colors, "entity_id", "c", "mc",
             n_buckets=n_buckets, how="inner",
         )
-
-        def sig_agg(g: pd.DataFrame) -> pa.Table:
-            g = g.sort_values(["e", "mc"], kind="mergesort")
-            agg = g.groupby("e", sort=False)["mc"].agg(",".join).reset_index()
-            return pa.table(
-                {
-                    "e": pa.array(agg["e"], type=pa.string()),
-                    "sig": pa.array(agg["mc"], type=pa.string()),
-                }
-            )
-
         sigs = (
             tagged.map_batches(
                 lambda t: t.select(["e", "mc"]).append_column(
@@ -542,7 +553,7 @@ def kg_wl_colors(
                 batch_format="pyarrow",
             )
             .groupby("sbucket")
-            .map_groups(sig_agg, batch_format="pandas")
+            .map_groups(_wl_sig_agg, batch_format="pandas")
         )
         joined = attach_col(
             colors, "entity_id", sigs, "e", "sig", "sig",
@@ -574,10 +585,48 @@ def kg_wl_colors(
     )
 
 
+def kg_wl_colors(
+    sf_dir: str, rounds: int = 2, n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """(entity_id, wl_color) after ``rounds`` WL refinement iterations.
+
+    color_0 = ``'d' + degree`` (distinct-neighbor count in the simple
+    co-occurrence graph); color_{t+1} = md5(color_t + '|' + sig_t) where
+    sig_t = md5 of the comma-joined SORTED multiset of per-neighbor md5
+    digests (see :func:`_wl_sig_agg` — same refinement semantics as the
+    classic raw-concatenation WL, but every carried value is a fixed
+    32-char digest, so a skewed-degree hub can't build an unbounded
+    signature string).  Nodes = distinct ``appears_in`` subjects, so
+    mention-only entities with no co-occurrence edge refine from degree 0
+    with an empty neighbor signature."""
+    from ner_funtool_ray.pipelines.graph import _graph_parts_ds
+    from ner_funtool_ray.pipelines.kg import kg_from_sf_dir
+    from ner_funtool_ray.stages.graphops import neighbors_ds
+
+    triples = kg_from_sf_dir(sf_dir)
+    nodes, cooc = _graph_parts_ds(triples)
+    nb = neighbors_ds(
+        cooc.map_batches(
+            lambda t: pa.table({"src": t["subj"], "dst": t["obj"]}),
+            batch_format="pyarrow",
+        ).union(
+            cooc.map_batches(
+                lambda t: pa.table({"src": t["obj"], "dst": t["subj"]}),
+                batch_format="pyarrow",
+            )
+        ),
+        n_buckets=n_buckets,
+    ).materialize()
+    return _wl_refine(nodes, nb, rounds=rounds, n_buckets=n_buckets)
+
+
 def make_wl_sql(triples_sql: str, rounds: int = 2) -> str:
-    """Unrolled-CTE DuckDB twin of :func:`kg_wl_colors` — ``string_agg(c,
-    ',' ORDER BY c)`` matches Python's ``','.join(sorted(...))`` and
-    ``md5()`` matches hashlib for the ASCII color strings."""
+    """Unrolled-CTE DuckDB twin of :func:`kg_wl_colors` —
+    ``md5(string_agg(md5(c), ',' ORDER BY md5(c)))`` matches the engine's
+    pre-hashed-token multiset digest (:func:`_wl_sig_agg`): DuckDB varchar
+    ORDER BY on the 32-char lowercase-hex digests is byte-wise ascending,
+    identical to the engine's ``np.sort`` on fixed-width S32, and outer
+    ``md5()`` matches hashlib for the ASCII token stream."""
     parts = [
         f"WITH t AS ({triples_sql})",
         "cooc AS (SELECT subj, obj FROM t WHERE pred = 'cooccurs_with')",
@@ -592,7 +641,8 @@ def make_wl_sql(triples_sql: str, rounds: int = 2) -> str:
     for r in range(1, rounds + 1):
         prev = f"c{r - 1}"
         parts.append(
-            f"s{r} AS (SELECT nb.e, string_agg(cm.c, ',' ORDER BY cm.c)"
+            f"s{r} AS (SELECT nb.e,"
+            f" md5(string_agg(md5(cm.c), ',' ORDER BY md5(cm.c)))"
             f" AS sig FROM nb JOIN {prev} cm ON cm.entity_id = nb.m"
             f" GROUP BY nb.e)"
         )

@@ -512,3 +512,96 @@ def test_reify_statement_id_is_stable_md5(ray_session, tmp_path):
     # (scan, join) co-occurs in both docs → n_docs 2, exemplar doc 1
     pair = df.set_index(["subj", "obj"]).loc[("ent:join", "ent:scan")]
     assert (pair["n_docs"], pair["first_doc"]) == (2, 1)
+
+
+def test_wl_hub_degree_skew_bounded(ray_session):
+    # planted 100k-degree hub (star graph): the WL round must stream the
+    # hub's neighbor multiset through fixed-width digests — the result
+    # rows all carry 32-char colors, never a degree-proportional string
+    # (pipelines/fusion.py:_wl_sig_agg).  Pre-fix this built one ~3 MB+
+    # signature string per round that rode an attach_col exchange.
+    import numpy as np
+    import ray
+
+    from ner_funtool_ray.pipelines.fusion import _wl_refine
+
+    n = 100_000
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy()
+        leaves = np.char.add("n", ids.astype(str))
+        hub = np.full(len(ids), "h")
+        return pa.table(
+            {
+                "e": pa.array(
+                    np.concatenate([hub, leaves]), type=pa.string()
+                ),
+                "m": pa.array(
+                    np.concatenate([leaves, hub]), type=pa.string()
+                ),
+            }
+        )
+
+    nb = ray.data.range(n, override_num_blocks=8).map_batches(
+        mk_edges, batch_format="pyarrow"
+    )
+    nodes = ray.data.range(n + 1, override_num_blocks=4).map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": pa.array(
+                    [
+                        "h" if i == n else f"n{i}"
+                        for i in t["id"].to_pylist()
+                    ],
+                    type=pa.string(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = _wl_refine(nodes, nb, rounds=2, n_buckets=8).to_pandas()
+    assert len(out) == n + 1
+    # every carried color is a fixed 32-char digest — no unbounded rows
+    assert out["wl_color"].str.len().max() == 32
+    colors = out.set_index("entity_id")["wl_color"]
+    leaf_colors = set(colors[colors.index != "h"])
+    assert len(leaf_colors) == 1  # leaves structurally identical
+    assert colors["h"] not in leaf_colors  # hub distinguished
+
+
+def test_benign_schema_warning_filter_targets_empty_only():
+    import logging
+
+    from ner_funtool_ray.utils import (
+        _EmptySchemaWarningFilter,
+        install_benign_schema_warning_filter,
+    )
+
+    f = _EmptySchemaWarningFilter()
+
+    def rec(msg):
+        return logging.LogRecord("x", logging.WARNING, "p", 1, msg, (), None)
+
+    benign = (
+        "Operator produced a RefBundle with a different schema than the "
+        "previous one. Previous schema: a: int64, new schema: . This may "
+        "lead to unexpected behavior."
+    )
+    real = (
+        "Operator produced a RefBundle with a different schema than the "
+        "previous one. Previous schema: a: int64, new schema: b: string. "
+        "This may lead to unexpected behavior."
+    )
+    assert not f.filter(rec(benign))  # dropped
+    assert f.filter(rec(real))  # real divergence passes through
+    assert f.filter(rec("some other warning"))
+    # idempotent install
+    install_benign_schema_warning_filter()
+    install_benign_schema_warning_filter()
+    logger = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    )
+    assert (
+        sum(isinstance(x, _EmptySchemaWarningFilter) for x in logger.filters)
+        == 1
+    )
