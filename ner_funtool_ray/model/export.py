@@ -143,6 +143,62 @@ def export_bundle(
     return out_dir
 
 
+def export_bundle_from_tf_checkpoint(
+    out_dir: str,
+    ckpt_prefix: str,
+    model: str = "bilstm",
+    cascade: bool = False,
+    max_seq_len: int = 128,
+    n_heads: int | None = None,
+    labels: list[str] | None = None,
+) -> str:
+    """Freeze a reference-trained TF1 checkpoint into a serving bundle.
+
+    The drop-in-predictor path for a user holding reference checkpoints
+    (`predict_bert_crf.py:127-128` ``Saver.restore``): the tensor bundle
+    is parsed without TensorFlow (`model/tf_checkpoint.py`), variable
+    names are mapped onto the engine's weight layout, and the result is
+    a normal bundle ``load_bundle`` / the serving actor / ``tag``-stage
+    actors consume.  ``n_heads`` is required for the bert family (BERT
+    checkpoints don't carry it — it lives in ``bert_config.json``)."""
+    from ner_funtool_ray.model.tf_checkpoint import (
+        bert_weights_from_tf,
+        bilstm_weights_from_tf,
+    )
+
+    if model in _BERT_FAMILIES:
+        if n_heads is None:
+            raise ValueError(
+                "n_heads is required for bert-family checkpoints "
+                "(see bert_config.json num_attention_heads)"
+            )
+        weights = bert_weights_from_tf(ckpt_prefix, n_heads=n_heads)
+        if "proj_w" not in weights:
+            raise ValueError(
+                "checkpoint has no task head (projection/dense) — a bare "
+                "pretrained encoder can't serve; fine-tune or supply a head"
+            )
+    else:
+        weights = bilstm_weights_from_tf(ckpt_prefix)
+    use_crf = "crf_trans" in weights
+    out = export_bundle(
+        out_dir,
+        model=model,
+        cascade=cascade,
+        weights=weights,
+        max_seq_len=max_seq_len,
+        use_crf=use_crf,
+    )
+    if labels is not None:
+        sig = read_signature(out)
+        sig["labels"] = labels
+        spath = os.path.join(out, SIGNATURE_FILE)
+        with open(spath + ".tmp", "w") as f:
+            json.dump(sig, f, indent=1, sort_keys=True)
+        os.replace(spath + ".tmp", spath)
+    return out
+
+
 def _default_labels(model: str) -> list[str]:
     from ner_funtool_ray.model.vocabs import BERT_TAGS, TAGS
 
