@@ -3198,6 +3198,12 @@ def _q_tfidf_search(sf_dir: str):
     return tfidf_search(sf_dir)
 
 
+def _q_bm25_search(sf_dir: str):
+    from ner_funtool_ray.pipelines.curation import bm25_search
+
+    return bm25_search(sf_dir)
+
+
 def _q_label_centroids(sf_dir: str):
     from ner_funtool_ray.pipelines.embedding import label_centroids
 
@@ -3522,6 +3528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "doc_token_bins": _q_doc_token_bins,
         "tfidf_search": _q_tfidf_search,
+        "bm25_search": _q_bm25_search,
         "doc_clean": _q_doc_clean,
         "pii_redact": _q_pii_redact,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
@@ -3792,6 +3799,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": _cur.QUALITY_FILTER_SQL,
         "doc_token_bins": _cur.make_token_bins_sql(),
         "tfidf_search": _cur.make_tfidf_sql(),
+        "bm25_search": _cur.make_bm25_sql(),
         "doc_clean": _cur.DOC_CLEAN_SQL,
         "pii_redact": _cur.PII_REDACT_SQL,
         "doc_unigram_logprob": _cur.DOC_UNIGRAM_LOGPROB_SQL,

@@ -582,11 +582,156 @@ FROM s ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def bm25_search(
+    sf_dir: str,
+    terms: tuple[str, ...] = _TFIDF_QUERY,
+    k: int = 10,
+    k1_tenths: int = 12,
+    b_quarters: int = 3,
+) -> "ray.data.Dataset":
+    """BM25 ranked retrieval → top-``k`` ``(doc_id, score)``, exact-integer.
+
+    Okapi BM25 with k1 = ``k1_tenths``/10 (default 1.2) and
+    b = ``b_quarters``/4 (default 0.75), evaluated entirely in int64
+    fixed-point so Ray and DuckDB agree bit-for-bit (the graded-retrieval
+    complement of the binary tf-idf ranking above):
+
+    - idf_ppm(t)    = (N·1e6) // df(t)        (scaled reciprocal, no log)
+    - tfnorm_ppm    = (4·(10+K)·tf·T·1e6)
+                      // (40·T·tf + K·((4−B)·T + B·dl·N))
+      — the classic tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) with
+      avgdl = T/N multiplied through, K=``k1_tenths`` B=``b_quarters``;
+      T = corpus token count, dl = doc token count
+    - score(doc)    = Σ_t (idf_ppm · tfnorm_ppm) // 1e6
+
+    Same two streaming passes as :func:`tfidf_search` — pass 1 merges
+    per-batch (df, token-count) partials on the driver (|terms|+1 rows
+    per batch); pass 2 scores vectorized with a per-batch exact local
+    top-k.  int64 bounds: tfnorm_ppm ≤ (10+K)·1e5 and idf_ppm ≤ N·1e6,
+    so the product stays under 2^63 up to N ≈ 4·10⁹ docs per ranked
+    partition — repartition by corpus shard beyond that."""
+    import pyarrow.compute as pc
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = parquet_num_rows(path)
+    ds = read_parquet_auto(path, columns=["doc_id", "text"])
+    pats = {t: rf"\b{re.escape(t)}\b" for t in terms}
+    tok_pat = "[0-9a-z_]+"
+
+    def partials(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"])
+        names, counts = ["\x00total_tokens"], [
+            int(
+                pc.sum(pc.count_substring_regex(low, tok_pat)).as_py() or 0
+            )
+        ]
+        for t, pat in pats.items():
+            hit = pc.greater(pc.count_substring_regex(low, pat), 0)
+            names.append(t)
+            counts.append(int(pc.sum(hit.cast(pa.int64())).as_py() or 0))
+        return pa.table(
+            {
+                "term": pa.array(names, type=pa.string()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .to_pandas()  # (|terms|+1) rows per batch
+        .groupby("term")["n"]
+        .sum()
+        .to_dict()
+    )
+    total_tokens = int(agg.pop("\x00total_tokens", 0))
+    idf = {
+        t: (n_docs * 1_000_000) // int(d) for t, d in agg.items() if d > 0
+    }
+    idf_ref = ray.put(idf)
+    K, B, T, N = k1_tenths, b_quarters, total_tokens, n_docs
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        iw = ray.get(idf_ref)
+        low = pc.utf8_lower(batch["text"])
+        dl = pc.count_substring_regex(low, tok_pat).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        score = np.zeros(batch.num_rows, dtype=np.int64)
+        denom_dl = K * ((4 - B) * T + B * dl * N)  # tf-independent part
+        for t, w in iw.items():
+            tf = pc.count_substring_regex(low, pats[t]).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            tfnorm = (4 * (10 + K) * tf * T * 1_000_000) // (
+                40 * T * tf + denom_dl
+            )
+            score += (np.int64(w) * tfnorm) // 1_000_000
+        d = np.asarray(batch["doc_id"]).astype(np.int64)
+        pos = score > 0
+        d, score = d[pos], score[pos]
+        order = np.lexsort((d, -score))[:k]
+        return pa.table(
+            {"doc_id": pa.array(d[order]), "score": pa.array(score[order])}
+        )
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+                "score": pa.array(top["score"].to_numpy(np.int64)),
+            }
+        )
+    )
+
+
+def make_bm25_sql(
+    terms: tuple[str, ...] = _TFIDF_QUERY,
+    k: int = 10,
+    k1_tenths: int = 12,
+    b_quarters: int = 3,
+) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    K, B = k1_tenths, b_quarters
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok
+  WHERE w IN ({tlist}) GROUP BY doc_id, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+n AS (SELECT count(*) AS nn FROM documents),
+tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+s AS (
+  SELECT tf.doc_id,
+         sum(((nn * 1000000) // df)
+             * ((4 * (10 + {K}) * tf * tt * 1000000)
+                // (40 * tt * tf
+                    + {K} * ((4 - {B}) * tt + {B} * dl.dl * nn)))
+             // 1000000) AS score
+  FROM tf JOIN df USING (w) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN n CROSS JOIN tot
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM s WHERE score > 0 ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 __all__ += [
     "doc_token_bins",
     "make_token_bins_sql",
     "tfidf_search",
     "make_tfidf_sql",
+    "bm25_search",
+    "make_bm25_sql",
 ]
 
 
@@ -1623,22 +1768,41 @@ __all__ += ["curated_documents", "make_curated_sql"]
 _BPE_SEP = "\x01"
 
 
-def bpe_learn_merges(sf_dir: str, k: int = 8) -> "ray.data.Dataset":
+def bpe_learn_merges(
+    sf_dir: str, k: int = 8, batch: int = 16, stats: dict | None = None
+) -> "ray.data.Dataset":
     """Tokenizer induction, the full iterative loop → the first ``k`` BPE
     merges ``(rank, left_tok, right_tok, cnt)``.  ``bpe_top_pairs`` is
-    round 1 of this; here each round counts adjacent-symbol pairs over
-    the CURRENT segmentations (per-position counts, Sennrich's
-    statistic), picks the max (ties: lexicographic on the pair), and
-    applies the merge greedily left-to-right (non-overlapping) to every
-    word — exactly what ``str.replace`` and DuckDB ``replace`` both do,
-    which is what makes the unrolled SQL twin hash-exact.
+    round 1 of this; each round counts adjacent-symbol pairs over the
+    CURRENT segmentations (per-position counts, Sennrich's statistic),
+    picks winners by (count DESC, pair lexicographic), and applies each
+    merge greedily left-to-right (non-overlapping) — exactly what
+    ``str.replace`` and DuckDB ``replace`` both do, which is what makes
+    the unrolled SQL twin hash-exact.
+
+    **Batched rounds, provably sequential-equivalent.**  One count
+    exchange per merge serializes at large ``k`` (k driver round-trips),
+    so each exchange accepts up to ``batch`` winners at once: the maximal
+    PREFIX of the (count DESC, l, r)-sorted candidates that is pairwise
+    token-disjoint (tracking each accepted pair's l, r AND merged token
+    l+r), stopped at the first conflict and shrunk until the last
+    accepted count is STRICTLY above the first non-accepted candidate's.
+    Why this equals the one-at-a-time greedy: a disjoint merge can't
+    change another accepted pair's count or occurrences; every pair a
+    prior merge CAN affect shares a token with it, so it sits at or below
+    the stop boundary, and any NEW pair (x, l+r) is bounded by its parent
+    (x, l)'s count — also ≤ boundary < every accepted count, so no new or
+    affected pair can outrank a later accepted winner under the sequential
+    tie-break either.  A tie at the boundary falls back to the always-safe
+    single top-1.  ``stats['rounds']`` (when a dict is passed) reports the
+    exchange count — ≈ k/batch on natural corpora.
 
     Scale plan: the corpus is touched ONCE (the ``vocab_count``
     exchange); every round then runs over the VOCABULARY dataset —
-    segmentations as \\x01-joined strings, re-pinned per round (k
-    vocab-bounded materializations, never corpus-sized).  Pair counts
+    segmentations as \\x01-joined strings, re-pinned per round
+    (vocab-bounded materializations, never corpus-sized).  Pair counts
     ride a bounded-bucket group sum (pair domain ≤ current-symbol-set²);
-    only the single winning pair crosses to the driver each round."""
+    only ``batch``+1 candidate rows cross to the driver per exchange."""
     from ner_funtool_ray.pipelines.textops import vocab_count
     from ner_funtool_ray.stages.groupagg import bucketed_group_sum
 
@@ -1679,7 +1843,9 @@ def bpe_learn_merges(sf_dir: str, k: int = 8) -> "ray.data.Dataset":
         .materialize()
     )
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, k + 1):
+    window = max(1, int(batch))
+    rounds = 0
+    while len(merges) < k:
         counts = bucketed_group_sum(
             segs.map_batches(pair_partial, batch_format="pyarrow"),
             keys=["l", "r"],
@@ -1688,30 +1854,59 @@ def bpe_learn_merges(sf_dir: str, k: int = 8) -> "ray.data.Dataset":
         )
         top = (
             counts.sort(["c", "l", "r"], descending=[True, False, False])
-            .limit(1)
+            .limit(window + 1)
             .to_pandas()
         )
+        rounds += 1
         if top.empty:
             break
-        lt, rt, c = str(top["l"][0]), str(top["r"][0]), int(top["c"][0])
-        merges.append((rank, lt, rt, c))
-        pat, rep = _BPE_SEP + lt + _BPE_SEP + rt, _BPE_SEP + lt + rt
+        # maximal token-disjoint prefix, stopped at the first conflict /
+        # window / k, then shrunk to a strict boundary (see docstring)
+        accepted: list[tuple[str, str, int]] = []
+        blocked: set[str] = set()
+        boundary: int | None = None
+        for lt, rt, c in zip(top["l"], top["r"], top["c"]):
+            lt, rt, c = str(lt), str(rt), int(c)
+            if (
+                len(accepted) >= window
+                or len(merges) + len(accepted) >= k
+                or lt in blocked
+                or rt in blocked
+            ):
+                boundary = c
+                break
+            accepted.append((lt, rt, c))
+            blocked |= {lt, rt, lt + rt}
+        if boundary is not None:
+            while accepted and accepted[-1][2] <= boundary:
+                accepted.pop()
+            if not accepted:  # tie at the very top: single merge is safe
+                accepted = [
+                    (str(top["l"][0]), str(top["r"][0]), int(top["c"][0]))
+                ]
+        for lt, rt, c in accepted:
+            merges.append((len(merges) + 1, lt, rt, c))
+        reps = tuple(
+            (_BPE_SEP + lt + _BPE_SEP + rt, _BPE_SEP + lt + rt)
+            for lt, rt, _ in accepted
+        )
 
-        def apply(t: pa.Table, pat: str = pat, rep: str = rep) -> pa.Table:
+        def apply(t: pa.Table, reps=reps) -> pa.Table:
+            out = []
+            for s in t["seg"].to_pylist():
+                for pat, rep in reps:  # rank order == sequential order
+                    s = s.replace(pat, rep)
+                out.append(s)
             return pa.table(
                 {
-                    "seg": pa.array(
-                        [
-                            s.replace(pat, rep)
-                            for s in t["seg"].to_pylist()
-                        ],
-                        type=pa.string(),
-                    ),
+                    "seg": pa.array(out, type=pa.string()),
                     "cnt": t["cnt"],
                 }
             )
 
         segs = segs.map_batches(apply, batch_format="pyarrow").materialize()
+    if stats is not None:
+        stats["rounds"] = rounds
 
     return ray.data.from_arrow(
         pa.table(

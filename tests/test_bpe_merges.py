@@ -72,3 +72,32 @@ def test_bpe_first_merge_agrees_with_top_pairs():
         == first["left_tok"][0] + first["right_tok"][0]
     )
     assert int(top["cnt"][0]) == int(first["cnt"][0])
+
+
+def test_bpe_batched_rounds_match_sequential(tmp_path):
+    """Disjoint frequent pairs batch into one exchange; the merge table is
+    bit-identical to the one-merge-per-round protocol and to the SQL twin,
+    with measurably fewer count exchanges."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    # four token-disjoint frequent pairs + overlap chains to exercise the
+    # conflict stop and the strict-boundary shrink
+    _write_docs(
+        d,
+        ["ab ab ab cd cd ef ef gh aab abb"] * 3
+        + ["ab cd ef gh ab cd"] * 2,
+    )
+    st_b, st_s = {}, {}
+    batched = bpe_learn_merges(str(d), k=8, batch=16, stats=st_b).to_pandas()
+    sequential = bpe_learn_merges(str(d), k=8, batch=1, stats=st_s).to_pandas()
+    pd.testing.assert_frame_equal(batched, sequential)
+    assert st_b["rounds"] < st_s["rounds"]  # the latency win
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    exp = (
+        con.sql(make_bpe_merges_sql(8))
+        .df()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(batched, exp, check_dtype=False)

@@ -172,3 +172,57 @@ def test_tfidf_search_matches_bruteforce(ray_session):
                 scores[d] = scores.get(d, 0) + tf * idf
     exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert list(zip(got["doc_id"], got["score"])) == exp
+
+
+def test_bm25_search_matches_bruteforce(ray_session):
+    import re as _re
+
+    from ner_funtool_ray.pipelines.curation import bm25_search
+
+    got = bm25_search(SF_DIR, terms=("data", "join"), k=5).to_pandas()
+    docs = pd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    word = _re.compile(r"[0-9a-z_]+")
+    toks = {r.doc_id: word.findall(r.text.lower()) for r in docs.itertuples()}
+    N = len(docs)
+    T = sum(len(v) for v in toks.values())
+    K, B = 12, 3
+    scores = {}
+    for t in ("data", "join"):
+        df = sum(1 for v in toks.values() if t in v)
+        idf = (N * 1_000_000) // df
+        for d, v in toks.items():
+            tf = sum(1 for w in v if w == t)
+            if tf:
+                dl = len(v)
+                tfnorm = (4 * (10 + K) * tf * T * 1_000_000) // (
+                    40 * T * tf + K * ((4 - B) * T + B * dl * N)
+                )
+                scores[d] = scores.get(d, 0) + (idf * tfnorm) // 1_000_000
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["doc_id"], got["score"])) == exp
+
+
+def test_bm25_prefers_shorter_doc_at_equal_tf(ray_session, tmp_path):
+    # BM25's length normalization: same tf, shorter doc scores higher —
+    # the behavior that distinguishes it from the raw tf-idf ranking
+    texts = [
+        "join filler " + "pad " * 50,   # tf=1, long
+        "join here",                     # tf=1, short
+        "nothing relevant at all",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    from ner_funtool_ray.pipelines.curation import bm25_search
+
+    got = bm25_search(str(tmp_path), terms=("join",), k=3).to_pandas()
+    assert list(got["doc_id"]) == [2, 1]  # short doc first, non-hit absent
+    assert got["score"].iloc[0] > got["score"].iloc[1]
