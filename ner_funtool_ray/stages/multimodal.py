@@ -1,13 +1,16 @@
 """Multimodal column plumbing (training-data ops): opaque binary payloads +
 typed metadata, processed by actor-pool map_batches stages.
 
-The image/audio codec libraries are not available in this container, so the
-actual decode is STUBBED (clearly marked): ``decode_image`` raises
-``NotImplementedError`` unless PIL is importable, and the pipeline defaults
-to :class:`FakeImageCodec` — a deterministic stand-in that parses the
-synthetic header produced by :func:`make_fake_image`.  Everything around the
-stub — Arrow ``binary`` schema, small-batch sizing for large payloads,
-actor signature, feature/resize output layout — is real and tested.
+Image decode is REAL for PNG: the in-repo pure-python codec
+(``functions/png.py``, stdlib zlib — full filter/CRC handling) backs
+:class:`PngCodec`, and the stages default to :class:`AutoImageCodec`,
+which magic-sniffs PNG vs the synthetic FIMG format.  Other image formats
+(JPEG et al.) and the audio/video codecs gate behind an import-try
+(``decode_image`` raises ``NotImplementedError`` without PIL);
+:class:`FakeImageCodec`/:class:`FakeAudioCodec` are the deterministic
+stand-ins for those paths.  Everything around the codecs — Arrow
+``binary`` schema, small-batch sizing for large payloads, actor
+signature, feature/resize output layout — is real and tested.
 
 Scale note: binary payloads dominate block size; callers should lower
 ``batch_size`` (default 64 here vs 2048 for text) and rely on Arrow
@@ -34,14 +37,19 @@ def make_fake_image(width: int, height: int, seed: int = 0) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real decode path — requires an image codec library (not in this
-    container).  Gated behind an import-try per the environment rules."""
+    """Real decode path.  PNG payloads decode via the in-repo pure-python
+    codec (``functions/png.py`` — stdlib zlib, no external library); other
+    formats gate on PIL, which is absent in this container."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ner_funtool_ray.functions.png import decode_png
+
+        return decode_png(payload)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "image codec not available in this environment; "
-            "use FakeImageCodec for the plumbing path"
+            "non-PNG image codec not available in this environment; "
+            "PNG decodes natively, or use FakeImageCodec for plumbing"
         ) from exc
     import io
 
@@ -70,13 +78,64 @@ class FakeImageCodec:
         return MAGIC + struct.pack("<HH", w, h) + img.astype(np.uint8).tobytes()
 
 
+class PngCodec:
+    """Real (non-fake) image codec: pure-python PNG from
+    ``functions/png.py``.  Same decode/resize/encode surface as
+    :class:`FakeImageCodec`, so every image stage composes with real PNG
+    payloads.  Color images collapse to luma for the feature path (the
+    integer BT.601-ish average keeps everything deterministic)."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        from ner_funtool_ray.functions.png import decode_png
+
+        img = decode_png(payload)
+        if img.ndim == 3:  # RGB(A) → luma for the grayscale feature path
+            img = (
+                img[:, :, :3].astype(np.uint32).sum(axis=2) // 3
+            ).astype(np.uint8)
+        return img
+
+    # nearest-neighbor resize — identical semantics to FakeImageCodec
+    resize = FakeImageCodec.resize
+
+    def encode(self, img: np.ndarray) -> bytes:
+        from ner_funtool_ray.functions.png import encode_png
+
+        return encode_png(img.astype(np.uint8))
+
+
+class AutoImageCodec:
+    """Magic-sniffing codec: PNG payloads take the real pure-python PNG
+    path, FIMG payloads the deterministic fake path.  Default for the
+    image stages so mixed-format corpora decode without configuration.
+    Encode emits PNG (the real, externally readable format)."""
+
+    def __init__(self) -> None:
+        self._png = PngCodec()
+        self._fake = FakeImageCodec()
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return self._png.decode(payload)
+        if payload[:4] == MAGIC:
+            return self._fake.decode(payload)
+        raise ValueError(
+            f"unrecognized image payload (first bytes {payload[:8]!r})"
+        )
+
+    resize = FakeImageCodec.resize
+
+    def encode(self, img: np.ndarray) -> bytes:
+        return self._png.encode(img)
+
+
 class ImageFeatures:
     """Actor-pool stage: (id, payload binary, …) → + (width, height,
     mean_intensity, phash) feature columns.  Codec constructed once per
     actor; per-batch work is numpy over decoded arrays."""
 
     def __init__(self, codec=None, payload_col: str = "payload"):
-        self.codec = codec or FakeImageCodec()
+        self.codec = codec or AutoImageCodec()
         self.payload_col = payload_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -108,7 +167,7 @@ class ImageResize:
 
     def __init__(self, out_w: int = 32, out_h: int = 32, codec=None,
                  payload_col: str = "payload"):
-        self.codec = codec or FakeImageCodec()
+        self.codec = codec or AutoImageCodec()
         self.out_w = out_w
         self.out_h = out_h
         self.payload_col = payload_col
