@@ -119,15 +119,22 @@ def attach_col(
     n_buckets: int = 64,
     how: str = "inner",
     fill=None,
+    broadcast_limit: int | None = 1_000_000,
 ) -> "ray.data.Dataset":
     """Bucketed equi-join attaching one lookup column onto ``left``.
 
-    Tagged-union plan (the ``entity_cooccurrence_lift`` distributed
-    join, generalized): both sides bucket by the join key's crc32, one
-    ``groupby("bucket")`` co-locates them, and a per-bucket dict map
-    attaches the value — the shuffle moves each row once, no cross
-    product.  ``lut`` keys must be unique.  ``how="left"`` keeps
-    unmatched left rows with ``fill``; ``"inner"`` drops them."""
+    Small LUTs (≤ ``broadcast_limit`` rows after materializing) take a
+    broadcast fast path: the (key, val) frame rides ``ray.put`` once and
+    every batch merges against it locally — zero shuffles, and ``left``
+    streams untouched.  Larger LUTs fall back to the tagged-union plan
+    (the ``entity_cooccurrence_lift`` distributed join, generalized):
+    both sides bucket by the join key's crc32, one ``groupby("bucket")``
+    co-locates them, and a per-bucket merge attaches the value — the
+    shuffle moves each row once, no cross product.  Both paths share the
+    same pandas-merge semantics (matched-but-null LUT values survive an
+    inner join).  ``lut`` keys must be unique.  ``how="left"`` keeps
+    unmatched left rows with ``fill``; ``"inner"`` drops them.  Pass
+    ``broadcast_limit=None`` to force the shuffle plan."""
     left_schema = left.schema()
     left_names = list(left_schema.names)
     left_types = {
@@ -137,6 +144,44 @@ def attach_col(
     val_type = _pa_type(
         dict(zip(lut.schema().names, lut.schema().types))[lut_val]
     )
+
+    def _finish(merged: "pd.DataFrame") -> pa.Table:
+        if how != "inner" and fill is not None:
+            merged[out_col] = merged[out_col].fillna(fill)
+        tbl = pa_from_pandas(merged, preserve_index=False)
+        out = {n: tbl[n].cast(left_types[n]) for n in left_names}
+        out[out_col] = tbl[out_col].cast(val_type)
+        return pa.table(out)
+
+    if broadcast_limit is not None:
+        lut = lut.materialize()
+        if lut.count() <= broadcast_limit:
+            lut_pdf = (
+                lut.select_columns([lut_key, lut_val])
+                .to_pandas()
+                .rename(columns={lut_key: key_col, lut_val: out_col})
+            )
+            # match the shuffle path's key-type alignment (lut key cast
+            # to the left side's key type before the merge)
+            lut_pdf[key_col] = (
+                pa.Array.from_pandas(lut_pdf[key_col])
+                .cast(left_types[key_col])
+                .to_pandas()
+            )
+            if pa.types.is_integer(val_type):
+                lut_pdf[out_col] = lut_pdf[out_col].astype("Int64")
+            lut_ref = ray.put(lut_pdf)
+
+            def attach(t: pa.Table) -> pa.Table:
+                left_df = t.select(left_names).to_pandas()
+                merged = left_df.merge(
+                    ray.get(lut_ref),
+                    on=key_col,
+                    how="inner" if how == "inner" else "left",
+                )
+                return _finish(merged)
+
+            return left.map_batches(attach, batch_format="pyarrow")
 
     def tag_left(t: pa.Table) -> pa.Table:
         cols = {n: t[n] for n in left_names}
@@ -179,12 +224,7 @@ def attach_col(
         merged = left_df.merge(
             lut_df, on=key_col, how="inner" if how == "inner" else "left"
         )
-        if how != "inner" and fill is not None:
-            merged[out_col] = merged[out_col].fillna(fill)
-        tbl = pa_from_pandas(merged, preserve_index=False)
-        out = {n: tbl[n].cast(left_types[n]) for n in left_names}
-        out[out_col] = tbl[out_col].cast(val_type)
-        return pa.table(out)
+        return _finish(merged)
 
     return both.groupby("bucket").map_groups(join, batch_format="pyarrow")
 

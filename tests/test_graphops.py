@@ -482,3 +482,46 @@ def test_scale_katz_sssp_lpa(clique_graph):
         batch_format="pyarrow",
     ).unique("community")
     assert len(n_comm) == N_CLIQUES
+
+
+@pytest.mark.quick
+def test_attach_col_broadcast_matches_shuffle():
+    """The size-guarded broadcast fast path and the bucketed shuffle plan
+    must agree row-for-row (inner and left+fill, int and string values,
+    matched-but-null LUT values surviving an inner join)."""
+    from ner_funtool_ray.stages.graphops import attach_col
+
+    left = ray.data.from_items(
+        [{"k": i % 7, "payload": f"p{i}"} for i in range(50)]
+    )
+    lut = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array([0, 1, 2, 3, 9], type=pa.int64()),
+                "val": pa.array([10, None, 30, 40, 90], type=pa.int64()),
+            }
+        )
+    )
+    for how, fill in [("inner", None), ("left", -1)]:
+        fast = (
+            attach_col(left, "k", lut, "key", "val", "v", how=how, fill=fill)
+            .to_pandas()
+            .sort_values(["k", "payload"])
+            .reset_index(drop=True)
+        )
+        slow = (
+            attach_col(
+                left, "k", lut, "key", "val", "v",
+                how=how, fill=fill, broadcast_limit=None,
+            )
+            .to_pandas()
+            .sort_values(["k", "payload"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(fast, slow)
+        if how == "inner":
+            # k==1 matched a null LUT value: row kept, value null
+            assert fast.loc[fast.k == 1, "v"].isna().all()
+            assert set(fast.k) == {0, 1, 2, 3}
+        else:
+            assert (fast.loc[~fast.k.isin([0, 1, 2, 3]), "v"] == -1).all()
