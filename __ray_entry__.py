@@ -1723,6 +1723,15 @@ def _q_albert_mentions(sf_dir: str):
     return model_mentions(sf_dir, model="albert")
 
 
+def _q_siamese_sims(sf_dir: str):
+    """Siamese twin-tower ALBERT (modeling_google_albert.py:282
+    AlbertModelSiamese — shared encoder, per-tower pooler): adjacent
+    within-doc sentence pairs → integer cosine sim_ppm."""
+    from ner_funtool_ray.pipelines.tagging import siamese_sentence_sims
+
+    return siamese_sentence_sims(sf_dir)
+
+
 def _q_softmax_mentions(sf_dir: str):
     """T2 head variant: BiLSTM → softmax-argmax decode (use_crf=False,
     run_multitask_bert_crf.py:71-76 / lstm_crf_layer softmax branch)."""
@@ -3618,6 +3627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_cascade_mentions": _q_cascade_mentions,
         "ner_cascade_lstm_mentions": _q_cascade_lstm_mentions,
         "ner_albert_mentions": _q_albert_mentions,
+        "ner_siamese_sentence_sims": _q_siamese_sims,
         "ner_bert_lstm_mentions": _q_bert_lstm_mentions,
         "ner_softmax_mentions": _q_softmax_mentions,
         "ner_wol_losses": _q_wol_losses,

@@ -442,3 +442,85 @@ class BertCascade(TransformerEncoder):
         bmeo = viterbi_decode_batch(bmeo_logits, w["crf_trans"], lengths)
         attr = attr_logits.argmax(axis=2).astype(np.int32)
         return bmeo, np.where(input_mask.astype(bool), attr, 0)
+
+
+def init_albert_siamese_weights(
+    vocab_size: int,
+    embedding_size: int = 24,
+    hidden: int = 48,
+    n_layers: int = 4,
+    n_groups: int = 1,
+    n_heads: int = 4,
+    intermediate: int = 96,
+    max_position: int = 160,
+    type_vocab: int = 2,
+    seed: int = 13,
+) -> dict[str, np.ndarray]:
+    """ALBERT weights + the TWO pooler heads of the siamese variant
+    (`bert/modeling_google_albert.py:282-501` AlbertModelSiamese):
+    embeddings and encoder are SHARED between towers (both towers
+    re-enter the same ``bert`` variable scope — the file's
+    “共享BERT层参数” comment at :403), while each tower owns its own
+    tanh pooler over the first token (``pooler_1``/``pooler_2`` scopes,
+    :393/:455 — the poolers are the only unshared parameters)."""
+    w = init_albert_weights(
+        vocab_size=vocab_size,
+        embedding_size=embedding_size,
+        hidden=hidden,
+        n_layers=n_layers,
+        n_groups=n_groups,
+        n_heads=n_heads,
+        intermediate=intermediate,
+        max_position=max_position,
+        n_tags=2,  # unused by the siamese head; kept for bundle parity
+        type_vocab=type_vocab,
+        seed=seed,
+    )
+    rng = np.random.default_rng(seed + 7)
+
+    def g(*shape):
+        return rng.normal(0.0, 0.08, size=shape).astype(np.float32)
+
+    w["pool1_w"] = g(hidden, hidden)
+    w["pool1_b"] = np.zeros(hidden, dtype=np.float32)
+    w["pool2_w"] = g(hidden, hidden)
+    w["pool2_b"] = np.zeros(hidden, dtype=np.float32)
+    return w
+
+
+class AlbertSiamese(AlbertEncoder):
+    """Twin-tower ALBERT (`modeling_google_albert.py:282`
+    AlbertModelSiamese): one shared encoder applied to both inputs, a
+    per-tower tanh dense pooler over the first ([CLS]) token
+    (:389-401/:455-464), cosine similarity between the pooled vectors as
+    the pair score.  The reference file defines the model but no runner
+    instantiates it; this twin completes the file's API surface so a
+    sentence-pair scorer built on it ports directly."""
+
+    def pooled_pair(
+        self,
+        ids_1: np.ndarray,
+        mask_1: np.ndarray,
+        ids_2: np.ndarray,
+        mask_2: np.ndarray,
+        segment_ids_1: np.ndarray | None = None,
+        segment_ids_2: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        w = self.w
+        enc_1 = self.encode(ids_1, mask_1, segment_ids_1)
+        enc_2 = self.encode(ids_2, mask_2, segment_ids_2)
+        pooled_1 = np.tanh(enc_1[:, 0, :] @ w["pool1_w"] + w["pool1_b"])
+        pooled_2 = np.tanh(enc_2[:, 0, :] @ w["pool2_w"] + w["pool2_b"])
+        return pooled_1, pooled_2
+
+    def similarity(
+        self,
+        ids_1: np.ndarray,
+        mask_1: np.ndarray,
+        ids_2: np.ndarray,
+        mask_2: np.ndarray,
+    ) -> np.ndarray:
+        p1, p2 = self.pooled_pair(ids_1, mask_1, ids_2, mask_2)
+        num = (p1 * p2).sum(axis=1)
+        den = np.linalg.norm(p1, axis=1) * np.linalg.norm(p2, axis=1)
+        return np.where(den > 0, num / np.maximum(den, 1e-12), 0.0)

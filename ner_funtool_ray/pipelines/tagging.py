@@ -372,3 +372,56 @@ def ensemble_mentions(sf_dir: str, n_buckets: int = 16) -> "ray.data.Dataset":
         count_col=None,
         driver_cap=2_000_000,
     )
+
+def siamese_sentence_sims(
+    sf_dir: str, concurrency=None
+) -> "ray.data.Dataset":
+    """Neighbor-sentence similarity via the twin-tower siamese ALBERT
+    (`bert/modeling_google_albert.py:282` AlbertModelSiamese — shared
+    encoder, per-tower pooler): every pair of CONSECUTIVE sentence rows
+    within a read block scored to ``sim_ppm`` (integer cosine ×1e6, so
+    the result hashes stably).  The corpus splits to one sentence per
+    document, so this is an adjacent-document similarity profile — the
+    sentence-pair scoring surface the siamese model exists for, driven
+    over a deterministic pairing (fixed ``rows_per_block`` read order).
+    Output (row_id_a, row_id_b, sim_ppm).  Rows-only: model scoring is
+    not SQL-expressible; the scorer itself is batch-composition-parity
+    tested.  Actor-pool stage like ``tag_sentences`` (weights once per
+    actor)."""
+    import ray
+
+    from ner_funtool_ray.stages.tag import SiameseSimilarityScorer
+
+    sents = split_to_sentences(
+        ingest(corpus_from_documents(sf_dir, rows_per_block=80))
+    )
+
+    def pairize(t: pa.Table) -> pa.Table:
+        rid = t["row_id"].to_pylist()
+        sent = t["sentence"].to_pylist()
+        return pa.table(
+            {
+                "row_id_a": pa.array(rid[:-1], type=pa.int64()),
+                "row_id_b": pa.array(rid[1:], type=pa.int64()),
+                "text_a": pa.array(sent[:-1], type=pa.string()),
+                "text_b": pa.array(sent[1:], type=pa.string()),
+            }
+        )
+
+    # batch_size=None → whole blocks, so a doc's sentence run is never
+    # split mid-pair by the default batch size
+    pairs = sents.map_batches(pairize, batch_format="pyarrow", batch_size=None)
+    if concurrency is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        n = max(1, cpus - 2)
+        concurrency = (n, n)
+    return pairs.map_batches(
+        SiameseSimilarityScorer,
+        fn_constructor_kwargs={"max_seq_len": MAX_SEQ_LEN},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+    ).select_columns(["row_id_a", "row_id_b", "sim_ppm"])

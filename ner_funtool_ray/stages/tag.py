@@ -526,6 +526,85 @@ class BertBilstmNerTagger(BertNerTagger):
         )
 
 
+class SiameseSimilarityScorer(BertNerTagger):
+    """Sentence-PAIR actor: rows with two text columns → + ``sim_ppm``,
+    the cosine similarity of the twin-tower pooled vectors as an integer
+    part-per-million (hash-stable across batch compositions).  Model is
+    the `modeling_google_albert.py:282` AlbertModelSiamese twin: shared
+    ALBERT encoder, per-tower tanh pooler.  Each tower's chunk pads to
+    its own max length — masked positions are inert and the pooler reads
+    only the [CLS] position, so the score is independent of batching."""
+
+    def __init__(
+        self,
+        weights_path: str | None = None,
+        max_seq_len: int = 128,
+        seed: int = 13,
+        a_col: str = "text_a",
+        b_col: str = "text_b",
+        out_col: str = "sim_ppm",
+    ):
+        from ner_funtool_ray.functions.tokenization import FullTokenizer
+        from ner_funtool_ray.model.transformer import (
+            AlbertSiamese,
+            init_albert_siamese_weights,
+        )
+        from ner_funtool_ray.model.vocabs import default_wordpiece_vocab
+
+        self.vocab = default_wordpiece_vocab()
+        self.tokenizer = FullTokenizer(self.vocab)
+        self.max_seq_len = max_seq_len
+        self.a_col = a_col
+        self.b_col = b_col
+        self.out_col = out_col
+        if weights_path:
+            w = load_weights(weights_path)
+        else:
+            w = init_albert_siamese_weights(
+                vocab_size=len(self.vocab),
+                max_position=max_seq_len + 2,
+                seed=seed,
+            )
+        self.model = AlbertSiamese(w)
+        self._cls = self.vocab["[CLS]"]
+        self._sep = self.vocab["[SEP]"]
+        self._piece_cache = {}
+
+    _CHUNK = 64  # same O(S²) heap bound as the tagger stages
+
+    def _pad_tower(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        # FIXED-shape padding (every chunk is (_CHUNK, max_seq_len) — rows
+        # beyond the input are all-masked dummies): GEMM blocking varies
+        # with matrix shape, so dynamic padding moved scores by ±1 ppm
+        # depending on batch composition.  Fixed shapes make the integer
+        # score bit-deterministic, and mirror the reference's own
+        # pad-to-max_seq_length (`run_bert_crf.py:380-388`).
+        S = self.max_seq_len
+        mat = np.zeros((self._CHUNK, S), dtype=np.int32)
+        mask = np.zeros((self._CHUNK, S), dtype=np.int32)
+        for k, t in enumerate(texts):
+            ids = self._encode_one(t)[0]
+            mat[k, : len(ids)] = ids
+            mask[k, : len(ids)] = 1
+        return mat, mask
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch[self.a_col].to_pylist()
+        b = batch[self.b_col].to_pylist()
+        if not a:
+            return batch.append_column(
+                self.out_col, pa.array([], type=pa.int64())
+            )
+        out = np.empty(len(a), dtype=np.int64)
+        for lo in range(0, len(a), self._CHUNK):
+            n = len(a[lo : lo + self._CHUNK])
+            ids1, m1 = self._pad_tower(a[lo : lo + self._CHUNK])
+            ids2, m2 = self._pad_tower(b[lo : lo + self._CHUNK])
+            sims = self.model.similarity(ids1, m1, ids2, m2)[:n]
+            out[lo : lo + n] = np.rint(sims * 1_000_000).astype(np.int64)
+        return batch.append_column(self.out_col, pa.array(out))
+
+
 _TAGGER_CLASSES = {
     ("bilstm", False): NerTagger,
     ("bilstm", True): CascadeNerTagger,
