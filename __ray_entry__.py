@@ -1732,6 +1732,15 @@ def _q_siamese_sims(sf_dir: str):
     return siamese_sentence_sims(sf_dir)
 
 
+def _q_bm25_siamese_rerank(sf_dir: str):
+    """Retrieve-then-rerank: exact-integer BM25 recall (top-50) re-ranked
+    by the siamese twin-tower pair scorer; corpus streams through both
+    stages, only the candidate rows reach the model pool."""
+    from ner_funtool_ray.pipelines.tagging import bm25_siamese_rerank
+
+    return bm25_siamese_rerank(sf_dir)
+
+
 def _q_softmax_mentions(sf_dir: str):
     """T2 head variant: BiLSTM → softmax-argmax decode (use_crf=False,
     run_multitask_bert_crf.py:71-76 / lstm_crf_layer softmax branch)."""
@@ -3628,6 +3637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_cascade_lstm_mentions": _q_cascade_lstm_mentions,
         "ner_albert_mentions": _q_albert_mentions,
         "ner_siamese_sentence_sims": _q_siamese_sims,
+        "bm25_siamese_rerank": _q_bm25_siamese_rerank,
         "ner_bert_lstm_mentions": _q_bert_lstm_mentions,
         "ner_softmax_mentions": _q_softmax_mentions,
         "ner_wol_losses": _q_wol_losses,

@@ -425,3 +425,69 @@ def siamese_sentence_sims(
         batch_size=256,
         concurrency=concurrency,
     ).select_columns(["row_id_a", "row_id_b", "sim_ppm"])
+
+def bm25_siamese_rerank(
+    sf_dir: str,
+    terms: tuple[str, ...] = ("data", "join", "merge"),
+    k_bm25: int = 50,
+    k: int = 10,
+    concurrency=None,
+) -> pd.DataFrame:
+    """Two-stage neural retrieval: exact-integer BM25 recall (top
+    ``k_bm25``) re-ranked by the siamese twin-tower pair scorer — the
+    standard retrieve-then-rerank pipeline, with the reranker's query
+    tower fed ``" ".join(terms)`` and the doc tower the candidate text.
+
+    Scale shape: the corpus STREAMS through both stages (BM25's two
+    passes, then a broadcast candidate-id filter — only the ≤``k_bm25``
+    survivor rows reach the model pool); the final sort is over
+    ``k_bm25`` rows on the driver.  Deterministic end-to-end (integer
+    BM25 + bit-deterministic sim_ppm; ties broken by doc_id).
+    Rows-only: model scoring is not SQL-expressible."""
+    import ray
+
+    from ner_funtool_ray.pipelines.curation import bm25_search
+    from ner_funtool_ray.sources.io import read_parquet_auto
+    from ner_funtool_ray.stages.tag import SiameseSimilarityScorer
+
+    cand = bm25_search(sf_dir, terms=terms, k=k_bm25).to_pandas()
+    score_by_id = dict(zip(cand["doc_id"], cand["score"]))
+    ids_ref = ray.put(score_by_id)
+    query = " ".join(terms)
+
+    def pick(t: pa.Table) -> pa.Table:
+        lut = ray.get(ids_ref)
+        ids = t["doc_id"].to_pylist()
+        keep = [i for i, d in enumerate(ids) if d in lut]
+        sub = t.take(pa.array(keep, type=pa.int64()))
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"].cast(pa.int64()),
+                "bm25_score": pa.array(
+                    [lut[d] for d in sub["doc_id"].to_pylist()],
+                    type=pa.int64(),
+                ),
+                "text_a": pa.array(
+                    [query] * sub.num_rows, type=pa.string()
+                ),
+                "text_b": sub["text"].cast(pa.string()),
+            }
+        )
+
+    docs = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    scored = docs.map_batches(pick, batch_format="pyarrow").map_batches(
+        SiameseSimilarityScorer,
+        fn_constructor_kwargs={"max_seq_len": MAX_SEQ_LEN},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency or 2,
+    )
+    out = scored.select_columns(
+        ["doc_id", "bm25_score", "sim_ppm"]
+    ).to_pandas()
+    out = out.sort_values(
+        ["sim_ppm", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return out.reset_index(drop=True)

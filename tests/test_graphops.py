@@ -525,3 +525,31 @@ def test_attach_col_broadcast_matches_shuffle():
             assert set(fast.k) == {0, 1, 2, 3}
         else:
             assert (fast.loc[~fast.k.isin([0, 1, 2, 3]), "v"] == -1).all()
+
+    # string-valued LUT: both paths must agree on object-dtype payloads
+    slut = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array([0, 2, 4], type=pa.int64()),
+                "name": pa.array(["zero", "two", "four"], type=pa.string()),
+            }
+        )
+    )
+    fast_s = (
+        attach_col(left, "k", slut, "key", "name", "nm", how="left", fill="?")
+        .to_pandas()
+        .sort_values(["k", "payload"])
+        .reset_index(drop=True)
+    )
+    slow_s = (
+        attach_col(
+            left, "k", slut, "key", "name", "nm",
+            how="left", fill="?", broadcast_limit=None,
+        )
+        .to_pandas()
+        .sort_values(["k", "payload"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast_s, slow_s)
+    assert set(fast_s.loc[fast_s.k == 2, "nm"]) == {"two"}
+    assert set(fast_s.loc[fast_s.k == 5, "nm"]) == {"?"}

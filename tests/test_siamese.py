@@ -141,3 +141,26 @@ def test_siamese_sentence_sims_pipeline():
         drop=True
     )
     assert pd_sorted.equals(again)
+
+
+def test_bm25_siamese_rerank():
+    from ner_funtool_ray.pipelines.curation import bm25_search
+    from ner_funtool_ray.pipelines.tagging import bm25_siamese_rerank
+
+    out = bm25_siamese_rerank(
+        "/root/testdata/sf0.001", k_bm25=20, k=5, concurrency=2
+    )
+    assert list(out.columns) == ["doc_id", "bm25_score", "sim_ppm"]
+    assert len(out) == 5
+    # reranked order: sim_ppm descending, doc_id ascending on ties
+    s = out["sim_ppm"].tolist()
+    assert s == sorted(s, reverse=True)
+    # every survivor came from the BM25 candidate set (with its score)
+    cand = bm25_search("/root/testdata/sf0.001", k=20).to_pandas()
+    lut = dict(zip(cand["doc_id"], cand["score"]))
+    assert all(lut[d] == b for d, b in zip(out["doc_id"], out["bm25_score"]))
+    # deterministic end-to-end
+    again = bm25_siamese_rerank(
+        "/root/testdata/sf0.001", k_bm25=20, k=5, concurrency=2
+    )
+    assert out.equals(again)
