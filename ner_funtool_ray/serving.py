@@ -130,7 +130,16 @@ def start_http_server(
 
     - ``POST /`` with ``{"texts": [...]}`` → the span-JSON response of
       :func:`predict` (one ``{"text", "entities"}`` row per input);
-    - ``GET /health`` → ``{"status": "ok"}``.
+    - ``GET /health`` → ``{"status": "ok"}``;
+    - TF-Serving REST compatibility (the public REST twin of the gRPC
+      surface `infer_online.py:242-261` speaks, so a reference client
+      can switch transports without reshaping payloads):
+      ``POST /v1/models/<name>:predict`` with ``{"instances": [...]}``
+      (plain strings or ``{"text": ...}`` objects) →
+      ``{"predictions": [...]}``, and ``GET /v1/models/<name>`` →
+      the standard ``model_version_status`` document.  Span decode
+      happens server-side (the reference decodes the raw tag matrix
+      client-side via ``get_entity_result`` — documented deviation).
 
     The handler thread holds only the actor HANDLE; all model state
     lives in the named actor, so many HTTP front doors can share one
@@ -158,6 +167,24 @@ def start_http_server(
         def do_GET(self):  # noqa: N802 - BaseHTTPRequestHandler API
             if self.path.rstrip("/") in ("", "/health".rstrip("/")):
                 self._reply(200, {"status": ray.get(handle.health.remote())})
+            elif self.path.rstrip("/") == f"/v1/models/{name}":
+                # TF-Serving model-status document (GET ModelStatus)
+                ok = ray.get(handle.health.remote()) == "ok"
+                self._reply(
+                    200,
+                    {
+                        "model_version_status": [
+                            {
+                                "version": "1",
+                                "state": "AVAILABLE" if ok else "LOADING",
+                                "status": {
+                                    "error_code": "OK",
+                                    "error_message": "",
+                                },
+                            }
+                        ]
+                    },
+                )
             else:
                 self._reply(404, {"error": "not found"})
 
@@ -165,6 +192,20 @@ def start_http_server(
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == f"/v1/models/{name}:predict":
+                    # TF-Serving REST predict: instances are plain
+                    # strings or {"text": ...} rows
+                    inst = body["instances"]
+                    if not isinstance(inst, list):
+                        raise TypeError("instances must be a list")
+                    texts = [
+                        i["text"] if isinstance(i, dict) else i
+                        for i in inst
+                    ]
+                    self._reply(
+                        200, {"predictions": predict(handle, texts)}
+                    )
+                    return
                 texts = body["texts"]
                 if not isinstance(texts, list):
                     raise TypeError("texts must be a list")

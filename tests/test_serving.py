@@ -106,3 +106,46 @@ def test_serve_deployment_gated():
     else:
         with pytest.raises(ImportError):
             build_serve_deployment()
+
+
+def test_http_tfserving_rest_compat():
+    """TF-Serving REST twin routes: model-status GET and :predict POST
+    with both string and {"text": ...} instances must answer in the
+    standard TF-Serving document shapes."""
+    import json
+    import urllib.request
+
+    from ner_funtool_ray.serving import start_http_server, stop_http_server
+
+    httpd, _thread = start_http_server(name="t-ner-tfs", model="bilstm")
+    try:
+        host, port = httpd.server_address[:2]
+        base = f"http://{host}:{port}"
+        with urllib.request.urlopen(
+            f"{base}/v1/models/t-ner-tfs", timeout=30
+        ) as r:
+            status = json.loads(r.read())
+        assert status["model_version_status"][0]["state"] == "AVAILABLE"
+        texts = ["中国首都是北京", "beijing hosts the summit"]
+        for instances in (texts, [{"text": t} for t in texts]):
+            req = urllib.request.Request(
+                f"{base}/v1/models/t-ner-tfs:predict",
+                data=json.dumps({"instances": instances}).encode("utf-8"),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                got = json.loads(r.read())
+            assert list(got) == ["predictions"]
+            assert [row["text"] for row in got["predictions"]] == texts
+        # the plain POST / surface still answers alongside the alias
+        req = urllib.request.Request(
+            base,
+            data=json.dumps({"texts": texts}).encode("utf-8"),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            plain = json.loads(r.read())
+        assert [row["text"] for row in plain] == texts
+    finally:
+        stop_http_server(httpd, name="t-ner-tfs")
